@@ -1,0 +1,50 @@
+"""Minimum end-to-end slice (SURVEY.md §7.1): pages → listings.
+
+read_parquet(columns pruned) → actor-pool map_batches(ExtractListings,
+batch_format='pyarrow') → listings Dataset. Zero shuffles; html bytes never
+cross an exchange (SURVEY.md §7.5.6).
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from ..extraction.listing import ExtractListings
+
+
+def extract_listings_dataset(
+    pages_path: str,
+    mode: str = "active",
+    scraped_at: str = "1970-01-01T00:00:00",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Stateless per-row extraction over detail pages.
+
+    Detail pages are selected by the reference's own URL predicate
+    ('/detail/koop/', funda_spider.py:104) pushed into the parquet scan, so
+    list pages and noise rows never leave storage. batch_size is small
+    because rows are HTML-sized (~2-8 KB) and per-row parse cost dominates;
+    actor pool amortizes selector-engine setup.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        pages_path,
+        columns=["url", "html"],
+        filter=pc.match_substring(pads.field("url"), "/detail/koop/"),
+    )
+    if concurrency is None:
+        # size the pool to the session: leave headroom for read + downstream
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, ncpu - 2)
+    return ds.map_batches(
+        ExtractListings,
+        fn_constructor_kwargs={"mode": mode, "scraped_at": scraped_at},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        concurrency=concurrency,
+    )
