@@ -1,0 +1,482 @@
+"""Frontier round driver — the crawl engine (SURVEY.md §3.1 / §7.2 stage 4).
+
+One **round** is one BFS generation: every live chain fetches exactly one
+list page (page p in round p — preserving the reference's sequential
+pagination contract), candidate detail URLs are claimed against the sharded
+seen set, politeness-budgeted, robots-gated, fetch-joined against the
+bucketed pages index and extracted. Between rounds the driver folds the
+reference's stop conditions (T3: 3 consecutive empty pages; 3 consecutive
+no-new pages active / first no-new non-empty page sold —
+funda_spider.py:127-145, funda_spider_sold.py:129-141) and commits a
+checkpoint directory; a killed run resumes from the last _COMMITTED round.
+
+Dataflow per round (html bytes never cross an exchange):
+
+  list reqs ──fetch-join──> list pages ──map_batches──> candidates
+     candidates ──actor-pool claim──> novel requests + per-chain counters
+     (novel ∪ deferred) ──groupby(host) schedule──> scheduled | deferred
+     scheduled ──robots gate──> fetchable ──fetch-join + extract──> listings Δ
+
+Politeness budget applies to detail fetches (list fetches are 1/chain/round
+and implicitly within any budget); deferred requests persist as Parquet in
+the round checkpoint, so resume restores them for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..extraction.listing import LISTING_SCHEMA, extract_listing_row
+from ..extraction.listpage import extract_listing_urls, extract_next_page, search_params_of
+from ..extraction.selectolite import Selector
+from .canonicalize import canonicalize_url, host_of
+from .fetchstore import fetch_pages
+from .politeness import schedule_round
+from .robots import RobotsTable
+from .seen import SeenSet
+
+REQUEST_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_norm", pa.string()),
+        ("host", pa.string()),
+        ("chain_id", pa.int64()),
+        ("mode", pa.string()),
+        ("place", pa.string()),
+        ("priority", pa.int32()),
+        ("page_seq", pa.int32()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    index_dir: str
+    job_dir: str
+    budget_per_host: int = 1_000
+    num_seen_shards: int = 8
+    obey_robots: bool = False  # reference parity: ROBOTSTXT_OBEY=False (settings.py:12)
+    robots_rows: list = field(default_factory=list)  # [(host, body)]
+    max_pages: int | None = None
+    max_rounds: int = 64
+    scraped_at: str = "1970-01-01T00:00:00"
+    extract_concurrency: int = 4
+    base_delay: float = 2.0
+
+
+@dataclass
+class ChainState:
+    chain_id: int
+    host: str
+    place: str
+    availability: str  # 'available' | 'unavailable'
+    next_url: str
+    page_no: int = 1
+    empty_count: int = 0
+    no_new_count: int = 0
+    done: bool = False
+
+    @property
+    def mode(self) -> str:
+        return "active" if self.availability == "available" else "sold"
+
+
+def extract_candidates_batch(batch: pa.Table, meta_ref) -> pa.Table:
+    """Stateless task stage: fetched list pages → candidate rows.
+
+    Emits one 'visit' row per parsed page (existence marker), one 'detail'
+    row per extracted URL (deterministic sorted order within a page) and one
+    'next' row when the next-page button exists (M1/M2,
+    funda_spider.py:92-184). Stateless tasks, not actors: the selector
+    compile cache is worker-process-global, so warm across rounds without
+    actor-pool spin-up (SURVEY.md §4.2: extractors are stateless tasks)."""
+    meta = ray.get(meta_ref)  # url_norm -> (chain_id, page_seq)
+    out = {"chain_id": [], "page_seq": [], "kind": [], "url": []}
+
+    def emit(chain_id, page_seq, kind, url):
+        out["chain_id"].append(chain_id)
+        out["page_seq"].append(page_seq)
+        out["kind"].append(kind)
+        out["url"].append(url)
+
+    for norm, url, html in zip(
+        batch.column("url_norm").to_pylist(),
+        batch.column("url").to_pylist(),
+        batch.column("html").to_pylist(),
+    ):
+        chain_id, page_seq = meta[norm]
+        sel = Selector(html.decode("utf-8", errors="replace"))
+        emit(chain_id, page_seq, "visit", url)
+        for u in sorted(extract_listing_urls(sel, url)):
+            emit(chain_id, page_seq, "detail", u)
+        nxt = sel.css_get('a[data-test-id="next-page-button"]::attr(href)')
+        if nxt:
+            emit(chain_id, page_seq, "next", extract_next_page(sel, url, {}, 0))
+    return pa.table(
+        {
+            "chain_id": pa.array(out["chain_id"], pa.int64()),
+            "page_seq": pa.array(out["page_seq"], pa.int32()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "url": pa.array(out["url"], pa.string()),
+        }
+    )
+
+
+def extract_details_batch(batch: pa.Table, meta_ref, scraped_at: str) -> pa.Table:
+    """Stateless task stage over fetched detail pages: listing row or blocked
+    marker (M3-M15). Blocked rows kept (flag column) so per-chain counters
+    fall out of a tiny aggregation instead of a second pass."""
+    meta = ray.get(meta_ref)  # url_norm -> (chain_id, mode, place)
+    rows = []
+    flags = {"chain_id": [], "blocked": []}
+    for norm, url, html in zip(
+        batch.column("url_norm").to_pylist(),
+        batch.column("url").to_pylist(),
+        batch.column("html").to_pylist(),
+    ):
+        chain_id, mode, place = meta[norm]
+        row = extract_listing_row(
+            html.decode("utf-8", errors="replace"),
+            url, place, mode=mode, scraped_at=scraped_at,
+        )
+        blocked = row is None
+        flags["chain_id"].append(chain_id)
+        flags["blocked"].append(blocked)
+        rows.append(row if row is not None else {"url": url})
+    cols = {n: [r.get(n) for r in rows] for n in [f.name for f in LISTING_SCHEMA]}
+    t = pa.Table.from_pydict(cols, schema=LISTING_SCHEMA)
+    t = t.append_column("chain_id", pa.array(flags["chain_id"], pa.int64()))
+    t = t.append_column("blocked", pa.array(flags["blocked"], pa.bool_()))
+    return t
+
+
+class CrawlJob:
+    def __init__(self, config: CrawlConfig, chains: list[ChainState]):
+        self.cfg = config
+        self.chains = {c.chain_id: c for c in chains}
+        self.seen = SeenSet(config.num_seen_shards)
+        self.robots = RobotsTable.from_rows(config.robots_rows)
+        self.round = 0
+        self.lineage: list[dict] = []
+        self.counters: dict[str, int] = {
+            "fetched": 0, "deduped": 0, "deferred": 0, "robots_denied": 0,
+            "blocked": 0, "fetch_miss": 0, "listings": 0,
+        }
+        os.makedirs(config.job_dir, exist_ok=True)
+
+    # ---------------------------------------------------------------- utils
+    def _round_dir(self, r: int) -> str:
+        return os.path.join(self.cfg.job_dir, f"round={r:04d}")
+
+    def _lineage(self, stage: str, in_rows: int, out_rows: int, t0: float, **extra):
+        self.lineage.append(
+            {
+                "round": self.round, "stage": stage, "in_rows": in_rows,
+                "out_rows": out_rows, "wall_ms": int((time.time() - t0) * 1000),
+                **extra,
+            }
+        )
+
+    def _empty_requests(self) -> pa.Table:
+        return REQUEST_SCHEMA.empty_table()
+
+    # ---------------------------------------------------------------- round
+    def run(self, deferred: pa.Table | None = None) -> dict:
+        """Run to completion (or max_rounds); returns final counters. Pass
+        the deferred table from ``resume()`` to continue a checkpointed job."""
+        if deferred is None:
+            deferred = self._empty_requests()
+        while self.round < self.cfg.max_rounds:
+            live = [c for c in self.chains.values() if not c.done]
+            if not live and deferred.num_rows == 0:
+                break
+            self.round += 1
+            deferred = self._run_round(live, deferred)
+        return dict(self.counters)
+
+    def _run_round(self, live: list[ChainState], deferred: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        rdir = self._round_dir(self.round)
+        os.makedirs(rdir, exist_ok=True)
+
+        # -- 1. list-page fetch + candidate extraction ------------------
+        cand_schema = pa.schema(
+            [("chain_id", pa.int64()), ("page_seq", pa.int32()),
+             ("kind", pa.string()), ("url", pa.string())]
+        )
+        candidates = cand_schema.empty_table()
+        page_visits: dict[int, dict] = {
+            c.chain_id: {"found": 0, "new": 0, "has_next": False, "visited": False}
+            for c in live
+        }
+        if live:
+            t0 = time.time()
+            meta = {
+                canonicalize_url(c.next_url): (c.chain_id, c.page_no) for c in live
+            }
+            fetched = fetch_pages(cfg.index_dir, list(meta))
+            meta_ref = ray.put(meta)
+            refs = fetched.map_batches(
+                extract_candidates_batch,
+                fn_kwargs={"meta_ref": meta_ref},
+                batch_format="pyarrow", batch_size=32, num_cpus=1,
+            ).to_arrow_refs()
+            tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+            if tables:
+                candidates = pa.concat_tables(tables, promote_options="default")
+            cdf = candidates.to_pandas() if candidates.num_rows else pd.DataFrame(
+                columns=["chain_id", "page_seq", "kind", "url"]
+            )
+            for cid, grp in cdf.groupby("chain_id"):
+                pv = page_visits[int(cid)]
+                pv["visited"] = bool((grp["kind"] == "visit").any())
+                pv["found"] = int((grp["kind"] == "detail").sum())
+                nxt = grp[grp["kind"] == "next"]
+                if len(nxt):
+                    pv["has_next"] = True
+                    pv["next_url"] = nxt["url"].iloc[0]
+            self._lineage("list_extract", len(live), len(cdf), t0)
+
+        # -- 2. dedup claim (sharded seen-set actors) -------------------
+        t0 = time.time()
+        detail = candidates.filter(pc.equal(candidates["kind"], "detail")) \
+            if candidates.num_rows else candidates
+        novel_rows = []
+        if detail.num_rows:
+            urls = detail.column("url").to_pylist()
+            norms = [canonicalize_url(u) for u in urls]
+            novel = self.seen.check_and_insert(norms)
+            for (cid, pseq, url, norm, isnew) in zip(
+                detail.column("chain_id").to_pylist(),
+                detail.column("page_seq").to_pylist(),
+                urls, norms, novel,
+            ):
+                pv = page_visits.get(cid)
+                if pv is not None and isnew:
+                    pv["new"] += 1
+                if isnew:
+                    c = self.chains[cid]
+                    novel_rows.append(
+                        {
+                            "url": url, "url_norm": norm, "host": host_of(url),
+                            "chain_id": cid, "mode": c.mode, "place": c.place,
+                            "priority": 1, "page_seq": pseq,
+                        }
+                    )
+            self.counters["deduped"] += len(urls) - sum(novel)
+        novel_t = pa.Table.from_pylist(novel_rows, schema=REQUEST_SCHEMA)
+        self._lineage("dedup_claim", detail.num_rows, novel_t.num_rows, t0,
+                      deduped=detail.num_rows - novel_t.num_rows)
+
+        # -- 3. politeness schedule over novel ∪ deferred ---------------
+        t0 = time.time()
+        pending = pa.concat_tables([deferred, novel_t], promote_options="default")
+        if pending.num_rows:
+            delays = {
+                h: d for h in set(pending.column("host").to_pylist())
+                if (d := self.robots.crawl_delay(h)) is not None
+            } if cfg.obey_robots else {}
+            scheduled_ds = schedule_round(
+                ray.data.from_arrow(pending), cfg.budget_per_host, delays, cfg.base_delay
+            )
+            sched_t = pa.concat_tables(
+                [ray.get(r) for r in scheduled_ds.to_arrow_refs()],
+                promote_options="default",
+            )
+            mask = sched_t.column("scheduled")
+            scheduled = sched_t.filter(mask).drop_columns(["scheduled"]).select(
+                REQUEST_SCHEMA.names
+            )
+            new_deferred = sched_t.filter(pc.invert(mask)).drop_columns(
+                ["scheduled"]
+            ).select(REQUEST_SCHEMA.names)
+        else:
+            scheduled, new_deferred = self._empty_requests(), self._empty_requests()
+        self.counters["deferred"] += new_deferred.num_rows
+        self._lineage("politeness", pending.num_rows, scheduled.num_rows, t0,
+                      deferred=new_deferred.num_rows)
+
+        # -- 4. robots gate ---------------------------------------------
+        t0 = time.time()
+        if cfg.obey_robots and scheduled.num_rows:
+            allowed_mask = pa.array(
+                [self.robots.allowed(u) for u in scheduled.column("url").to_pylist()]
+            )
+            denied = scheduled.filter(pc.invert(allowed_mask))
+            scheduled = scheduled.filter(allowed_mask)
+            self.counters["robots_denied"] += denied.num_rows
+            self._lineage("robots", scheduled.num_rows + denied.num_rows,
+                          scheduled.num_rows, t0, robots_denied=denied.num_rows)
+
+        # -- 5. fetch-join + extraction ---------------------------------
+        t0 = time.time()
+        listings_delta = None
+        if scheduled.num_rows:
+            dmeta = {
+                n: (c, m, p)
+                for n, c, m, p in zip(
+                    scheduled.column("url_norm").to_pylist(),
+                    scheduled.column("chain_id").to_pylist(),
+                    scheduled.column("mode").to_pylist(),
+                    scheduled.column("place").to_pylist(),
+                )
+            }
+            dref = ray.put(dmeta)
+            fetched = fetch_pages(cfg.index_dir, list(dmeta))
+            ext = fetched.map_batches(
+                extract_details_batch,
+                fn_kwargs={"meta_ref": dref, "scraped_at": cfg.scraped_at},
+                batch_format="pyarrow", batch_size=64, num_cpus=1,
+            )
+            refs = ext.to_arrow_refs()
+            full = pa.concat_tables([ray.get(r) for r in refs], promote_options="default") \
+                if refs else None
+            if full is not None and full.num_rows:
+                blocked_n = pc.sum(full.column("blocked").cast(pa.int64())).as_py() or 0
+                self.counters["blocked"] += blocked_n
+                self.counters["fetched"] += full.num_rows
+                self.counters["fetch_miss"] += scheduled.num_rows - full.num_rows
+                listings_delta = full.filter(
+                    pc.invert(full.column("blocked"))
+                ).drop_columns(["blocked"])
+                self.counters["listings"] += listings_delta.num_rows
+            else:
+                self.counters["fetch_miss"] += scheduled.num_rows
+            self._lineage(
+                "fetch_extract", scheduled.num_rows,
+                0 if listings_delta is None else listings_delta.num_rows, t0,
+                fetched=0 if full is None else full.num_rows,
+            )
+
+        # -- 6. stop-condition fold (reference control flow) ------------
+        for c in live:
+            pv = page_visits[c.chain_id]
+            if not pv["visited"]:
+                # list page absent from the pages table → the live crawl's
+                # request would 404 → chain ends
+                c.done = True
+                continue
+            found, new = pv["found"], pv["new"]
+            if found == 0:
+                c.empty_count += 1
+                if c.empty_count >= 3:
+                    c.done = True
+                    continue
+            else:
+                c.empty_count = 0
+            if c.mode == "sold":
+                if new == 0 and found > 0:
+                    c.done = True
+                    continue
+            else:
+                if new == 0:
+                    c.no_new_count += 1
+                    if c.no_new_count >= 3:
+                        c.done = True
+                        continue
+                else:
+                    c.no_new_count = 0
+            if cfg.max_pages is not None and c.page_no >= cfg.max_pages:
+                c.done = True
+                continue
+            # pagination: button href, else manual construction (M2)
+            if pv.get("has_next"):
+                c.next_url = pv["next_url"]
+            else:
+                params = search_params_of(c.next_url)
+                params.pop("page", None)
+                params["page"] = str(c.page_no + 1)
+                from urllib.parse import urlencode, urlsplit, urlunsplit
+
+                s = urlsplit(c.next_url)
+                c.next_url = urlunsplit((s.scheme, s.netloc, s.path, urlencode(params), ""))
+            c.page_no += 1
+
+        # -- 7. checkpoint commit ---------------------------------------
+        self._commit(rdir, new_deferred, listings_delta, page_visits)
+        return new_deferred
+
+    # ------------------------------------------------------------ commit
+    def _commit(self, rdir, deferred, listings_delta, page_visits):
+        pq.write_table(deferred, os.path.join(rdir, "deferred.parquet"))
+        if listings_delta is not None:
+            pq.write_table(listings_delta, os.path.join(rdir, "listings.parquet"))
+        self.seen.snapshot(os.path.join(rdir, "seen"))
+        with open(os.path.join(rdir, "chains.json"), "w") as fh:
+            json.dump([asdict(c) for c in self.chains.values()], fh)
+        with open(os.path.join(rdir, "counters.json"), "w") as fh:
+            json.dump(
+                {
+                    "round": self.round, "counters": self.counters,
+                    "page_visits": {
+                        str(k): {kk: vv for kk, vv in v.items() if kk != "next_url"}
+                        for k, v in page_visits.items()
+                    },
+                },
+                fh,
+            )
+        with open(os.path.join(rdir, "lineage.jsonl"), "w") as fh:
+            for rec in self.lineage:
+                if rec["round"] == self.round:
+                    fh.write(json.dumps(rec) + "\n")
+        with open(os.path.join(rdir, "_COMMITTED"), "w") as fh:
+            fh.write("ok")
+
+    # ------------------------------------------------------------ resume
+    @classmethod
+    def resume(cls, config: CrawlConfig) -> tuple["CrawlJob", pa.Table]:
+        """Restore from the latest _COMMITTED round of config.job_dir."""
+        rounds = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(config.job_dir)
+            if d.startswith("round=")
+            and os.path.exists(os.path.join(config.job_dir, d, "_COMMITTED"))
+        )
+        if not rounds:
+            raise FileNotFoundError("no committed round to resume from")
+        last = rounds[-1]
+        rdir = os.path.join(config.job_dir, f"round={last:04d}")
+        with open(os.path.join(rdir, "chains.json")) as fh:
+            chains = [ChainState(**c) for c in json.load(fh)]
+        job = cls(config, chains)
+        job.round = last
+        job.seen.restore(os.path.join(rdir, "seen"))
+        with open(os.path.join(rdir, "counters.json")) as fh:
+            job.counters = json.load(fh)["counters"]
+        deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))
+        return job, deferred
+
+def chains_from_corpus(corpus_chains) -> list[ChainState]:
+    """Seed ChainStates from synth corpus Chain objects (S1/S10)."""
+    from ..extraction.listpage import build_search_url
+
+    return [
+        ChainState(
+            chain_id=c.chain_id, host=c.host, place=c.place,
+            availability=c.availability,
+            next_url=build_search_url(c.host, c.place, c.availability),
+        )
+        for c in corpus_chains
+    ]
+
+
+def crawl_listings_dataset(job_dir: str) -> ray.data.Dataset:
+    """Union of all committed per-round listing deltas."""
+    paths = sorted(
+        os.path.join(job_dir, d, "listings.parquet")
+        for d in os.listdir(job_dir)
+        if d.startswith("round=")
+        and os.path.exists(os.path.join(job_dir, d, "_COMMITTED"))
+        and os.path.exists(os.path.join(job_dir, d, "listings.parquet"))
+    )
+    return ray.data.read_parquet(paths)

@@ -1,0 +1,243 @@
+"""Sharded URL-seen set: cuckoo-filter accelerator over an exact store.
+
+The reference keeps per-run ``processed_urls`` Python sets plus DB-loaded
+URL sets (funda_spider.py:35,44-47,118-120) and relies on exact string
+membership. The rebuild shards that state across an actor pool keyed by
+``crc32(url_norm) % num_shards`` (SURVEY.md §2.4 D1/D2):
+
+- a **cuckoo filter** (16-bit fingerprints, 4-way buckets) answers the hot
+  path: "definitely new" needs no exact lookup — at crawl workloads the
+  overwhelming majority of candidates are novel or duplicates, and the
+  filter short-circuits the novel ones;
+- an **exact set** stays authoritative (north_rule requires the final seen
+  *membership set* to match the reference exactly, so false positives must
+  be double-checked). In this build it is an in-memory set per shard; at
+  10^10 URLs each of ~512 shards holds ~20 M keys — the exact tier would
+  page to per-shard on-disk hash files, while the ~2 bytes/key filter
+  (2.5 GB/shard-pool total) stays resident.
+
+Claim semantics: ``check_and_insert`` is atomic per shard (actor serializes
+calls), mirroring the reference's claim-before-request
+(funda_spider.py:149-150). Membership is order-independent, so concurrent
+batches from many tasks yield a deterministic final set.
+
+Snapshots write the exact url list per shard to Parquet — the replayable
+part of the round checkpoint (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_EMPTY = 0
+_SLOTS = 4
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """16-bit-fingerprint, 4-slot-bucket cuckoo filter (Fan et al., CoNEXT'14
+    semantics; implemented from the public paper description)."""
+
+    def __init__(self, capacity: int, seed: int = 0x5EED):
+        n_buckets = 1
+        while n_buckets * _SLOTS < capacity / 0.9:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
+        self.seed = seed
+        self.count = 0
+        self._rng_state = np.uint64(0x9E3779B97F4A7C15)
+
+    def _fp_and_index(self, key: bytes) -> tuple[int, int]:
+        h = zlib.crc32(key, self.seed)
+        fp = (h & 0xFFFF) or 1  # fingerprint 0 means empty slot
+        i1 = (h >> 16) % self.n_buckets
+        return fp, i1
+
+    def _alt_index(self, i: int, fp: int) -> int:
+        # partial-key cuckoo: alt = i XOR hash(fp)
+        return (i ^ zlib.crc32(fp.to_bytes(2, "little"), 0x7777)) % self.n_buckets
+
+    def contains(self, key: bytes) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        if (self.table[i1] == fp).any():
+            return True
+        i2 = self._alt_index(i1, fp)
+        return bool((self.table[i2] == fp).any())
+
+    def insert(self, key: bytes) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        for i in (i1, self._alt_index(i1, fp)):
+            row = self.table[i]
+            empty = np.flatnonzero(row == _EMPTY)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict: deterministic pseudo-random walk (xorshift, no wall clock)
+        i = i1
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            self._rng_state ^= self._rng_state << np.uint64(13)
+            self._rng_state ^= self._rng_state >> np.uint64(7)
+            self._rng_state ^= self._rng_state << np.uint64(17)
+            slot = int(self._rng_state) % _SLOTS
+            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            i = self._alt_index(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == _EMPTY)
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False  # table full — callers treat as "consult exact store"
+
+
+class SeenShardActor:
+    """One shard of the URL-seen set. Instantiate via ray.remote(...)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[str] = set()
+
+    def check_and_insert(self, urls: list[str]) -> list[bool]:
+        """True = novel (now claimed). Atomic within the actor."""
+        out = []
+        for u in urls:
+            key = u.encode("utf-8")
+            if self.filter.contains(key):
+                novel = u not in self.exact  # filter hit → exact tier decides
+            else:
+                novel = True  # filter miss → definitely new, no exact lookup
+            if novel:
+                self.exact.add(u)
+                if not self.filter.insert(key):
+                    pass  # filter full: exact tier still authoritative
+            out.append(novel)
+        return out
+
+    def contains(self, urls: list[str]) -> list[bool]:
+        out = []
+        for u in urls:
+            key = u.encode("utf-8")
+            out.append(u in self.exact if self.filter.contains(key) else False)
+        return out
+
+    def preload(self, urls: list[str]) -> int:
+        """Seed from a snapshot / DB-style seen source (S7)."""
+        for u in urls:
+            self.exact.add(u)
+            self.filter.insert(u.encode("utf-8"))
+        return len(self.exact)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def snapshot(self, path: str) -> int:
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"url": sorted(self.exact)}), tmp)
+        os.replace(tmp, path)
+        return len(self.exact)
+
+    def restore(self, path: str) -> int:
+        urls = pq.read_table(path, columns=["url"]).column("url").to_pylist()
+        self.filter = CuckooFilter(max(1 << 20, int(len(urls) / 0.8) + 1024))
+        self.exact = set()
+        return self.preload(urls)
+
+
+class SeenSet:
+    """Driver-side facade over the shard actor pool."""
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20):
+        import ray
+
+        self.num_shards = num_shards
+        Actor = ray.remote(num_cpus=0.25)(SeenShardActor)
+        self.shards = [
+            Actor.remote(i, capacity_per_shard) for i in range(num_shards)
+        ]
+
+    def _route(self, urls: list[str]) -> dict[int, list[int]]:
+        by: dict[int, list[int]] = {}
+        for idx, u in enumerate(urls):
+            s = zlib.crc32(u.encode("utf-8")) % self.num_shards
+            by.setdefault(s, []).append(idx)
+        return by
+
+    def check_and_insert(self, urls: list[str]) -> list[bool]:
+        import ray
+
+        out = [False] * len(urls)
+        by = self._route(urls)
+        futs = {
+            s: self.shards[s].check_and_insert.remote([urls[i] for i in idxs])
+            for s, idxs in by.items()
+        }
+        for s, idxs in by.items():
+            for i, novel in zip(idxs, ray.get(futs[s])):
+                out[i] = novel
+        return out
+
+    def contains(self, urls: list[str]) -> list[bool]:
+        import ray
+
+        out = [False] * len(urls)
+        by = self._route(urls)
+        futs = {
+            s: self.shards[s].contains.remote([urls[i] for i in idxs])
+            for s, idxs in by.items()
+        }
+        for s, idxs in by.items():
+            for i, v in zip(idxs, ray.get(futs[s])):
+                out[i] = v
+        return out
+
+    def snapshot(self, dir_path: str) -> int:
+        import ray
+
+        os.makedirs(dir_path, exist_ok=True)
+        return sum(
+            ray.get(
+                [
+                    sh.snapshot.remote(os.path.join(dir_path, f"seen-shard-{i}.parquet"))
+                    for i, sh in enumerate(self.shards)
+                ]
+            )
+        )
+
+    def restore(self, dir_path: str) -> int:
+        import ray
+
+        return sum(
+            ray.get(
+                [
+                    sh.restore.remote(os.path.join(dir_path, f"seen-shard-{i}.parquet"))
+                    for i, sh in enumerate(self.shards)
+                ]
+            )
+        )
+
+    def total(self) -> int:
+        import ray
+
+        return sum(ray.get([sh.size.remote() for sh in self.shards]))
+
+    def all_urls(self) -> set[str]:
+        """Test/checkpoint helper — materializes the full membership set.
+        Driver-side only; never used in the hot path."""
+        import ray
+
+        out: set[str] = set()
+        for i, sh in enumerate(self.shards):
+            tmp = f"/tmp/fr_seen_dump_{os.getpid()}_{i}.parquet"
+            ray.get(sh.snapshot.remote(tmp))
+            out.update(pq.read_table(tmp).column("url").to_pylist())
+            os.remove(tmp)
+        return out

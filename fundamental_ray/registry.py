@@ -66,3 +66,10 @@ def _populate() -> None:
     # crawl family — synthetic pages input, rows-only driver check
     register("crawl_extract_listings_active", _crawl_extract("active"))
     register("crawl_extract_listings_sold", _crawl_extract("sold"))
+
+    from .pipelines import crawl_run as C
+
+    register("crawl_frontier_page_visits", C.crawl_page_visits)
+    register("crawl_frontier_seen_set", C.crawl_seen_set)
+    register("crawl_frontier_counters", C.crawl_counters)
+    register("crawl_frontier_listings", C.crawl_listings)

@@ -1,0 +1,195 @@
+"""Crawl-semantics conformance (SURVEY.md §5.2/§5.4): the Ray frontier must
+reproduce the reference spider's page-visit sequence, per-page counters and
+final URL-seen membership (funda_spider.py:84-186 control flow), stay
+invariant under politeness budgets, enforce robots, and resume exactly from
+the last committed checkpoint."""
+
+import json
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from fundamental_ray.crawl.fetchstore import build_fetch_index
+from fundamental_ray.crawl.frontier import (
+    CrawlConfig,
+    CrawlJob,
+    chains_from_corpus,
+    crawl_listings_dataset,
+)
+from fundamental_ray.synth.corpus import make_chains
+from fundamental_ray.synth.materialize import SCRAPED_AT, materialize_corpus
+
+N_CHAINS = 4
+
+
+@pytest.fixture(scope="session")
+def crawl_env(ray_session):
+    corpus = materialize_corpus("sf0.001", n_chains=N_CHAINS)
+    idx = build_fetch_index(
+        f"{corpus}/pages.parquet", "/tmp/fr_test_idx", num_buckets=8
+    )
+    return corpus, idx
+
+
+def _run(idx, job_dir, **kw):
+    shutil.rmtree(job_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir=job_dir, num_seen_shards=4,
+        scraped_at=SCRAPED_AT, **kw,
+    )
+    job = CrawlJob(cfg, chains_from_corpus(make_chains(N_CHAINS, n_hosts=4)))
+    counters = job.run()
+    return job, counters
+
+
+def _golden(corpus):
+    con = duckdb.connect()
+    seen = {
+        u for (u,) in con.sql(
+            f"select url from '{corpus}/golden_seen_set.parquet'"
+        ).fetchall()
+    }
+    visits = [
+        tuple(r)
+        for r in con.sql(
+            "select chain_id, page_seq, found, new, skipped from "
+            f"'{corpus}/golden_frontier_order.parquet' order by 1, 2"
+        ).fetchall()
+    ]
+    return con, seen, visits
+
+
+def _got_visits(job_dir):
+    out = []
+    for d in sorted(os.listdir(job_dir)):
+        if not d.startswith("round="):
+            continue
+        with open(os.path.join(job_dir, d, "counters.json")) as fh:
+            j = json.load(fh)
+        for cid, pv in j["page_visits"].items():
+            if pv["visited"]:
+                out.append(
+                    (int(cid), j["round"], pv["found"], pv["new"], pv["found"] - pv["new"])
+                )
+    return sorted(out)
+
+
+def test_crawl_matches_reference_simulation(crawl_env):
+    corpus, idx = crawl_env
+    job, counters = _run(idx, "/tmp/fr_test_job_full", budget_per_host=1000)
+    con, g_seen, g_visits = _golden(corpus)
+
+    assert job.seen.all_urls() == g_seen, "final URL-seen membership must match"
+    assert _got_visits("/tmp/fr_test_job_full") == g_visits, "page-visit sequence"
+
+    # listings delta union must be byte-identical to the analytic goldens
+    ld = crawl_listings_dataset("/tmp/fr_test_job_full").to_pandas()
+    gl = con.sql(f"select * from '{corpus}/golden_listings.parquet'").df()
+    assert len(ld) == len(gl)
+    merged = gl.merge(ld, on="url", suffixes=("_g", "_x"))
+    assert len(merged) == len(gl)
+    for f in [
+        "street", "neighborhood", "property_type", "city", "postal_code",
+        "price", "year_built", "living_area", "num_rooms", "status",
+        "listing_date", "selling_date", "energy_label", "scraped_at",
+    ]:
+        a, b = merged[f + "_g"], merged[f + "_x"]
+        neq = ~((a == b) | (a.isna() & b.isna()))
+        assert not neq.any(), (f, merged.loc[neq, ["url", f + "_g", f + "_x"]].head())
+
+    assert counters["blocked"] > 0  # family F pages were claimed then dropped
+    assert counters["deduped"] > 0  # pagination overlap was deduped
+
+
+def test_politeness_budget_invariance(crawl_env):
+    """Throttling defers fetches across rounds but never changes the final
+    membership or listings (reference: delay changes timing, not results)."""
+    corpus, idx = crawl_env
+    _, g_seen, _ = _golden(corpus)
+    job, counters = _run(idx, "/tmp/fr_test_job_b5", budget_per_host=5)
+    assert counters["deferred"] > 0
+    assert job.seen.all_urls() == g_seen
+    full = crawl_listings_dataset("/tmp/fr_test_job_full").to_pandas()
+    got = crawl_listings_dataset("/tmp/fr_test_job_b5").to_pandas()
+    assert set(got["url"]) == set(full["url"])
+
+
+def test_robots_enforcement(crawl_env):
+    corpus, idx = crawl_env
+    rows = [("www.funda.nl", "User-agent: *\nDisallow: /detail/\n")]
+    job, counters = _run(
+        idx, "/tmp/fr_test_job_robots", budget_per_host=1000,
+        obey_robots=True, robots_rows=rows,
+    )
+    assert counters["robots_denied"] > 0
+    ld = crawl_listings_dataset("/tmp/fr_test_job_robots").to_pandas()
+    assert not ld["url"].str.contains("www.funda.nl").any()
+    # denied URLs are still *claimed* (seen) — they were deduped before the
+    # gate, mirroring claim-before-request
+    assert any("www.funda.nl" in u for u in job.seen.all_urls())
+
+
+def test_checkpoint_resume_exact(crawl_env):
+    """Kill after N rounds, resume → identical final state to an
+    uninterrupted run (north_rule resumability)."""
+    corpus, idx = crawl_env
+    _, g_seen, g_visits = _golden(corpus)
+    shutil.rmtree("/tmp/fr_test_job_resume", ignore_errors=True)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir="/tmp/fr_test_job_resume", num_seen_shards=4,
+        scraped_at=SCRAPED_AT, budget_per_host=5, max_rounds=3,
+    )
+    job = CrawlJob(cfg, chains_from_corpus(make_chains(N_CHAINS, n_hosts=4)))
+    job.run()  # stops "mid-crawl" at round 3
+    assert job.round == 3
+
+    cfg2 = CrawlConfig(
+        index_dir=idx, job_dir="/tmp/fr_test_job_resume", num_seen_shards=4,
+        scraped_at=SCRAPED_AT, budget_per_host=5, max_rounds=64,
+    )
+    job2, deferred = CrawlJob.resume(cfg2)
+    assert job2.round == 3
+    job2.run(deferred)
+
+    assert job2.seen.all_urls() == g_seen
+    assert _got_visits("/tmp/fr_test_job_resume") == g_visits
+    full = crawl_listings_dataset("/tmp/fr_test_job_full").to_pandas()
+    got = crawl_listings_dataset("/tmp/fr_test_job_resume").to_pandas()
+    assert set(got["url"]) == set(full["url"])
+
+
+def test_cuckoo_filter_and_shards(ray_session):
+    from fundamental_ray.crawl.seen import CuckooFilter, SeenSet
+
+    f = CuckooFilter(10_000)
+    keys = [f"https://h/x/{i}".encode() for i in range(5_000)]
+    for k in keys:
+        assert f.insert(k)
+    assert all(f.contains(k) for k in keys)  # no false negatives, ever
+    fp = sum(f.contains(f"https://h/y/{i}".encode()) for i in range(5_000))
+    assert fp < 50  # ~16-bit fingerprints → tiny false-positive rate
+
+    s = SeenSet(num_shards=3)
+    urls = [f"https://h/p/{i}" for i in range(1000)]
+    first = s.check_and_insert(urls)
+    assert all(first)
+    second = s.check_and_insert(urls)
+    assert not any(second)
+    mixed = s.check_and_insert(["https://h/p/1", "https://h/p/new"])
+    assert mixed == [False, True]
+    assert s.total() == 1001
+
+
+def test_robots_parsing():
+    from fundamental_ray.crawl.robots import parse_robots
+
+    r = parse_robots(
+        "User-agent: googlebot\nDisallow: /x\n\n"
+        "User-agent: *\nDisallow: /detail/\nAllow: /detail/open/\nCrawl-delay: 10\n"
+    )
+    assert not r.allowed("/detail/koop/a/")
+    assert r.allowed("/detail/open/a")  # longest-prefix Allow wins
+    assert r.allowed("/x")  # other-agent group ignored
+    assert r.crawl_delay == 10.0
