@@ -21,6 +21,15 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def r2(x, nd: int = 2):
+    """Half-away-from-zero rounding — matches DuckDB/SQL ROUND (numpy/python
+    round are half-to-even, which diverges on exact .5 ties)."""
+    import numpy as np
+
+    m = 10**nd
+    return np.sign(x) * np.floor(np.abs(np.asarray(x, dtype=np.float64)) * m + 0.5) / m
+
+
 # --------------------------------------------------------------------------
 def weighted_status_stats(sf_dir: str) -> pd.DataFrame:
     """A1 (database.go:202-287): per-status partial aggregates then a
@@ -43,7 +52,7 @@ def weighted_status_stats(sf_dir: str) -> pd.DataFrame:
         [
             {
                 "total_properties": total,
-                "average_price": round(weighted, 2),
+                "average_price": float(r2(weighted)),
                 "total_active": n_o,
                 "total_sold": n_f,
             }
@@ -97,8 +106,8 @@ def district_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    out["average_price"] = out["average_price"].round(2)
-    out["avg_price_per_sqm"] = out["avg_price_per_sqm"].round(2)
+    out["average_price"] = r2(out["average_price"])
+    out["avg_price_per_sqm"] = r2(out["avg_price_per_sqm"])
     return out
 
 
@@ -126,7 +135,7 @@ def exact_median(sf_dir: str) -> pd.DataFrame:
             [
                 {
                     "o_orderpriority": g["o_orderpriority"].iloc[0],
-                    "median_price": round(float(np.median(g["o_totalprice"].to_numpy())), 2),
+                    "median_price": float(r2(np.median(g["o_totalprice"].to_numpy()))),
                     "n": len(g),
                 }
             ]
@@ -240,7 +249,7 @@ def broadcast_join_enrich(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
         .to_pandas()
     )
-    out["avg_acctbal"] = out["avg_acctbal"].round(2)
+    out["avg_acctbal"] = r2(out["avg_acctbal"])
     return out
 
 
@@ -251,4 +260,370 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def monthly_timeseries(sf_dir: str) -> pd.DataFrame:
+    """A8 (PropertyCharts.tsx:183-233): month-bucketed counts/means/medians
+    over a derived YYYY-MM column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return pa.table({"month": month, "o_totalprice": t["o_totalprice"]})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = g["o_totalprice"].to_numpy()
+        return pd.DataFrame(
+            [
+                {
+                    "month": g["month"].iloc[0],
+                    "n": len(v),
+                    "avg_price": float(r2(v.mean())),
+                    "median_price": float(r2(np.median(v))),
+                }
+            ]
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("month")
+        .map_groups(agg, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+MONTHLY_TIMESERIES_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*)::BIGINT AS n,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       ROUND(median(o_totalprice), 2) AS median_price
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def rooms_impact(sf_dir: str) -> pd.DataFrame:
+    """A10 (PropertyCharts.tsx:244-263): small-cardinality group stats plus a
+    lag-difference 'premium' between consecutive groups — group aggregate in
+    Ray, lag fold on the (tiny) sorted result."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", ["l_linenumber", "l_extendedprice"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["l_extendedprice"].to_numpy()
+        return pd.DataFrame(
+            [
+                {
+                    "l_linenumber": int(g["l_linenumber"].iloc[0]),
+                    "n": len(v),
+                    "avg_price": float(v.mean()),
+                    "median_price": float(np.median(v)),
+                }
+            ]
+        )
+
+    pdf = (
+        ds.groupby("l_linenumber")
+        .map_groups(agg, batch_format="pandas")
+        .to_pandas()
+        .sort_values("l_linenumber")
+        .reset_index(drop=True)
+    )
+    prev = pdf["avg_price"].shift(1)
+    pdf["premium_pct"] = r2((pdf["avg_price"] - prev) / prev * 100)
+    pdf["avg_price"] = r2(pdf["avg_price"])
+    pdf["median_price"] = r2(pdf["median_price"])
+    return pdf
+
+
+ROOMS_IMPACT_SQL = """
+WITH g AS (
+  SELECT l_linenumber, COUNT(*)::BIGINT AS n, AVG(l_extendedprice) AS avg_price,
+         median(l_extendedprice) AS median_price
+  FROM lineitem GROUP BY 1
+)
+SELECT l_linenumber, n, ROUND(avg_price, 2) AS avg_price,
+       ROUND(median_price, 2) AS median_price,
+       ROUND((avg_price - LAG(avg_price) OVER (ORDER BY l_linenumber))
+             / LAG(avg_price) OVER (ORDER BY l_linenumber) * 100, 2) AS premium_pct
+FROM g ORDER BY l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
+def ols_regression(sf_dir: str) -> pd.DataFrame:
+    """A11 (PropertyCharts.tsx:266-284): OLS slope/intercept via per-batch
+    partial sums (Σx, Σy, Σxx, Σxy, n) + driver combine — no shuffle at all."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t["l_quantity"].to_numpy().astype(np.float64)
+        y = t["l_extendedprice"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            [{"n": len(x), "sx": x.sum(), "sy": y.sum(),
+              "sxx": (x * x).sum(), "sxy": (x * y).sum()}]
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy, sxx, sxy = p["n"], p["sx"], p["sy"], p["sxx"], p["sxy"]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        [{"slope": float(r2(slope, 4)), "intercept": float(r2(intercept)),
+          "n": int(n)}]
+    )
+
+
+OLS_REGRESSION_SQL = """
+SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       COUNT(*)::BIGINT AS n
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+def minmax_profile(sf_dir: str) -> pd.DataFrame:
+    """A13 (PropertyCharts.tsx:64-84): range profiling to initialize filters."""
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+    row = ds.aggregate(
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Min("o_orderdate", alias_name="min_date"),
+        Max("o_orderdate", alias_name="max_date"),
+    )
+    return pd.DataFrame([row])
+
+
+MINMAX_PROFILE_SQL = """
+SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+def distinct_pairs(sf_dir: str) -> pd.DataFrame:
+    """A6 (district.go:61-90): SELECT DISTINCT two columns — groupby-first."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    out = (
+        ds.groupby(["c_mktsegment", "c_nationkey"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    return out[["c_mktsegment", "c_nationkey"]]
+
+
+DISTINCT_PAIRS_SQL = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+def window_prev_order(sf_dir: str) -> pd.DataFrame:
+    """J7 (database.go:1420-1438): per-key previous observation (lag) —
+    groupby(key).map_groups with an explicit deterministic sort."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        g["prev_totalprice"] = g["o_totalprice"].shift(1)
+        return g[["o_custkey", "o_orderkey", "prev_totalprice"]]
+
+    return ds.groupby("o_custkey").map_groups(lag, batch_format="pandas").to_pandas()
+
+
+WINDOW_PREV_ORDER_SQL = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS prev_totalprice
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+def latest_wins_merge(sf_dir: str) -> pd.DataFrame:
+    """D3/S6 (database.go:766-915): latest-wins per key — the property-store
+    compaction shape expressed over orders (latest order per customer)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
+        return g.head(1)
+
+    return ds.groupby("o_custkey").map_groups(latest, batch_format="pandas").to_pandas()
+
+
+LATEST_WINS_MERGE_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+  ) AS rn FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped op (SURVEY.md §2.11): gap-based sessionization of the
+    events log — partition by key, sort by ts within the group, stateful fold
+    in pandas (Ray Data has no event-time windows; the ordering assumption is
+    per-user ts order, deterministic tiebreak event_id)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        g["session_no"] = gap.cumsum().astype("int64") + 1
+        out = (
+            g.groupby("session_no")
+            .agg(
+                n_events=("event_id", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                total_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["total_value"] = r2(out["total_value"])
+        return out
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e
+)
+SELECT user_id, session_no::BIGINT AS session_no, COUNT(*)::BIGINT AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def events_tumbling_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling event-time window: per (user, hour) aggregate via a derived
+    bucket column + groupby — the §2.11 micro-batch analogue."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"], "hour": hour, "value": t["value"]})
+
+    out = (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = r2(out["total_value"])
+    return out
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def scalar_string_funcs(sf_dir: str) -> pd.DataFrame:
+    """§2.10 string family (M16/M18 analogues): lower/replace/substr/length
+    as vectorized pyarrow kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "brand_norm": pc.replace_substring(
+                    pc.utf8_lower(t["p_brand"]), pattern="#", replacement="-"
+                ),
+                "name_prefix": pc.utf8_slice_codeunits(t["p_name"], 0, 4),
+                "name_len": pc.utf8_length(t["p_name"]).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow").to_pandas()
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey, replace(lower(p_brand), '#', '-') AS brand_norm,
+       substr(p_name, 1, 4) AS name_prefix, length(p_name)::BIGINT AS name_len
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+def scalar_date_funcs(sf_dir: str) -> pd.DataFrame:
+    """§2.10 date family (M13/julianday analogues): year/month extraction,
+    YYYY-MM formatting, day deltas vs a fixed epoch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    epoch = pd.Timestamp("1995-01-01")
+
+    def proj(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        days = pc.cast(
+            pc.divide(pc.cast(pc.subtract(d, pa.scalar(epoch, d.type)), pa.int64()),
+                      86_400_000_000),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "order_year": pc.year(d).cast(pa.int64()),
+                "order_month": pc.month(d).cast(pa.int64()),
+                "order_ym": pc.strftime(d, format="%Y-%m"),
+                "days_since_epoch": days,
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow").to_pandas()
+
+
+SCALAR_DATE_SQL = """
+SELECT o_orderkey, date_part('year', o_orderdate)::BIGINT AS order_year,
+       date_part('month', o_orderdate)::BIGINT AS order_month,
+       strftime(o_orderdate, '%Y-%m') AS order_ym,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)::BIGINT AS days_since_epoch
+FROM orders
 """

@@ -62,6 +62,17 @@ def _populate() -> None:
     register("sort_recent_topk", A.recent_topk, A.RECENT_TOPK_SQL)
     register("join_anti_customers", A.anti_join_customers, A.ANTI_JOIN_CUSTOMERS_SQL)
     register("join_broadcast_enrich", A.broadcast_join_enrich, A.BROADCAST_JOIN_ENRICH_SQL)
+    register("agg_monthly_timeseries", A.monthly_timeseries, A.MONTHLY_TIMESERIES_SQL)
+    register("agg_rooms_impact", A.rooms_impact, A.ROOMS_IMPACT_SQL)
+    register("agg_ols_regression", A.ols_regression, A.OLS_REGRESSION_SQL)
+    register("agg_minmax_profile", A.minmax_profile, A.MINMAX_PROFILE_SQL)
+    register("agg_distinct_pairs", A.distinct_pairs, A.DISTINCT_PAIRS_SQL)
+    register("window_prev_order", A.window_prev_order, A.WINDOW_PREV_ORDER_SQL)
+    register("merge_latest_wins", A.latest_wins_merge, A.LATEST_WINS_MERGE_SQL)
+    register("events_sessionize", A.events_sessionize, A.EVENTS_SESSIONIZE_SQL)
+    register("events_tumbling_window", A.events_tumbling_window, A.EVENTS_TUMBLING_SQL)
+    register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
+    register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
 
     # crawl family — synthetic pages input, rows-only driver check
     register("crawl_extract_listings_active", _crawl_extract("active"))

@@ -1,0 +1,182 @@
+"""Property-store state machine vs an imperative oracle transcribed from the
+reference's upsert transaction (database.go:766-915), mark-inactive
+(database.go:1252-1323) and previous-price (database.go:1420-1438)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+import ray.data
+
+from fundamental_ray.store.merge import (
+    history_delta,
+    mark_inactive,
+    merge_round,
+    previous_price,
+)
+
+FIELDS = [
+    "url", "street", "neighborhood", "property_type", "city", "postal_code",
+    "price", "year_built", "living_area", "num_rooms", "status",
+    "listing_date", "selling_date", "energy_label", "scraped_at",
+]
+
+
+class OracleStore:
+    """Row-at-a-time re-statement of the Go upsert semantics."""
+
+    def __init__(self):
+        self.rows: dict[str, dict] = {}
+        self.history: list[dict] = []
+
+    def insert_properties(self, props: list[dict], round_no: int):
+        for p in props:
+            p = dict(p)
+            la = p.get("living_area")
+            p["living_area"] = la if la is not None and la > 0 else None
+            cur = self.rows.get(p["url"])
+            if cur is not None:
+                rc = cur["republish_count"]
+                if cur["status"] == "inactive" and p.get("status") == "active":
+                    p["status"] = "republished"
+                    rc += 1
+                p["republish_count"] = rc
+                p["first_seen_round"] = cur["first_seen_round"]
+            else:
+                p["republish_count"] = 0
+                p["first_seen_round"] = round_no
+            p["last_updated_round"] = round_no
+            self.rows[p["url"]] = {k: p.get(k) for k in FIELDS} | {
+                k: p[k] for k in ("republish_count", "first_seen_round", "last_updated_round")
+            }
+            self.history.append(
+                {
+                    "url": p["url"], "status": p["status"], "price": p.get("price"),
+                    "listing_date": p.get("listing_date"), "round": round_no,
+                }
+            )
+
+    def mark_inactive(self, city: str, active_urls: set[str], round_no: int):
+        for r in self.rows.values():
+            if (
+                (r.get("city") or "").lower() == city.lower()
+                and r["status"] == "active"
+                and r["url"] not in active_urls
+            ):
+                r["status"] = "inactive"
+                r["last_updated_round"] = round_no
+
+    def previous_price(self, url: str):
+        h = [x for x in self.history if x["url"] == url]
+        h.sort(key=lambda x: (x["listing_date"] or "", x["round"]), reverse=True)
+        return h[1]["price"] if len(h) > 1 else None
+
+
+def _row(url, status="active", price=100, city="Amsterdam", **kw):
+    base = dict.fromkeys(FIELDS)
+    base.update(url=url, status=status, price=price, city=city,
+                listing_date="2024-01-01", scraped_at="2024-01-01T00:00:00")
+    base.update(kw)
+    return base
+
+
+def _ray_store_df(store):
+    df = store.to_pandas().sort_values("url").reset_index(drop=True)
+    return df
+
+
+def _check_equal(store, oracle: OracleStore):
+    got = _ray_store_df(store)
+    want = (
+        pd.DataFrame(sorted(oracle.rows.values(), key=lambda r: r["url"]))
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in want.columns:
+        a, b = got[col], want[col]
+        neq = ~((a == b) | (a.isna() & pd.Series(b).isna()))
+        assert not neq.any(), (col, got[neq][["url", col]], want[neq][["url", col]])
+
+
+def test_state_machine_scenario(ray_session):
+    """FIXTURES.md §5: insert → inactive → republished → sold, with history
+    and previous-price lookups along the way."""
+    oracle = OracleStore()
+    store = None
+    history = []
+
+    # round 1: X and Y inserted active
+    d1 = [_row("X", price=100), _row("Y", price=200)]
+    store = merge_round(store, ray.data.from_items(d1), 1).materialize()
+    oracle.insert_properties(d1, 1)
+    history.append(history_delta(store, 1).to_pandas())
+    _check_equal(store, oracle)
+    df = _ray_store_df(store)
+    assert set(df["status"]) == {"active"} and set(df["republish_count"]) == {0}
+
+    # round 2: refresh — X absent from the active URL set → inactive
+    store = mark_inactive(store, "Amsterdam", {"Y"}, 2).materialize()
+    oracle.mark_inactive("Amsterdam", {"Y"}, 2)
+    _check_equal(store, oracle)
+    assert _ray_store_df(store).set_index("url").loc["X", "status"] == "inactive"
+
+    # round 3: X reappears active → republished, count 1
+    d3 = [_row("X", price=110, listing_date="2024-03-01")]
+    store = merge_round(store, ray.data.from_items(d3), 3).materialize()
+    oracle.insert_properties(d3, 3)
+    history.append(history_delta(store, 3).to_pandas())
+    _check_equal(store, oracle)
+    row = _ray_store_df(store).set_index("url").loc["X"]
+    assert row["status"] == "republished" and row["republish_count"] == 1
+
+    # round 4: X sold
+    d4 = [_row("X", status="sold", price=115, listing_date="2024-03-01",
+               selling_date="2024-04-01")]
+    store = merge_round(store, ray.data.from_items(d4), 4).materialize()
+    oracle.insert_properties(d4, 4)
+    history.append(history_delta(store, 4).to_pandas())
+    _check_equal(store, oracle)
+
+    # previous price from the history log
+    hist_ds = ray.data.from_pandas(pd.concat(history, ignore_index=True))
+    prev = previous_price(hist_ds).to_pandas().set_index("url")
+    assert prev.loc["X", "previous_price"] == oracle.previous_price("X") == 110
+    assert pd.isna(prev.loc["Y", "previous_price"])
+
+
+def test_living_area_zero_nulled(ray_session):
+    store = merge_round(
+        None, ray.data.from_items([_row("Z", living_area=0), _row("W", living_area=80)]), 1
+    )
+    df = _ray_store_df(store).set_index("url")
+    assert pd.isna(df.loc["Z", "living_area"]) and df.loc["W", "living_area"] == 80
+
+
+def test_randomized_rounds_match_oracle(ray_session):
+    """Deterministic pseudo-random multi-round fuzz: merges + refreshes."""
+    oracle = OracleStore()
+    store = None
+    urls = [f"u{i}" for i in range(30)]
+
+    def h(*k):
+        return int.from_bytes(hashlib.blake2b("|".join(map(str, k)).encode(), digest_size=4).digest(), "big")
+
+    for rnd in range(1, 7):
+        delta = []
+        for u in urls:
+            x = h("pick", rnd, u) % 100
+            if x < 40:
+                status = "sold" if h("st", rnd, u) % 5 == 0 else "active"
+                delta.append(
+                    _row(u, status=status, price=100 + h("p", rnd, u) % 50,
+                         living_area=(h("a", rnd, u) % 5) * 25,
+                         listing_date=f"2024-0{rnd}-01")
+                )
+        if delta:
+            store = merge_round(store, ray.data.from_items(delta), rnd).materialize()
+            oracle.insert_properties(delta, rnd)
+        if rnd % 2 == 0:
+            active = {u for u in urls if h("keep", rnd, u) % 2 == 0}
+            store = mark_inactive(store, "Amsterdam", active, rnd).materialize()
+            oracle.mark_inactive("Amsterdam", active, rnd)
+        _check_equal(store, oracle)
