@@ -1,0 +1,159 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / resize / feature-extract as actor-pool map_batches stages.
+
+The container ships no image/audio codecs, so the *decode kernel* is a
+clearly-marked deterministic fake (`FIMG` header parse) — the Ray-side
+plumbing is real and what this module actually tests: binary columns kept in
+``batch_format='pyarrow'`` end-to-end (pandas would object-box them), small
+batch sizes because payload bytes dominate memory, per-actor setup in
+``__init__``, partitioned output layout.
+
+Payload format (synthesized deterministically from doc ids):
+``b'FIMG' | uint16 width | uint16 height | blake2b(seed, 32B) pixel seed``.
+A real deployment swaps ``_decode`` for PIL/ffmpeg and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+_MAGIC = b"FIMG"
+
+
+def synth_media_dataset(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic media table derived from the documents table (one fake
+    image per doc; size a pure function of doc_id)."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads, ws, hs = [], [], []
+        for i in ids:
+            h = hashlib.blake2b(f"media{i}".encode(), digest_size=36).digest()
+            w = 64 + h[0] % 192
+            hh = 64 + h[1] % 192
+            payloads.append(_MAGIC + struct.pack(">HH", w, hh) + h[4:])
+            ws.append(w)
+            hs.append(hh)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["image"] * len(ids)),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow")
+
+
+def _decode(payload: bytes) -> tuple[int, int, bytes]:
+    """STUB DECODER (deterministic fake): parses the FIMG header. A real
+    build replaces this body with PIL.Image.open — same signature."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a FIMG payload")
+    w, h = struct.unpack(">HH", payload[4:8])
+    return w, h, payload[8:]
+
+
+class DecodeAndFeaturize:
+    """Actor-pool stage: payload → (decoded dims, 8-dim feature vector).
+
+    __init__ = once-per-actor setup (a real model load would live here);
+    __call__ = per-batch vectorized work. Arrow in/out: binary columns never
+    touch pandas object dtype."""
+
+    def __init__(self, feature_dim: int = 8):
+        self.feature_dim = feature_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats, ws, hs = [], [], []
+        for payload in t.column("payload").to_pylist():
+            w, h, seed = _decode(payload)
+            # deterministic fake embedding: bytes → unit-norm float vector
+            raw = np.frombuffer(
+                hashlib.blake2b(seed, digest_size=self.feature_dim * 4).digest(),
+                dtype=np.uint32,
+            ).astype(np.float64)
+            v = raw / max(np.linalg.norm(raw), 1e-30)
+            feats.append(v.tolist())
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "decoded_width": pa.array(ws, pa.int32()),
+                "decoded_height": pa.array(hs, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class Resize:
+    """Actor-pool stage: clamp dims to a max edge, preserving aspect —
+    metadata-only on the fake payload (a real build transforms pixels)."""
+
+    def __init__(self, max_edge: int = 128):
+        self.max_edge = max_edge
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws = t.column("width").to_numpy()
+        hs = t.column("height").to_numpy()
+        scale = np.minimum(1.0, self.max_edge / np.maximum(ws, hs))
+        new_w = (ws * scale).astype(np.int32)
+        new_h = (hs * scale).astype(np.int32)
+        payloads = [
+            _MAGIC + struct.pack(">HH", int(w), int(h)) + p[8:]
+            for p, w, h in zip(t.column("payload").to_pylist(), new_w, new_h)
+        ]
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(new_w),
+                "height": pa.array(new_h),
+                "kind": t.column("kind"),
+            }
+        )
+
+
+def media_features(sf_dir: str, concurrency: int | None = None) -> pd.DataFrame:
+    """Pipeline: synth media → resize → decode+featurize; returns metadata
+    frame (feature vector L2 norm ≈ 1, dims, media_id).
+
+    Pool sizing: two actor pools + the read stage must co-exist — reserving
+    every CPU for the pools starves the read and the pipeline stalls, so each
+    pool gets at most (cpus - 2) / 2."""
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, (ncpu - 2) // 2)
+    ds = (
+        synth_media_dataset(sf_dir)
+        .map_batches(Resize, batch_format="pyarrow", batch_size=256,
+                     concurrency=concurrency, num_cpus=1)
+        .map_batches(DecodeAndFeaturize, batch_format="pyarrow", batch_size=256,
+                     concurrency=concurrency, num_cpus=1)
+    )
+    pdf = ds.to_pandas()
+    pdf["feature_norm"] = [round(float(np.linalg.norm(f)), 6) for f in pdf["feature"]]
+    return pdf[["media_id", "decoded_width", "decoded_height", "feature_norm"]]

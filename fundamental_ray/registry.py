@@ -78,6 +78,28 @@ def _populate() -> None:
     register("crawl_extract_listings_active", _crawl_extract("active"))
     register("crawl_extract_listings_sold", _crawl_extract("sold"))
 
+    from .ops import ann as N
+    from .ops import dedup as D
+    from .ops import multimodal as M
+    from .ops import text as T
+
+    register("text_token_counts", T.token_counts, T.TOKEN_COUNTS_SQL)
+    register("text_quality_scores", T.quality_scores, T.QUALITY_SCORES_SQL)
+    register("text_lang_id", T.lang_id, T.LANG_ID_SQL)
+    register("text_fingerprints", T.fingerprints, T.FINGERPRINTS_SQL)
+    register("dedup_exact", D.exact_dedup, D.EXACT_DEDUP_SQL)
+    register(
+        "dedup_embedding_neardup",
+        lambda sf: D.embedding_neardup_pairs(sf, 0.35),
+        D.embedding_neardup_sql(0.35),
+    )
+    register("dedup_minhash_lsh", lambda sf: D.minhash_lsh_pairs(sf, 0.5))
+    register("dedup_simhash", lambda sf: D.simhash_pairs(sf, 6))
+    register("dedup_ngram_jaccard", lambda sf: D.ngram_jaccard_pairs(sf, 0.5))
+    register("ann_brute_force_topk", N.brute_force_topk, N.brute_force_topk_sql())
+    register("ann_ivf_topk", N.ivf_topk)
+    register("multimodal_media_features", M.media_features)
+
     from .pipelines import crawl_run as C
 
     register("crawl_frontier_page_visits", C.crawl_page_visits)

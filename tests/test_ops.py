@@ -1,0 +1,150 @@
+"""Training-data ops: dedup suite, ANN, text analysis, multimodal plumbing.
+
+Sketch-based dedup is validated on a constructed corpus with KNOWN near-dup
+structure (exact-Jaccard brute force as oracle): emitted pairs must have
+perfect precision (verification is exact) and high recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from fundamental_ray.ops import ann as N
+from fundamental_ray.ops import dedup as D
+from fundamental_ray.ops import multimodal as M
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def dup_corpus(tmp_path_factory, ray_session):
+    """60 base docs + controlled near-dups: exact copies, one-word edits,
+    half-overlap rewrites."""
+    import hashlib
+
+    words = [f"w{i}" for i in range(50)]
+
+    def text(seed, n=40):
+        h = hashlib.blake2b(f"{seed}".encode(), digest_size=8).digest()
+        rng = np.random.default_rng(int.from_bytes(h, "big"))
+        return " ".join(rng.choice(words, n))
+
+    rows = []
+    for i in range(60):
+        t = text(i)
+        rows.append({"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)})
+    # exact duplicates of docs 0-4
+    for k in range(5):
+        rows.append({"doc_id": 100 + k, "text": rows[k]["text"], "lang": "en",
+                     "source": "s", "n_chars": rows[k]["n_chars"]})
+    # near-dups: docs 10-19 with one word changed
+    for k in range(10):
+        toks = rows[10 + k]["text"].split()
+        toks[5] = "CHANGED"
+        t = " ".join(toks)
+        rows.append({"doc_id": 200 + k, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)})
+    d = tmp_path_factory.mktemp("dupcorpus")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def _brute_jaccard(sf_dir, threshold):
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sh = {r.doc_id: D._shingles(r.text) for r in df.itertuples()}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh[a], sh[b]
+            inter = len(sa & sb)
+            sim = inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
+            if sim >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_exact_dedup_finds_duplicates(dup_corpus):
+    res = D.exact_dedup(dup_corpus)
+    dups = res[res["dup_count"] > 1]
+    assert len(dups) == 5
+    assert set(dups["keep_doc_id"]) == {0, 1, 2, 3, 4}  # min doc_id wins
+
+
+def test_minhash_lsh_precision_and_recall(dup_corpus):
+    th = 0.6
+    truth = _brute_jaccard(dup_corpus, th)
+    got = D.minhash_lsh_pairs(dup_corpus, th)
+    got_pairs = set(zip(got["a"], got["b"]))
+    # verification is exact → perfect precision
+    assert got_pairs <= truth
+    # banded LSH at 16×4 catches high-jaccard pairs reliably
+    recall = len(got_pairs) / max(1, len(truth))
+    assert recall >= 0.9, (len(got_pairs), len(truth))
+    # the constructed near-dups (one-word edit ⇒ jaccard ≈ 0.85) are all found
+    expected_nd = {(10 + k, 200 + k) for k in range(10)}
+    assert expected_nd <= got_pairs
+
+
+def test_ngram_jaccard_exact_matches_brute(dup_corpus):
+    th = 0.6
+    truth = _brute_jaccard(dup_corpus, th)
+    got = D.ngram_jaccard_pairs(dup_corpus, th)
+    assert set(zip(got["a"], got["b"])) == truth
+
+
+def test_simhash_finds_near_dups(dup_corpus):
+    got = D.simhash_pairs(dup_corpus, max_hamming=8)
+    pairs = set(zip(got["a"], got["b"]))
+    # exact copies have identical simhash (hamming 0)
+    assert {(k, 100 + k) for k in range(5)} <= pairs
+    zero = got[got["hamming"] == 0]
+    assert len(zero) >= 5
+
+
+def test_embedding_neardup_and_ann(ray_session):
+    pairs = D.embedding_neardup_pairs(SF, 0.35)
+    assert (pairs["a"] < pairs["b"]).all()
+    topk = N.brute_force_topk(SF, k=10, n_queries=5)
+    assert len(topk) == 50
+    assert (topk.groupby("query_id")["rank"].max() == 10).all()
+    # cosine monotonically non-increasing with rank per query
+    for _, g in topk.groupby("query_id"):
+        assert (g.sort_values("rank")["cosine"].diff().dropna() <= 1e-9).all()
+
+    ivf = N.ivf_topk(SF, k=10, n_queries=5, n_centroids=8, n_probe=4)
+    # recall@10 of the bucketed path vs brute force
+    r = len(
+        set(zip(ivf["query_id"], ivf["neighbor_id"]))
+        & set(zip(topk["query_id"], topk["neighbor_id"]))
+    ) / len(topk)
+    assert r >= 0.5, r
+
+
+def test_text_ops_basics(ray_session):
+    from fundamental_ray.ops import text as T
+
+    tc = T.token_counts(SF)
+    assert (tc["ws_tokens"] > 0).all()
+    q = T.quality_scores(SF)
+    assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
+    li = T.lang_id(SF)
+    assert set(li["pred_lang"]) <= {"en", "nl", "de", "fr", "und"}
+    fp = T.fingerprints(SF)
+    assert fp["fingerprint"].str.len().eq(32).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    feats = M.media_features(SF, concurrency=1)
+    assert len(feats) == 500
+    assert (feats["decoded_width"] <= 128).all()
+    assert (feats["decoded_height"] <= 128).all()
+    assert (feats["feature_norm"] - 1.0).abs().max() < 1e-6
+    # determinism: second run byte-identical
+    again = M.media_features(SF, concurrency=1)
+    pd.testing.assert_frame_equal(feats, again)
+
+
+def test_decode_stub_rejects_garbage():
+    with pytest.raises(ValueError):
+        M._decode(b"JPEGnotreally")
