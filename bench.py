@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+``python bench.py``            → ONE JSON line with headline seconds + per-query
+                                 seconds over $GRAFT_SF_DIR (default sf0.1) at
+                                 num_cpus=$RAY_GRAFT_CPUS (default 32).
+``python bench.py --scaling``  → runs the same job in two fresh subprocesses at
+                                 num_cpus=$FR_SCALE_LO and $FR_SCALE_HI
+                                 (default 2 and 8 — the N→4N pair free of the
+                                 single-box frequency-scaling confound; see
+                                 BASELINE.md, which also records the 8→32
+                                 measurement + hardware control) and reports
+                                 both throughputs, the scaling efficiency and
+                                 the hardware/orchestration decomposition.
+
+Headline metric: frontier throughput — URLs claimed (scheduled+deduped) per
+second through the full crawl pipeline (candidate extraction → sharded
+seen-set claim → politeness → robots → fetch-join → extraction) over the
+heavy-tailed bench corpus (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_CHAINS = int(os.environ.get("FR_BENCH_CHAINS", "2400"))
+BENCH_HOSTS = int(os.environ.get("FR_BENCH_HOSTS", "64"))
+BENCH_ZIPF = 1.2
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from fundamental_ray.crawl.fetchstore import build_fetch_index
+    from fundamental_ray.crawl.frontier import (
+        CrawlConfig, CrawlJob, chains_from_corpus,
+    )
+    from fundamental_ray.ops import ann as N
+    from fundamental_ray.ops import dedup as D
+    from fundamental_ray.ops import text as T
+    from fundamental_ray.pipelines import analytics as A
+    from fundamental_ray.pipelines.extract import extract_listings_dataset
+    from fundamental_ray.synth.corpus import make_chains
+    from fundamental_ray.synth.materialize import (
+        SCRAPED_AT, materialize_bench_corpus,
+    )
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- corpus + index (cached on disk; untimed, warms the page cache) ----
+    corpus = materialize_bench_corpus(BENCH_CHAINS, BENCH_HOSTS, BENCH_ZIPF)
+    idx = build_fetch_index(
+        f"{corpus}/pages.parquet",
+        f"/tmp/fr_bench_index/{os.path.basename(corpus)}",
+        num_buckets=32,
+    )
+
+    # warm the worker pool: every worker imports the library once so the
+    # timed sections measure compute, not process cold-start
+    @ray.remote(num_cpus=1)
+    def _warm(_):
+        import fundamental_ray.crawl.frontier  # noqa: F401
+        return 0
+
+    ray.get([_warm.remote(i) for i in range(num_cpus)])
+
+    # -- headline: full frontier crawl ------------------------------------
+    import shutil
+
+    job_dir = f"/tmp/fr_bench_job_{num_cpus}"
+    shutil.rmtree(job_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir=job_dir, budget_per_host=100_000,
+        num_seen_shards=max(4, num_cpus // 2), scraped_at=SCRAPED_AT,
+    )
+    chains = chains_from_corpus(
+        make_chains(BENCH_CHAINS, n_hosts=BENCH_HOSTS, zipf_s=BENCH_ZIPF)
+    )
+    t0 = time.time()
+    job = CrawlJob(cfg, chains)
+    counters = job.run()
+    crawl_sec = time.time() - t0
+    # URLs scheduled+deduped = every candidate checked against the seen set:
+    # novel claims (= final membership) + duplicate rejections
+    urls_checked = job.seen.total() + counters["deduped"]
+    queries["crawl_frontier"] = round(crawl_sec, 2)
+    extra["frontier_urls_per_sec"] = round(urls_checked / crawl_sec, 1)
+    extra["crawl_counters"] = counters
+    extra["crawl_rounds"] = job.round
+
+    # -- extraction-only throughput over all detail pages ------------------
+    t0 = time.time()
+    n_listings = extract_listings_dataset(
+        f"{corpus}/pages.parquet", scraped_at=SCRAPED_AT,
+        batch_size=128,
+    ).count()
+    queries["extract_listings"] = round(time.time() - t0, 2)
+    extra["extract_pages_per_sec"] = round(n_listings / queries["extract_listings"], 1)
+
+    # -- secondary pipelines over the testdata sf dir ----------------------
+    for name, fn in [
+        ("agg_weighted_status_stats", lambda: A.weighted_status_stats(sf_dir)),
+        ("events_sessionize", lambda: A.events_sessionize(sf_dir)),
+        ("dedup_minhash_lsh", lambda: D.minhash_lsh_pairs(sf_dir, 0.5)),
+        ("text_quality_scores", lambda: T.quality_scores(sf_dir)),
+        ("ann_brute_force_topk", lambda: N.brute_force_topk(sf_dir)),
+    ]:
+        t0 = time.time()
+        fn()
+        queries[name] = round(time.time() - t0, 2)
+
+    total = round(sum(queries.values()), 2)
+    result = {
+        "metric": "frontier throughput (URLs scheduled+deduped/sec) + headline pipeline seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def _intrinsic_parse_control(lo: int, hi: int) -> dict:
+    """Hardware control: the same per-page parse kernel under plain
+    multiprocessing (no Ray, no object store). On one box, per-core
+    throughput drops as occupancy rises (frequency/memory effects), which
+    caps ANY orchestration's wall-clock scaling — a real N→4N *node* cluster
+    does not share this confound. Reporting the control lets the efficiency
+    number be decomposed into hardware × orchestration."""
+    import glob
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq  # noqa: F401
+
+    files = sorted(
+        glob.glob(
+            f"/tmp/fr_corpus/*bench-c{BENCH_CHAINS}-h{BENCH_HOSTS}-z{BENCH_ZIPF}/pages.parquet/*.parquet"
+        )
+    )
+    per = 600
+    out = {}
+    for nproc in (lo, hi):
+        jobs = [(files[i % len(files)], per) for i in range(nproc)]
+        with mp.Pool(nproc) as p:
+            p.map(_parse_slice, [(files[0], 50)] * nproc)  # warm imports
+            t0 = time.time()
+            p.map(_parse_slice, jobs)
+            dt = time.time() - t0
+        out[nproc] = round(per * nproc / dt, 1)
+    return out
+
+
+def _parse_slice(args):
+    path, n = args
+    import pyarrow.parquet as pq
+
+    from fundamental_ray.extraction.listing import extract_listing_row, place_from_url
+
+    t = pq.read_table(path, columns=["url", "html"]).slice(0, n)
+    k = 0
+    for url, html in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        if "/detail/" in url:
+            k += extract_listing_row(html.decode(), url, place_from_url(url)) is not None
+    return k
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = int(os.environ.get("FR_SCALE_LO", "2")), int(os.environ.get("FR_SCALE_HI", "8"))
+    # warm caches (corpus + index generation) once, untimed for the pair
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tput_lo = r_lo["frontier_urls_per_sec"]
+    tput_hi = r_hi["frontier_urls_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    control = _intrinsic_parse_control(lo, hi)
+    intrinsic_eff = (control[hi] / control[lo]) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency (frontier urls/sec, {lo} → {hi} cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "urls_per_sec_lo": tput_lo, "urls_per_sec_hi": tput_hi,
+        "crawl_sec_lo": r_lo["queries"]["crawl_frontier"],
+        "crawl_sec_hi": r_hi["queries"]["crawl_frontier"],
+        "extract_pages_per_sec_lo": r_lo["extract_pages_per_sec"],
+        "extract_pages_per_sec_hi": r_hi["extract_pages_per_sec"],
+        "parse_control_pages_per_sec": control,
+        "hardware_intrinsic_efficiency": round(intrinsic_eff, 3),
+        "orchestration_efficiency": round(eff / intrinsic_eff, 3),
+        "sf": 0.1,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

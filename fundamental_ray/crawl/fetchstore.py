@@ -33,9 +33,17 @@ def bucket_of(url_norm: str, num_buckets: int) -> int:
 def build_fetch_index(
     pages_path: str, out_dir: str, num_buckets: int = DEFAULT_BUCKETS
 ) -> str:
-    """One-time exchange: pages → bucket=K/ Parquet dirs keyed by url_norm.
-    Idempotent via _DONE marker. Columns kept: url_norm, url, html (the only
-    ones the fetch-join serves; `text`/`lang` stay in the source table)."""
+    """One-time exchange: pages → kind=L|D/bucket=K/ Parquet dirs keyed by
+    url_norm. Idempotent via _DONE marker.
+
+    Layout choices that make the per-round point-reads cheap:
+    - partitioned by page *kind* (list vs detail URL shape) so list-page
+      fetches never scan detail bytes and vice versa;
+    - hash-bucketed by url_norm (the co-partition key of every later join);
+    - globally sorted by url_norm with small row groups, so the ``isin``
+      scan filter prunes row groups via min/max statistics instead of
+      decompressing the whole bucket.
+    Columns kept: url_norm, url, html (`text`/`lang` stay in the source)."""
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
@@ -45,8 +53,12 @@ def build_fetch_index(
         urls = t.column("url").to_pylist()
         norms = [canonicalize_url(u) for u in urls]
         buckets = pa.array([bucket_of(n, num_buckets) for n in norms], pa.int32())
+        kinds = pa.array(
+            ["detail" if "/detail/" in u else "list" for u in urls], pa.string()
+        )
         return pa.table(
             {
+                "kind": kinds,
                 "bucket": buckets,
                 "url_norm": pa.array(norms, pa.string()),
                 "url": t.column("url"),
@@ -55,8 +67,10 @@ def build_fetch_index(
         )
 
     ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
-    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["bucket"]
+    (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .sort("url_norm")
+        .write_parquet(out_dir, partition_cols=["kind", "bucket"], row_group_size=1024)
     )
     with open(done, "w") as fh:
         fh.write(str(num_buckets))
@@ -69,9 +83,13 @@ def index_num_buckets(index_dir: str) -> int:
 
 
 def fetch_pages(
-    index_dir: str, url_norms: list[str], columns: list[str] | None = None
+    index_dir: str,
+    url_norms: list[str],
+    columns: list[str] | None = None,
+    kind: str | None = None,
 ) -> ray.data.Dataset:
-    """Read exactly the requested pages: bucket-pruned paths + isin pushdown.
+    """Read exactly the requested pages: kind + bucket path pruning, then an
+    isin scan filter that prunes row groups via the sorted-url_norm stats.
     Missing URLs simply produce no rows (a live 404); callers diff request
     vs result sets to count fetch misses."""
     num_buckets = index_num_buckets(index_dir)
@@ -81,12 +99,72 @@ def fetch_pages(
         by_bucket.setdefault(bucket_of(n, num_buckets), []).append(n)
     import glob as _glob
 
+    kinds = [kind] if kind else ["list", "detail"]
     paths = []
-    for b in sorted(by_bucket):
-        d = os.path.join(index_dir, f"bucket={b}")
-        if os.path.isdir(d):
-            paths.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    for k in kinds:
+        for b in sorted(by_bucket):
+            d = os.path.join(index_dir, f"kind={k}", f"bucket={b}")
+            if os.path.isdir(d):
+                paths.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
     if not paths:
         return ray.data.from_items([])
     filt = pc.is_in(pads.field("url_norm"), value_set=pa.array(wanted, pa.string()))
     return ray.data.read_parquet(paths, columns=columns or ["url_norm", "url", "html"], filter=filt)
+
+
+@ray.remote(num_cpus=1)
+def _fetch_map_task(paths: list[str], wanted: list[str], fn, fn_kwargs: dict):
+    """One bucket's point-read + map. Opens the bucket fragments directly
+    with pyarrow (no Dataset job planning) and applies ``fn`` to the fetched
+    Arrow table in-place — html bytes never leave the task."""
+    dset = pads.dataset(paths)
+    t = dset.to_table(
+        columns=["url_norm", "url", "html"],
+        filter=pc.is_in(pads.field("url_norm"), value_set=pa.array(wanted, pa.string())),
+    )
+    if t.num_rows == 0:
+        return None
+    return fn(t, **fn_kwargs)
+
+
+def fetch_map_tasks(
+    index_dir: str,
+    url_norms: list[str],
+    kind: str,
+    fn,
+    fn_kwargs: dict | None = None,
+    max_urls_per_task: int = 512,
+) -> list:
+    """The frontier's hot fetch-join: raw Ray tasks per needed bucket,
+    each doing open-fragment → row-group-pruned isin read → map.
+
+    Raw tasks (not a Dataset) are deliberate here: a per-round point-lookup
+    of k URLs is a keyed-index probe the Dataset read path can't express
+    without paying full job planning per round (measured ~3 s vs ~0.4 s
+    direct). The bucket layout still gives hash co-partitioning; big buckets
+    split into ≤``max_urls_per_task`` URL chunks (sorted, so each chunk's
+    isin filter prunes to a contiguous row-group range) for load balance.
+    Results return as Arrow ObjectRefs.
+    """
+    import glob as _glob
+
+    num_buckets = index_num_buckets(index_dir)
+    by_bucket: dict[int, list[str]] = {}
+    for n in set(url_norms):
+        by_bucket.setdefault(bucket_of(n, num_buckets), []).append(n)
+    refs = []
+    for b, wanted in sorted(by_bucket.items()):
+        d = os.path.join(index_dir, f"kind={kind}", f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        if not paths:
+            continue
+        wanted = sorted(wanted)
+        for i in range(0, len(wanted), max_urls_per_task):
+            refs.append(
+                _fetch_map_task.remote(
+                    paths, wanted[i : i + max_urls_per_task], fn, fn_kwargs or {}
+                )
+            )
+    return refs

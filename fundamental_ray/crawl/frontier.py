@@ -40,7 +40,7 @@ from ..extraction.listing import LISTING_SCHEMA, extract_listing_row
 from ..extraction.listpage import extract_listing_urls, extract_next_page, search_params_of
 from ..extraction.selectolite import Selector
 from .canonicalize import canonicalize_url, host_of
-from .fetchstore import fetch_pages
+from .fetchstore import fetch_map_tasks, fetch_pages
 from .politeness import schedule_round
 from .robots import RobotsTable
 from .seen import SeenSet
@@ -100,14 +100,20 @@ def extract_candidates_batch(batch: pa.Table, meta_ref) -> pa.Table:
     funda_spider.py:92-184). Stateless tasks, not actors: the selector
     compile cache is worker-process-global, so warm across rounds without
     actor-pool spin-up (SURVEY.md §4.2: extractors are stateless tasks)."""
-    meta = ray.get(meta_ref)  # url_norm -> (chain_id, page_seq)
-    out = {"chain_id": [], "page_seq": [], "kind": [], "url": []}
+    import zlib
 
-    def emit(chain_id, page_seq, kind, url):
+    meta = ray.get(meta_ref)  # url_norm -> (chain_id, page_seq)
+    out = {"chain_id": [], "page_seq": [], "kind": [], "url": [],
+           "url_norm": [], "host": [], "url_crc": []}
+
+    def emit(chain_id, page_seq, kind, url, norm="", host="", crc=0):
         out["chain_id"].append(chain_id)
         out["page_seq"].append(page_seq)
         out["kind"].append(kind)
         out["url"].append(url)
+        out["url_norm"].append(norm)
+        out["host"].append(host)
+        out["url_crc"].append(crc)
 
     for norm, url, html in zip(
         batch.column("url_norm").to_pylist(),
@@ -118,7 +124,11 @@ def extract_candidates_batch(batch: pa.Table, meta_ref) -> pa.Table:
         sel = Selector(html.decode("utf-8", errors="replace"))
         emit(chain_id, page_seq, "visit", url)
         for u in sorted(extract_listing_urls(sel, url)):
-            emit(chain_id, page_seq, "detail", u)
+            # canonicalize + route here, in the parallel task, so the
+            # driver's dedup fold stays vectorized (no per-URL python)
+            n = canonicalize_url(u)
+            emit(chain_id, page_seq, "detail", u, n, host_of(u),
+                 zlib.crc32(n.encode("utf-8")))
         nxt = sel.css_get('a[data-test-id="next-page-button"]::attr(href)')
         if nxt:
             emit(chain_id, page_seq, "next", extract_next_page(sel, url, {}, 0))
@@ -128,6 +138,9 @@ def extract_candidates_batch(batch: pa.Table, meta_ref) -> pa.Table:
             "page_seq": pa.array(out["page_seq"], pa.int32()),
             "kind": pa.array(out["kind"], pa.string()),
             "url": pa.array(out["url"], pa.string()),
+            "url_norm": pa.array(out["url_norm"], pa.string()),
+            "host": pa.array(out["host"], pa.string()),
+            "url_crc": pa.array(out["url_crc"], pa.uint32()),
         }
     )
 
@@ -167,6 +180,7 @@ class CrawlJob:
         self.seen = SeenSet(config.num_seen_shards)
         self.robots = RobotsTable.from_rows(config.robots_rows)
         self.round = 0
+        self._round_novel: pa.Table = REQUEST_SCHEMA.empty_table()
         self.lineage: list[dict] = []
         self.counters: dict[str, int] = {
             "fetched": 0, "deduped": 0, "deferred": 0, "robots_denied": 0,
@@ -192,27 +206,51 @@ class CrawlJob:
 
     # ---------------------------------------------------------------- round
     def run(self, deferred: pa.Table | None = None) -> dict:
-        """Run to completion (or max_rounds); returns final counters. Pass
-        the deferred table from ``resume()`` to continue a checkpointed job."""
+        """Run to completion (or max_rounds); returns final cumulative
+        counters. Pass the deferred table from ``resume()`` to continue a
+        checkpointed job.
+
+        Rounds are software-pipelined: round r's detail fetch+extract tasks
+        run while round r+1's list phase executes; round r commits one round
+        behind, still in round order. Resume semantics are unchanged — chain
+        states are snapshotted at the end of round r's stop fold (before
+        round r+1 mutates anything) and counters are folded per-round deltas,
+        so a crash mid-pipeline just replays at most two idempotent rounds."""
         if deferred is None:
             deferred = self._empty_requests()
+        prev = None
         while self.round < self.cfg.max_rounds:
             live = [c for c in self.chains.values() if not c.done]
             if not live and deferred.num_rows == 0:
                 break
             self.round += 1
-            deferred = self._run_round(live, deferred)
+            pend = self._phase_a(live, deferred)
+            deferred = pend["new_deferred"]
+            if prev is not None:
+                self._collect_commit(prev)
+            prev = pend
+        if prev is not None:
+            self._collect_commit(prev)
         return dict(self.counters)
 
-    def _run_round(self, live: list[ChainState], deferred: pa.Table) -> pa.Table:
+    def _phase_a(self, live: list[ChainState], deferred: pa.Table) -> dict:
+        """List fetch+extract → dedup claim → politeness → robots → LAUNCH
+        detail fetch tasks (no barrier) → stop-condition fold → state
+        snapshot. Everything the next round depends on happens here."""
         cfg = self.cfg
         rdir = self._round_dir(self.round)
         os.makedirs(rdir, exist_ok=True)
+        delta = {
+            "fetched": 0, "deduped": 0, "deferred": 0, "robots_denied": 0,
+            "blocked": 0, "fetch_miss": 0, "listings": 0,
+        }
 
         # -- 1. list-page fetch + candidate extraction ------------------
         cand_schema = pa.schema(
             [("chain_id", pa.int64()), ("page_seq", pa.int32()),
-             ("kind", pa.string()), ("url", pa.string())]
+             ("kind", pa.string()), ("url", pa.string()),
+             ("url_norm", pa.string()), ("host", pa.string()),
+             ("url_crc", pa.uint32())]
         )
         candidates = cand_schema.empty_table()
         page_visits: dict[int, dict] = {
@@ -224,103 +262,160 @@ class CrawlJob:
             meta = {
                 canonicalize_url(c.next_url): (c.chain_id, c.page_no) for c in live
             }
-            fetched = fetch_pages(cfg.index_dir, list(meta))
             meta_ref = ray.put(meta)
-            refs = fetched.map_batches(
-                extract_candidates_batch,
-                fn_kwargs={"meta_ref": meta_ref},
-                batch_format="pyarrow", batch_size=32, num_cpus=1,
-            ).to_arrow_refs()
-            tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+            refs = fetch_map_tasks(
+                cfg.index_dir, list(meta), "list",
+                extract_candidates_batch, {"meta_ref": meta_ref},
+            )
+            tables = [t for t in ray.get(refs) if t is not None and t.num_rows]
             if tables:
                 candidates = pa.concat_tables(tables, promote_options="default")
-            cdf = candidates.to_pandas() if candidates.num_rows else pd.DataFrame(
-                columns=["chain_id", "page_seq", "kind", "url"]
-            )
-            for cid, grp in cdf.groupby("chain_id"):
-                pv = page_visits[int(cid)]
-                pv["visited"] = bool((grp["kind"] == "visit").any())
-                pv["found"] = int((grp["kind"] == "detail").sum())
-                nxt = grp[grp["kind"] == "next"]
-                if len(nxt):
-                    pv["has_next"] = True
-                    pv["next_url"] = nxt["url"].iloc[0]
-            self._lineage("list_extract", len(live), len(cdf), t0)
+            # vectorized per-chain fold: three small masks instead of a
+            # python loop over thousands of pandas groups
+            if candidates.num_rows:
+                kinds = candidates.column("kind")
+                cids = candidates.column("chain_id")
+                for cid in pc.unique(
+                    cids.filter(pc.equal(kinds, "visit"))
+                ).to_pylist():
+                    page_visits[cid]["visited"] = True
+                found = (
+                    candidates.filter(pc.equal(kinds, "detail"))
+                    .group_by("chain_id").aggregate([("chain_id", "count")])
+                )
+                for cid, n in zip(
+                    found.column("chain_id").to_pylist(),
+                    found.column("chain_id_count").to_pylist(),
+                ):
+                    page_visits[cid]["found"] = n
+                nxt = candidates.filter(pc.equal(kinds, "next"))
+                for cid, url in zip(
+                    nxt.column("chain_id").to_pylist(),
+                    nxt.column("url").to_pylist(),
+                ):
+                    pv = page_visits[cid]
+                    if not pv["has_next"]:
+                        pv["has_next"] = True
+                        pv["next_url"] = url
+            self._lineage("list_extract", len(live), candidates.num_rows, t0)
 
-        # -- 2. dedup claim (sharded seen-set actors) -------------------
+        # -- 2. dedup claim (sharded seen-set actors, vectorized fold) --
         t0 = time.time()
         detail = candidates.filter(pc.equal(candidates["kind"], "detail")) \
             if candidates.num_rows else candidates
-        novel_rows = []
+        novel_t = self._empty_requests()
         if detail.num_rows:
-            urls = detail.column("url").to_pylist()
-            norms = [canonicalize_url(u) for u in urls]
-            novel = self.seen.check_and_insert(norms)
-            for (cid, pseq, url, norm, isnew) in zip(
-                detail.column("chain_id").to_pylist(),
-                detail.column("page_seq").to_pylist(),
-                urls, norms, novel,
+            import numpy as np
+
+            shards = detail.column("url_crc").to_numpy() % self.seen.num_shards
+            order = np.argsort(shards, kind="stable")
+            sorted_shards = shards[order]
+            cuts = np.flatnonzero(np.diff(sorted_shards)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(order)]))
+            norm_only = detail.select(["url_norm"])
+            futs = []
+            for s0, s1 in zip(starts, ends):
+                idxs = order[s0:s1]
+                shard = self.seen.shards[int(sorted_shards[s0])]
+                # ship an Arrow slice; the actor decodes strings in its own
+                # process — zero per-URL python on the driver
+                futs.append(
+                    (idxs, shard.check_and_insert_arrow.remote(norm_only.take(idxs)))
+                )
+            novel = np.zeros(detail.num_rows, dtype=bool)
+            for idxs, f in futs:
+                novel[idxs] = ray.get(f)
+
+            novel_detail = detail.filter(pa.array(novel))
+            # per-chain 'new' counts — tiny vectorized groupby
+            newc = novel_detail.group_by("chain_id").aggregate([("chain_id", "count")])
+            for cid, n in zip(
+                newc.column("chain_id").to_pylist(),
+                newc.column("chain_id_count").to_pylist(),
             ):
-                pv = page_visits.get(cid)
-                if pv is not None and isnew:
-                    pv["new"] += 1
-                if isnew:
-                    c = self.chains[cid]
-                    novel_rows.append(
-                        {
-                            "url": url, "url_norm": norm, "host": host_of(url),
-                            "chain_id": cid, "mode": c.mode, "place": c.place,
-                            "priority": 1, "page_seq": pseq,
-                        }
-                    )
-            self.counters["deduped"] += len(urls) - sum(novel)
-        novel_t = pa.Table.from_pylist(novel_rows, schema=REQUEST_SCHEMA)
+                if cid in page_visits:
+                    page_visits[cid]["new"] = n
+            # request rows: columns carried from the task output + per-chain
+            # mode/place via a small-map vectorized lookup
+            mode_map = {cid: c.mode for cid, c in self.chains.items()}
+            place_map = {cid: c.place for cid, c in self.chains.items()}
+            ndf = pd.DataFrame(
+                {
+                    "url": novel_detail.column("url").to_pandas(),
+                    "url_norm": novel_detail.column("url_norm").to_pandas(),
+                    "host": novel_detail.column("host").to_pandas(),
+                    "chain_id": novel_detail.column("chain_id").to_pandas(),
+                }
+            )
+            ndf["mode"] = ndf["chain_id"].map(mode_map)
+            ndf["place"] = ndf["chain_id"].map(place_map)
+            ndf["priority"] = np.int32(1)
+            ndf["page_seq"] = novel_detail.column("page_seq").to_pandas()
+            novel_t = pa.Table.from_pandas(ndf, schema=REQUEST_SCHEMA,
+                                           preserve_index=False)
+            delta["deduped"] = detail.num_rows - novel_t.num_rows
         self._lineage("dedup_claim", detail.num_rows, novel_t.num_rows, t0,
                       deduped=detail.num_rows - novel_t.num_rows)
 
         # -- 3. politeness schedule over novel ∪ deferred ---------------
         t0 = time.time()
         pending = pa.concat_tables([deferred, novel_t], promote_options="default")
+        scheduled, new_deferred = self._empty_requests(), self._empty_requests()
         if pending.num_rows:
             delays = {
                 h: d for h in set(pending.column("host").to_pylist())
                 if (d := self.robots.crawl_delay(h)) is not None
             } if cfg.obey_robots else {}
-            scheduled_ds = schedule_round(
-                ray.data.from_arrow(pending), cfg.budget_per_host, delays, cfg.base_delay
-            )
-            sched_t = pa.concat_tables(
-                [ray.get(r) for r in scheduled_ds.to_arrow_refs()],
-                promote_options="default",
-            )
-            mask = sched_t.column("scheduled")
-            scheduled = sched_t.filter(mask).drop_columns(["scheduled"]).select(
-                REQUEST_SCHEMA.names
-            )
-            new_deferred = sched_t.filter(pc.invert(mask)).drop_columns(
-                ["scheduled"]
-            ).select(REQUEST_SCHEMA.names)
-        else:
-            scheduled, new_deferred = self._empty_requests(), self._empty_requests()
-        self.counters["deferred"] += new_deferred.num_rows
+            # fast path: when no host exceeds its budget the schedule is the
+            # identity — detect with a vectorized value_counts and skip the
+            # groupby-host exchange entirely (common at generous budgets)
+            over = False
+            for s in pending.column("host").value_counts():
+                host = s["values"].as_py()
+                budget = cfg.budget_per_host
+                d = delays.get(host)
+                if d and d > cfg.base_delay:
+                    budget = max(1, int(budget * cfg.base_delay / d))
+                if s["counts"].as_py() > budget:
+                    over = True
+                    break
+            if not over:
+                scheduled = pending
+            else:
+                scheduled_ds = schedule_round(
+                    ray.data.from_arrow(pending), cfg.budget_per_host, delays,
+                    cfg.base_delay,
+                )
+                sched_t = pa.concat_tables(
+                    [ray.get(r) for r in scheduled_ds.to_arrow_refs()],
+                    promote_options="default",
+                )
+                mask = sched_t.column("scheduled")
+                scheduled = sched_t.filter(mask).drop_columns(
+                    ["scheduled"]
+                ).select(REQUEST_SCHEMA.names)
+                new_deferred = sched_t.filter(pc.invert(mask)).drop_columns(
+                    ["scheduled"]
+                ).select(REQUEST_SCHEMA.names)
+        delta["deferred"] = new_deferred.num_rows
         self._lineage("politeness", pending.num_rows, scheduled.num_rows, t0,
                       deferred=new_deferred.num_rows)
 
         # -- 4. robots gate ---------------------------------------------
-        t0 = time.time()
         if cfg.obey_robots and scheduled.num_rows:
+            t0 = time.time()
             allowed_mask = pa.array(
                 [self.robots.allowed(u) for u in scheduled.column("url").to_pylist()]
             )
             denied = scheduled.filter(pc.invert(allowed_mask))
             scheduled = scheduled.filter(allowed_mask)
-            self.counters["robots_denied"] += denied.num_rows
+            delta["robots_denied"] = denied.num_rows
             self._lineage("robots", scheduled.num_rows + denied.num_rows,
                           scheduled.num_rows, t0, robots_denied=denied.num_rows)
 
-        # -- 5. fetch-join + extraction ---------------------------------
-        t0 = time.time()
-        listings_delta = None
+        # -- 5a. LAUNCH fetch-join + extraction (collected next round) --
+        refs: list = []
         if scheduled.num_rows:
             dmeta = {
                 n: (c, m, p)
@@ -332,30 +427,10 @@ class CrawlJob:
                 )
             }
             dref = ray.put(dmeta)
-            fetched = fetch_pages(cfg.index_dir, list(dmeta))
-            ext = fetched.map_batches(
+            refs = fetch_map_tasks(
+                cfg.index_dir, list(dmeta), "detail",
                 extract_details_batch,
-                fn_kwargs={"meta_ref": dref, "scraped_at": cfg.scraped_at},
-                batch_format="pyarrow", batch_size=64, num_cpus=1,
-            )
-            refs = ext.to_arrow_refs()
-            full = pa.concat_tables([ray.get(r) for r in refs], promote_options="default") \
-                if refs else None
-            if full is not None and full.num_rows:
-                blocked_n = pc.sum(full.column("blocked").cast(pa.int64())).as_py() or 0
-                self.counters["blocked"] += blocked_n
-                self.counters["fetched"] += full.num_rows
-                self.counters["fetch_miss"] += scheduled.num_rows - full.num_rows
-                listings_delta = full.filter(
-                    pc.invert(full.column("blocked"))
-                ).drop_columns(["blocked"])
-                self.counters["listings"] += listings_delta.num_rows
-            else:
-                self.counters["fetch_miss"] += scheduled.num_rows
-            self._lineage(
-                "fetch_extract", scheduled.num_rows,
-                0 if listings_delta is None else listings_delta.num_rows, t0,
-                fetched=0 if full is None else full.num_rows,
+                {"meta_ref": dref, "scraped_at": cfg.scraped_at},
             )
 
         # -- 6. stop-condition fold (reference control flow) ------------
@@ -399,35 +474,83 @@ class CrawlJob:
                 from urllib.parse import urlencode, urlsplit, urlunsplit
 
                 s = urlsplit(c.next_url)
-                c.next_url = urlunsplit((s.scheme, s.netloc, s.path, urlencode(params), ""))
+                c.next_url = urlunsplit(
+                    (s.scheme, s.netloc, s.path, urlencode(params), "")
+                )
             c.page_no += 1
 
-        # -- 7. checkpoint commit ---------------------------------------
-        self._commit(rdir, new_deferred, listings_delta, page_visits)
-        return new_deferred
+        return {
+            "round": self.round, "rdir": rdir, "page_visits": page_visits,
+            "new_deferred": new_deferred, "novel": novel_t, "refs": refs,
+            "scheduled_rows": scheduled.num_rows, "delta": delta,
+            "chains_json": [asdict(c) for c in self.chains.values()],
+            "t_fetch_launch": time.time(),
+        }
 
     # ------------------------------------------------------------ commit
-    def _commit(self, rdir, deferred, listings_delta, page_visits):
-        pq.write_table(deferred, os.path.join(rdir, "deferred.parquet"))
+    def _collect_commit(self, pend: dict) -> None:
+        """Barrier on the round's detail tasks (mostly complete by now —
+        they overlapped the next round's list phase), fold fetch counters,
+        write the checkpoint."""
+        delta = pend["delta"]
+        listings_delta = None
+        if pend["refs"]:
+            tables = [
+                t for t in ray.get(pend["refs"]) if t is not None and t.num_rows
+            ]
+            full = pa.concat_tables(tables, promote_options="default") \
+                if tables else None
+            if full is not None and full.num_rows:
+                blocked_n = pc.sum(
+                    full.column("blocked").cast(pa.int64())
+                ).as_py() or 0
+                delta["blocked"] = blocked_n
+                delta["fetched"] = full.num_rows
+                delta["fetch_miss"] = pend["scheduled_rows"] - full.num_rows
+                listings_delta = full.filter(
+                    pc.invert(full.column("blocked"))
+                ).drop_columns(["blocked"])
+                delta["listings"] = listings_delta.num_rows
+            else:
+                delta["fetch_miss"] = pend["scheduled_rows"]
+            self.lineage.append(
+                {
+                    "round": pend["round"], "stage": "fetch_extract",
+                    "in_rows": pend["scheduled_rows"],
+                    "out_rows": 0 if listings_delta is None else listings_delta.num_rows,
+                    "wall_ms": int((time.time() - pend["t_fetch_launch"]) * 1000),
+                    "fetched": delta["fetched"],
+                }
+            )
+        for k, v in delta.items():
+            self.counters[k] = self.counters.get(k, 0) + v
+
+        rdir = pend["rdir"]
+        pq.write_table(pend["new_deferred"], os.path.join(rdir, "deferred.parquet"))
         if listings_delta is not None:
             pq.write_table(listings_delta, os.path.join(rdir, "listings.parquet"))
-        self.seen.snapshot(os.path.join(rdir, "seen"))
+        # incremental seen snapshot: just this round's claims (O(Δ), not
+        # O(total)); resume unions all committed rounds' claim files
+        pq.write_table(
+            pend["novel"].select(["url_norm"]),
+            os.path.join(rdir, "seen_claims.parquet"),
+        )
         with open(os.path.join(rdir, "chains.json"), "w") as fh:
-            json.dump([asdict(c) for c in self.chains.values()], fh)
+            json.dump(pend["chains_json"], fh)
         with open(os.path.join(rdir, "counters.json"), "w") as fh:
             json.dump(
                 {
-                    "round": self.round, "counters": self.counters,
+                    "round": pend["round"], "counters": self.counters,
                     "page_visits": {
                         str(k): {kk: vv for kk, vv in v.items() if kk != "next_url"}
-                        for k, v in page_visits.items()
+                        for k, v in pend["page_visits"].items()
                     },
                 },
                 fh,
             )
         with open(os.path.join(rdir, "lineage.jsonl"), "w") as fh:
             for rec in self.lineage:
-                if rec["round"] == self.round:
+                if rec["round"] == pend["round"]:
                     fh.write(json.dumps(rec) + "\n")
         with open(os.path.join(rdir, "_COMMITTED"), "w") as fh:
             fh.write("ok")
@@ -450,7 +573,12 @@ class CrawlJob:
             chains = [ChainState(**c) for c in json.load(fh)]
         job = cls(config, chains)
         job.round = last
-        job.seen.restore(os.path.join(rdir, "seen"))
+        claims: list[str] = []
+        for r in rounds:
+            p = os.path.join(config.job_dir, f"round={r:04d}", "seen_claims.parquet")
+            if os.path.exists(p):
+                claims.extend(pq.read_table(p).column("url_norm").to_pylist())
+        job.seen.preload(claims)
         with open(os.path.join(rdir, "counters.json")) as fh:
             job.counters = json.load(fh)["counters"]
         deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))

@@ -122,6 +122,13 @@ class SeenShardActor:
             out.append(novel)
         return out
 
+    def check_and_insert_arrow(self, table) -> "np.ndarray":
+        """Arrow-batch claim: the url_norm column is decoded in the actor
+        process, keeping the driver's per-URL python at zero."""
+        return np.array(
+            self.check_and_insert(table.column("url_norm").to_pylist()), dtype=bool
+        )
+
     def contains(self, urls: list[str]) -> list[bool]:
         out = []
         for u in urls:
@@ -198,6 +205,20 @@ class SeenSet:
             for i, v in zip(idxs, ray.get(futs[s])):
                 out[i] = v
         return out
+
+    def preload(self, urls: list[str]) -> int:
+        """Seed the pool from a snapshot / S7-style seen source."""
+        import ray
+
+        by = self._route(urls)
+        return sum(
+            ray.get(
+                [
+                    self.shards[s].preload.remote([urls[i] for i in idxs])
+                    for s, idxs in by.items()
+                ]
+            )
+        )
 
     def snapshot(self, dir_path: str) -> int:
         import ray

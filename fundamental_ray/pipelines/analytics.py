@@ -627,3 +627,45 @@ SELECT o_orderkey, date_part('year', o_orderdate)::BIGINT AS order_year,
        date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)::BIGINT AS days_since_epoch
 FROM orders
 """
+
+
+# --------------------------------------------------------------------------
+def heatmap_stats(sf_dir: str) -> pd.DataFrame:
+    """A12 (PriceHeatmap.tsx:197-252): per-district mean/median + density,
+    range computed over districts with count >= 3 only."""
+    import numpy as np
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["c_acctbal"].to_numpy()
+        return pd.DataFrame(
+            [
+                {
+                    "c_nationkey": int(g["c_nationkey"].iloc[0]),
+                    "density": len(v),
+                    "avg_val": float(r2(v.mean())),
+                    "median_val": float(r2(np.median(v))),
+                }
+            ]
+        )
+
+    pdf = ds.groupby("c_nationkey").map_groups(agg, batch_format="pandas").to_pandas()
+    eligible = pdf[pdf["density"] >= 3]
+    pdf["range_min"] = float(r2(eligible["avg_val"].min()))
+    pdf["range_max"] = float(r2(eligible["avg_val"].max()))
+    return pdf
+
+
+HEATMAP_STATS_SQL = """
+WITH g AS (
+  SELECT c_nationkey, COUNT(*)::BIGINT AS density,
+         ROUND(AVG(c_acctbal), 2) AS avg_val,
+         ROUND(median(c_acctbal), 2) AS median_val
+  FROM customer GROUP BY 1
+)
+SELECT c_nationkey, density, avg_val, median_val,
+       (SELECT ROUND(MIN(avg_val), 2) FROM g WHERE density >= 3) AS range_min,
+       (SELECT ROUND(MAX(avg_val), 2) FROM g WHERE density >= 3) AS range_max
+FROM g
+"""

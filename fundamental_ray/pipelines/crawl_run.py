@@ -82,3 +82,115 @@ def crawl_counters(sf_dir: str) -> pd.DataFrame:
 def crawl_listings(sf_dir: str):
     _, job_dir = run_crawl(scale_tag_of(sf_dir))
     return crawl_listings_dataset(job_dir)
+
+
+def crawl_store_properties(sf_dir: str) -> pd.DataFrame:
+    """Property store built by merging every committed round's listings delta
+    through the S6 state machine (store/merge.py) — the SQLite `properties`
+    table analogue (database.go:389-414)."""
+    import json
+
+    import ray.data
+
+    from ..store.merge import merge_round
+
+    _, job_dir = run_crawl(scale_tag_of(sf_dir))
+    store = None
+    rounds = sorted(
+        d for d in os.listdir(job_dir)
+        if d.startswith("round=")
+        and os.path.exists(os.path.join(job_dir, d, "listings.parquet"))
+    )
+    for i, d in enumerate(rounds, start=1):
+        delta = ray.data.read_parquet(os.path.join(job_dir, d, "listings.parquet"))
+        delta = delta.drop_columns(["chain_id"])
+        store = merge_round(store, delta, i).materialize()
+    out = store.to_pandas().sort_values("url").reset_index(drop=True)
+    return out.drop(columns=["last_updated_round", "first_seen_round"])
+
+
+def crawl_refresh_inactive(sf_dir: str) -> pd.DataFrame:
+    """J4 end-to-end: refresh URL collection over active chains, then the
+    mark-inactive anti-join against a store where one listing per chain was
+    'removed' (deterministically: the lexicographically-first url)."""
+    import ray.data
+
+    from ..crawl.frontier import chains_from_corpus
+    from ..crawl.refresh import refresh_collect
+    from ..store.merge import mark_inactive, merge_round
+    from ..synth.corpus import make_chains
+
+    tag = scale_tag_of(sf_dir)
+    job, job_dir = run_crawl(tag)
+    from ..synth.materialize import SCALE_CHAINS
+
+    chains = [c for c in make_chains(SCALE_CHAINS[tag], n_hosts=4) if c.mode == "active"]
+    idx = f"/tmp/fr_index/{os.path.basename(materialize_corpus(tag))}"
+    collected = refresh_collect(idx, chains_from_corpus(chains))
+
+    from .crawl_run import crawl_listings  # self-import safe at runtime
+
+    listings = crawl_listings(sf_dir).to_pandas()
+    listings = listings[listings["status"] == "active"].drop(columns=["chain_id"])
+    store = merge_round(None, ray.data.from_pandas(listings), 1).materialize()
+    out = store
+    for c in chains:
+        urls = collected[c.chain_id]
+        if not urls:
+            continue
+        removed = min(u for u in urls if "/detail/koop/" in u)
+        out = mark_inactive(out, c.place.capitalize(), urls - {removed}, 2)
+    pdf = out.to_pandas()
+    return (
+        pdf[pdf["status"] == "inactive"][["url", "city", "status"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def crawl_district_hulls(sf_dir: str) -> pd.DataFrame:
+    """S9: district hull FeatureCollection flattened to one row per district
+    (polygon as JSON string) so the driver can hash it."""
+    import json
+
+    from ..ops.geometry import district_hulls
+
+    listings = crawl_listings(sf_dir).to_pandas()
+    fc = district_hulls(listings)
+    return pd.DataFrame(
+        [
+            {
+                "district": f["properties"]["district"],
+                "point_count": f["properties"]["point_count"],
+                "polygon": json.dumps(f["geometry"]["coordinates"][0]),
+            }
+            for f in fc["features"]
+        ]
+    )
+
+
+def crawl_price_ratings(sf_dir: str) -> pd.DataFrame:
+    """J6/A4: district sold-median lookup + deal-rating bands."""
+    from ..ops.notify import price_ratings
+
+    return price_ratings(crawl_listings(sf_dir))
+
+
+def crawl_notify_filtered(sf_dir: str) -> pd.DataFrame:
+    """F4: notification filter over the crawl's listings delta."""
+    from ..ops.notify import NotifyFilters, filter_listings
+
+    f = NotifyFilters(
+        min_price=200_000, max_price=900_000, min_living_area=40,
+        energy_labels=["A++", "A+", "A", "B"],
+    )
+    ds = filter_listings(crawl_listings(sf_dir), f)
+    pdf = ds.to_pandas().drop(columns=["chain_id"])
+    return pdf.sort_values("url").reset_index(drop=True)
+
+
+def crawl_metro_centers(sf_dir: str) -> pd.DataFrame:
+    """A5: mean coordinates per city over pseudo-geocoded listings."""
+    from ..ops.geometry import metro_centers
+
+    return metro_centers(crawl_listings(sf_dir).to_pandas())

@@ -13,6 +13,10 @@ import ray.data
 from ..extraction.listing import ExtractListings
 
 
+def _extract_batch(batch, mode: str, scraped_at: str):
+    return ExtractListings(mode=mode, scraped_at=scraped_at)(batch)
+
+
 def extract_listings_dataset(
     pages_path: str,
     mode: str = "active",
@@ -36,15 +40,25 @@ def extract_listings_dataset(
         columns=["url", "html"],
         filter=pc.match_substring(pads.field("url"), "/detail/koop/"),
     )
-    if concurrency is None:
-        # size the pool to the session: leave headroom for read + downstream
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, ncpu - 2)
+    if concurrency is not None:
+        # explicit actor-pool path (stateful-stage showcase); cap below the
+        # session CPUs — a pool reserving every CPU starves the read stage
+        # and the pipeline stalls (observed at 32 CPUs with ncpu-2 actors)
+        return ds.map_batches(
+            ExtractListings,
+            fn_constructor_kwargs={"mode": mode, "scraped_at": scraped_at},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+            concurrency=concurrency,
+        )
+    # default: stateless tasks — extraction holds no per-actor state (the
+    # selector compile cache is worker-process-global), and tasks scale
+    # elastically to every CPU with no pool spin-up (SURVEY.md §4.2)
     return ds.map_batches(
-        ExtractListings,
-        fn_constructor_kwargs={"mode": mode, "scraped_at": scraped_at},
+        _extract_batch,
+        fn_kwargs={"mode": mode, "scraped_at": scraped_at},
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
-        concurrency=concurrency,
     )

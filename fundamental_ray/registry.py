@@ -73,6 +73,7 @@ def _populate() -> None:
     register("events_tumbling_window", A.events_tumbling_window, A.EVENTS_TUMBLING_SQL)
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
+    register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)
 
     # crawl family — synthetic pages input, rows-only driver check
     register("crawl_extract_listings_active", _crawl_extract("active"))
@@ -106,3 +107,9 @@ def _populate() -> None:
     register("crawl_frontier_seen_set", C.crawl_seen_set)
     register("crawl_frontier_counters", C.crawl_counters)
     register("crawl_frontier_listings", C.crawl_listings)
+    register("crawl_store_properties", C.crawl_store_properties)
+    register("crawl_refresh_inactive", C.crawl_refresh_inactive)
+    register("crawl_district_hulls", C.crawl_district_hulls)
+    register("crawl_price_ratings", C.crawl_price_ratings)
+    register("crawl_notify_filtered", C.crawl_notify_filtered)
+    register("crawl_metro_centers", C.crawl_metro_centers)

@@ -107,3 +107,39 @@ def materialize_corpus(
     with open(done, "w") as fh:
         fh.write("ok")
     return out
+
+
+def materialize_bench_corpus(
+    n_chains: int = 1200, n_hosts: int = 64, zipf_s: float = 1.2
+) -> str:
+    """Bench-scale pages corpus (FIXTURES.md §6): heavy-tailed Zipf host
+    distribution, generated chain-parallel with Ray (goldens are skipped —
+    correctness is proven at small scale; the bench measures throughput).
+    Cached on disk; safe to call from bench.py under any num_cpus."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .corpus import chain_rows, make_chains
+
+    out = corpus_dir("bench", n_chains, n_hosts, zipf_s)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    chains = make_chains(n_chains, n_hosts=n_hosts, zipf_s=zipf_s)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for cid in batch.column("id").to_pylist():
+            rows.extend(chain_rows(chains[cid]))
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    (
+        ray.data.range(n_chains)
+        .map_batches(gen, batch_format="pyarrow", batch_size=8)
+        .write_parquet(os.path.join(out, "pages.parquet"))
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out

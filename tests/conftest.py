@@ -28,3 +28,16 @@ def tiny_corpus():
     from fundamental_ray.synth.materialize import materialize_corpus
 
     return materialize_corpus("sf0.001")
+
+
+@pytest.fixture(scope="session")
+def crawl_env(ray_session):
+    """Tiny 4-chain corpus + fetch index shared by the crawl-layer tests."""
+    from fundamental_ray.crawl.fetchstore import build_fetch_index
+    from fundamental_ray.synth.materialize import materialize_corpus
+
+    corpus = materialize_corpus("sf0.001", n_chains=4)
+    idx = build_fetch_index(
+        f"{corpus}/pages.parquet", "/tmp/fr_test_idx", num_buckets=8
+    )
+    return corpus, idx

@@ -24,15 +24,6 @@ from fundamental_ray.synth.materialize import SCRAPED_AT, materialize_corpus
 N_CHAINS = 4
 
 
-@pytest.fixture(scope="session")
-def crawl_env(ray_session):
-    corpus = materialize_corpus("sf0.001", n_chains=N_CHAINS)
-    idx = build_fetch_index(
-        f"{corpus}/pages.parquet", "/tmp/fr_test_idx", num_buckets=8
-    )
-    return corpus, idx
-
-
 def _run(idx, job_dir, **kw):
     shutil.rmtree(job_dir, ignore_errors=True)
     cfg = CrawlConfig(

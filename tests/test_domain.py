@@ -1,0 +1,216 @@
+"""Domain operators: geometry hulls, notification filters/ratings, keyed
+cache, city normalization, refresh pass."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fundamental_ray.ops.geometry import (
+    buffer_hull,
+    convex_hull,
+    district_hulls,
+    metro_centers,
+)
+from fundamental_ray.ops.notify import (
+    NotifyFilters,
+    district_sold_median,
+    is_property_allowed,
+    price_ratings,
+    rate,
+)
+from fundamental_ray.crawl.seeds import MetroArea, normalize_city, seed_chains
+from fundamental_ray.state.kvcache import KeyedCacheActor
+
+
+def test_convex_hull_known_square():
+    pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5], [0.2, 0.8]])
+    h = convex_hull(pts)
+    assert len(h) == 4
+    assert {tuple(p) for p in h} == {(0, 0), (1, 0), (1, 1), (0, 1)}
+    b = buffer_hull(h, 0.001)
+    # buffered hull strictly contains the original corners
+    assert (np.abs(b).max() > 1.0) and len(b) == 4
+
+
+def _fake_listings(n=60):
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "url": f"https://x/detail/koop/a/h-{i}/",
+                "postal_code": f"10{i % 3}2 AB",
+                "city": ["Amsterdam", "Utrecht"][i % 2],
+                "price": 200_000 + i * 1_000,
+                "living_area": 50 + i % 40,
+                "num_rooms": 1 + i % 5,
+                "status": "sold" if i % 2 else "active",
+                "selling_date": "2024-03-01" if i % 2 else None,
+                "energy_label": ["A", "B", "C"][i % 3],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_district_hulls_geojson(ray_session):
+    fc = district_hulls(_fake_listings())
+    assert fc["type"] == "FeatureCollection"
+    assert fc["metadata"]["district_count"] == 3
+    for f in fc["features"]:
+        ring = f["geometry"]["coordinates"][0]
+        assert ring[0] == ring[-1] and len(ring) >= 4
+
+
+def test_metro_centers():
+    mc = metro_centers(_fake_listings())
+    assert set(mc["city"]) == {"Amsterdam", "Utrecht"}
+    assert (mc["n"] == 30).all()
+
+
+def test_notify_filter_semantics():
+    f = NotifyFilters(min_price=100_000, max_price=300_000, districts=["1002"],
+                      energy_labels=["A", "B"])
+    ok = {"price": 200_000, "postal_code": "1002 AB", "energy_label": "A"}
+    assert is_property_allowed(ok, f)
+    assert not is_property_allowed({**ok, "price": None}, f)      # missing+bound ⇒ reject
+    assert not is_property_allowed({**ok, "price": 400_000}, f)
+    assert not is_property_allowed({**ok, "postal_code": "9999 ZZ"}, f)
+    assert not is_property_allowed({**ok, "energy_label": "G"}, f)
+    # no bounds configured ⇒ everything passes
+    assert is_property_allowed({"price": None}, NotifyFilters())
+
+
+def test_rating_bands():
+    assert rate(0.7) == "GREAT DEAL"
+    assert rate(0.80) == "GREAT DEAL"
+    assert rate(0.81) == "GOOD DEAL"
+    assert rate(1.0) == "FAIR PRICE"
+    assert rate(1.1) == "BAD DEAL"
+    assert rate(1.5) == "HORRIBLE DEAL"
+
+
+def test_price_ratings(ray_session):
+    import ray.data
+
+    pdf = _fake_listings()
+    med = district_sold_median(pdf)
+    assert len(med) == 3
+    out = price_ratings(ray.data.from_pandas(pdf))
+    assert set(out["rating"]) <= {
+        "GREAT DEAL", "GOOD DEAL", "FAIR PRICE", "BAD DEAL", "HORRIBLE DEAL"
+    }
+    # spot-check one ratio against the median table
+    r = out.iloc[0]
+    expect = (
+        pdf.set_index("url").loc[r["url"], "price"]
+        / pdf.set_index("url").loc[r["url"], "living_area"]
+        / med[r["district"]]
+    )
+    assert abs(r["ratio"] - round(expect, 4)) < 1e-9
+
+
+def test_keyed_cache_rate_limit():
+    c = KeyedCacheActor(rate_per_sec=1.0, burst=1.0)
+    v, s = c.get_or_compute("a", 1)
+    assert (v, s) == (1, "computed")
+    v, s = c.get_or_compute("a", 999)
+    assert (v, s) == (1, "hit")  # cached value wins
+    v, s = c.get_or_compute("b", 2)
+    assert s == "rate_limited"  # bucket empty until the clock advances
+    c.advance(1.0)
+    v, s = c.get_or_compute("b", 2)
+    assert (v, s) == (2, "computed")
+    assert c.stats()["rejected"] == 1
+
+
+def test_kvcache_snapshot_roundtrip(tmp_path):
+    c = KeyedCacheActor()
+    c.get_or_compute("k", [1.0, 2.0])
+    p = str(tmp_path / "cache.json")
+    assert c.snapshot(p) == 1
+    c2 = KeyedCacheActor()
+    assert c2.restore(p) == 1
+    assert c2.get_or_compute("k", None)[1] == "hit"
+
+
+def test_normalize_city():
+    assert normalize_city("'s-Hertogenbosch") == "den-bosch"
+    assert normalize_city("Den  Haag") == "den-haag"
+    assert normalize_city("'t Gooi") == "t-gooi"
+    assert normalize_city("Amsterdam") == "amsterdam"
+
+
+def test_seed_chains_expansion():
+    areas = [MetroArea("Randstad", ["Amsterdam", "Den Haag"]),
+             MetroArea("Brabant", ["'s-Hertogenbosch", "Amsterdam"])]
+    chains = seed_chains(areas)
+    places = {c.place for c in chains}
+    assert places == {"amsterdam", "den-haag", "den-bosch"}
+    assert len(chains) == 6  # (active, sold) per unique city
+    assert all(c.next_url.startswith("https://www.funda.nl/zoeken/koop/?") for c in chains)
+
+
+def test_refresh_collect_and_mark_inactive(crawl_env):
+    """Refresh pass collects exactly the chain's listed URLs (looser /koop/
+    predicate) and drives the store's mark-inactive anti-join."""
+    import ray.data
+
+    from fundamental_ray.crawl.refresh import refresh_collect
+    from fundamental_ray.store.merge import mark_inactive, merge_round
+    from fundamental_ray.synth.corpus import chain_pages, make_chains
+    from fundamental_ray.crawl.frontier import chains_from_corpus
+
+    corpus, idx = crawl_env
+    chains = [c for c in make_chains(4, n_hosts=4) if c.mode == "active"]
+    states = chains_from_corpus(chains)
+    collected = refresh_collect(idx, states)
+    for c in chains:
+        truth = set()
+        for spec in chain_pages(c):
+            truth |= {l.url for l in spec.listings}
+        # refresh also picks up the /koop/ map noise link (looser predicate)
+        extra = {u for u in collected[c.chain_id] if "/detail/koop/" not in u}
+        assert {u for u in collected[c.chain_id] if "/detail/koop/" in u} == truth
+        assert all("/koop/" in u for u in extra)
+
+    # wire into the store: one listing vanishes from the refresh → inactive
+    c0 = chains[0]
+    urls = sorted({l.url for s in chain_pages(c0) for l in s.listings})[:5]
+    store = merge_round(
+        None,
+        ray.data.from_items(
+            [{"url": u, "status": "active", "city": c0.place.capitalize(),
+              "price": 1, "living_area": 1} for u in urls]
+        ),
+        1,
+    ).materialize()
+    active = collected[c0.chain_id] - {urls[0]}
+    store2 = mark_inactive(store, c0.place.capitalize(), active, 2)
+    df = store2.to_pandas().set_index("url")
+    assert df.loc[urls[0], "status"] == "inactive"
+    assert (df.drop(index=urls[0])["status"] == "active").all()
+
+
+def test_pipeline_compose(ray_session):
+    """§2.12: priority-ordered declarative stage chain (the ITEM_PIPELINES
+    analogue) applies stages in ascending priority."""
+    import pyarrow as pa
+    import ray.data
+
+    from fundamental_ray.pipelines.compose import PipelineConfig, run_pipeline
+
+    def double(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(0, "x", pc.multiply(t["x"], 2))
+
+    def add_one(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(0, "x", pc.add(t["x"], 1))
+
+    cfg = PipelineConfig()
+    cfg.add("add", 900, add_one)   # runs second
+    cfg.add("double", 300, double)  # runs first (lower priority number)
+    ds = ray.data.from_items([{"x": 1}, {"x": 2}])
+    out = sorted(r["x"] for r in run_pipeline(ds, cfg).take_all())
+    assert out == [3, 5]  # (x*2)+1, not (x+1)*2
