@@ -194,3 +194,25 @@ def crawl_metro_centers(sf_dir: str) -> pd.DataFrame:
     from ..ops.geometry import metro_centers
 
     return metro_centers(crawl_listings(sf_dir).to_pandas())
+
+
+def crawl_property_stats(sf_dir: str) -> pd.DataFrame:
+    """A1 over the crawl's listings — reference-literal-SQL-checked in
+    tests/test_property_analytics.py."""
+    from .property_analytics import property_stats
+
+    return property_stats(crawl_listings(sf_dir))
+
+
+def crawl_district_median_psqm(sf_dir: str) -> pd.DataFrame:
+    """A3 exact per-district median €/m² over sold listings (trailing year)."""
+    from .property_analytics import district_median_psqm
+
+    return district_median_psqm(crawl_listings(sf_dir))
+
+
+def crawl_district_price_stats(sf_dir: str) -> pd.DataFrame:
+    """A7/A9: per-district price + €/m² stats, sorted by avg price desc."""
+    from .property_analytics import district_price_stats
+
+    return district_price_stats(crawl_listings(sf_dir))

@@ -113,3 +113,6 @@ def _populate() -> None:
     register("crawl_price_ratings", C.crawl_price_ratings)
     register("crawl_notify_filtered", C.crawl_notify_filtered)
     register("crawl_metro_centers", C.crawl_metro_centers)
+    register("crawl_property_stats", C.crawl_property_stats)
+    register("crawl_district_median_psqm", C.crawl_district_median_psqm)
+    register("crawl_district_price_stats", C.crawl_district_price_stats)
