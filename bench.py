@@ -106,6 +106,12 @@ def run_bench() -> dict:
     extra["crawl_counters"] = counters
     extra["crawl_rounds"] = job.round
 
+    # -- politeness-constrained crawl: deferral machinery under Zipf skew --
+    # (skipped in --scaling legs: not the headline metric, and slow at low
+    # cpu counts)
+    if os.environ.get("FR_BENCH_POLITE", "1") != "0":
+        _bench_polite(num_cpus, idx, queries, extra)
+
     # -- extraction-only throughput over all detail pages ------------------
     t0 = time.time()
     n_listings = extract_listings_dataset(
@@ -139,6 +145,34 @@ def run_bench() -> dict:
     }
     ray.shutdown()
     return result
+
+
+def _bench_polite(num_cpus, idx, queries, extra):
+    import shutil
+    import time as _t
+
+    from fundamental_ray.crawl.frontier import CrawlConfig, CrawlJob, chains_from_corpus
+    from fundamental_ray.synth.corpus import make_chains
+    from fundamental_ray.synth.materialize import SCRAPED_AT
+
+    job_dir_p = f"/tmp/fr_bench_job_polite_{num_cpus}"
+    shutil.rmtree(job_dir_p, ignore_errors=True)
+    cfg_p = CrawlConfig(
+        index_dir=idx, job_dir=job_dir_p, budget_per_host=8_000,
+        num_seen_shards=max(4, num_cpus // 2), scraped_at=SCRAPED_AT,
+        max_rounds=128,
+    )
+    t0 = _t.time()
+    job_p = CrawlJob(
+        cfg_p,
+        chains_from_corpus(
+            make_chains(BENCH_CHAINS, n_hosts=BENCH_HOSTS, zipf_s=BENCH_ZIPF)
+        ),
+    )
+    counters_p = job_p.run()
+    queries["crawl_frontier_polite"] = round(_t.time() - t0, 2)
+    extra["polite_deferred"] = counters_p["deferred"]
+    extra["polite_rounds"] = job_p.round
 
 
 def _intrinsic_parse_control(lo: int, hi: int) -> dict:
@@ -189,7 +223,7 @@ def run_scaling() -> dict:
     import subprocess
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FR_BENCH_POLITE="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

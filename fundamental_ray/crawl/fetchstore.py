@@ -112,12 +112,26 @@ def fetch_pages(
     return ray.data.read_parquet(paths, columns=columns or ["url_norm", "url", "html"], filter=filt)
 
 
+_DSET_CACHE: dict[tuple, "pads.Dataset"] = {}
+
+
+def _open_dataset(paths: list[str]):
+    """Worker-process-global fragment cache: the same bucket files are
+    probed every round, so dataset discovery/metadata parsing is paid once
+    per worker, not once per task."""
+    key = tuple(paths)
+    d = _DSET_CACHE.get(key)
+    if d is None:
+        d = _DSET_CACHE[key] = pads.dataset(paths)
+    return d
+
+
 @ray.remote(num_cpus=1)
 def _fetch_map_task(paths: list[str], wanted: list[str], fn, fn_kwargs: dict):
     """One bucket's point-read + map. Opens the bucket fragments directly
     with pyarrow (no Dataset job planning) and applies ``fn`` to the fetched
     Arrow table in-place — html bytes never leave the task."""
-    dset = pads.dataset(paths)
+    dset = _open_dataset(paths)
     t = dset.to_table(
         columns=["url_norm", "url", "html"],
         filter=pc.is_in(pads.field("url_norm"), value_set=pa.array(wanted, pa.string())),

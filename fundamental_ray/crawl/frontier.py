@@ -41,7 +41,7 @@ from ..extraction.listpage import extract_listing_urls, extract_next_page, searc
 from ..extraction.selectolite import Selector
 from .canonicalize import canonicalize_url, host_of
 from .fetchstore import fetch_map_tasks, fetch_pages
-from .politeness import schedule_round
+from .politeness import schedule_round, schedule_round_local
 from .robots import RobotsTable
 from .seen import SeenSet
 
@@ -382,6 +382,15 @@ class CrawlJob:
                     break
             if not over:
                 scheduled = pending
+            elif pending.num_rows < 2_000_000:
+                # vectorized driver-local schedule (identical semantics);
+                # pending is budget-bounded per round, so this is the
+                # common case even at huge frontier scale
+                scheduled, new_deferred = schedule_round_local(
+                    pending, cfg.budget_per_host, delays, cfg.base_delay
+                )
+                scheduled = scheduled.select(REQUEST_SCHEMA.names)
+                new_deferred = new_deferred.select(REQUEST_SCHEMA.names)
             else:
                 scheduled_ds = schedule_round(
                     ray.data.from_arrow(pending), cfg.budget_per_host, delays,

@@ -51,3 +51,40 @@ def schedule_round(
         return g
 
     return requests.groupby("host").map_groups(sched, batch_format="pandas")
+
+
+def schedule_round_local(
+    pending,  # pyarrow.Table with REQUEST_COLUMNS
+    budget_per_host: int,
+    crawl_delays: dict[str, float] | None = None,
+    base_delay: float = 2.0,
+):
+    """Vectorized driver-local scheduler — identical semantics to
+    ``schedule_round`` (one stable sort + per-host rank < budget), used when
+    the pending set fits comfortably in driver memory. At 10^10-frontier
+    scale the pending set per round is budget-bounded (hosts × budget), so
+    this stays small even when the frontier is huge; the Dataset groupby
+    path above is the fallback for a pathological pending blow-up.
+
+    Returns (scheduled: pa.Table, deferred: pa.Table).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    delays = crawl_delays or {}
+    df = pending.to_pandas()
+    df = df.sort_values(["host", "priority", "page_seq", "url_norm"], kind="mergesort")
+    rank = df.groupby("host", sort=False).cumcount().to_numpy()
+    budgets = np.full(len(df), budget_per_host, dtype=np.int64)
+    if delays:
+        shrunk = {
+            h: max(1, int(budget_per_host * base_delay / d))
+            for h, d in delays.items()
+            if d and d > base_delay
+        }
+        if shrunk:
+            budgets = df["host"].map(shrunk).fillna(budget_per_host).to_numpy(dtype=np.int64)
+    mask = rank < budgets
+    sched = pa.Table.from_pandas(df[mask], preserve_index=False)
+    defer = pa.Table.from_pandas(df[~mask], preserve_index=False)
+    return sched, defer

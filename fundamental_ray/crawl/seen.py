@@ -166,7 +166,11 @@ class SeenSet:
         import ray
 
         self.num_shards = num_shards
-        Actor = ray.remote(num_cpus=0.25)(SeenShardActor)
+        # num_cpus=0: shards are latency-bound lookup actors active only
+        # during the short claim phase; reserving CPU slots would steal task
+        # capacity disproportionately at small cluster sizes (observed: at
+        # num_cpus=2, four 0.25-cpu shards halved task throughput)
+        Actor = ray.remote(num_cpus=0)(SeenShardActor)
         self.shards = [
             Actor.remote(i, capacity_per_shard) for i in range(num_shards)
         ]
