@@ -26,8 +26,13 @@ from .canonicalize import canonicalize_url
 DEFAULT_BUCKETS = 32
 
 
+INDEX_VERSION = "v2"  # bump when the bucket hash / layout changes
+
+
 def bucket_of(url_norm: str, num_buckets: int) -> int:
-    return zlib.crc32(url_norm.encode("utf-8"), 0xB0C4) % num_buckets
+    # unseeded crc32 — the SAME hash the candidate extractor emits as
+    # url_crc, so bucket routing is `url_crc % B` everywhere
+    return zlib.crc32(url_norm.encode("utf-8")) % num_buckets
 
 
 def build_fetch_index(
@@ -46,7 +51,12 @@ def build_fetch_index(
     Columns kept: url_norm, url, html (`text`/`lang` stay in the source)."""
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as fh:
+            if fh.read().split(":")[0] == INDEX_VERSION:
+                return out_dir
+        import shutil as _sh
+
+        _sh.rmtree(out_dir)  # stale layout/hash — rebuild
     os.makedirs(out_dir, exist_ok=True)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -73,13 +83,13 @@ def build_fetch_index(
         .write_parquet(out_dir, partition_cols=["kind", "bucket"], row_group_size=1024)
     )
     with open(done, "w") as fh:
-        fh.write(str(num_buckets))
+        fh.write(f"{INDEX_VERSION}:{num_buckets}")
     return out_dir
 
 
 def index_num_buckets(index_dir: str) -> int:
     with open(os.path.join(index_dir, "_DONE")) as fh:
-        return int(fh.read().strip())
+        return int(fh.read().strip().split(":")[-1])
 
 
 def fetch_pages(
@@ -179,6 +189,71 @@ def fetch_map_tasks(
             refs.append(
                 _fetch_map_task.remote(
                     paths, wanted[i : i + max_urls_per_task], fn, fn_kwargs or {}
+                )
+            )
+    return refs
+
+
+@ray.remote(num_cpus=1)
+def _fetch_map_requests_task(paths, table, lo, n, chunk_id, fn, fn_kwargs):
+    """Chunk task for fetch_map_requests. ``table`` arrives via Ray's
+    top-level ObjectRef auto-deref — a zero-copy plasma read of the one
+    shared request table; the slice is a view, not a copy."""
+    reqs = table.slice(lo, n)
+    wanted = reqs.column("url_norm").to_pylist()
+    dset = _open_dataset(paths)
+    t = dset.to_table(
+        columns=["url_norm", "url", "html"],
+        filter=pc.is_in(pads.field("url_norm"), value_set=pa.array(wanted, pa.string())),
+    )
+    return fn(t, reqs, chunk_id, **fn_kwargs)
+
+
+def fetch_map_requests(
+    index_dir: str,
+    requests: pa.Table,  # needs url_norm + url_crc columns
+    kind: str,
+    fn,
+    fn_kwargs: dict | None = None,
+    max_urls_per_task: int = 512,
+) -> list:
+    """Scaled variant of fetch_map_tasks for big request sets: the request
+    table is put into the object store ONCE (arrow, zero-copy reads) and
+    each chunk task slices its contiguous (bucket, url_norm)-sorted range —
+    the driver never builds per-URL python structures or pickles big dicts.
+    ``fn(pages_batch, request_slice, chunk_id, **kwargs)`` runs in the task
+    (chunk_id = stable ordinal for deterministic part naming)."""
+    import glob as _glob
+
+    import numpy as np
+
+    num_buckets = index_num_buckets(index_dir)
+    buckets = requests.column("url_crc").to_numpy().astype(np.int64) % num_buckets
+    # vectorized (bucket, url_norm) sort → contiguous per-bucket chunks
+    order = np.lexsort(
+        (np.asarray(requests.column("url_norm"), dtype=object), buckets)
+    )
+    sorted_t = requests.take(pa.array(order))
+    sorted_buckets = buckets[order]
+    table_ref = ray.put(sorted_t)
+
+    cuts = np.flatnonzero(np.diff(sorted_buckets)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(order)]))
+    refs = []
+    for s0, s1 in zip(starts, ends):
+        b = int(sorted_buckets[s0])
+        d = os.path.join(index_dir, f"kind={kind}", f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        if not paths:
+            continue
+        for lo in range(int(s0), int(s1), max_urls_per_task):
+            n = min(max_urls_per_task, int(s1) - lo)
+            refs.append(
+                _fetch_map_requests_task.remote(
+                    paths, table_ref, lo, n, len(refs), fn, fn_kwargs or {}
                 )
             )
     return refs

@@ -40,7 +40,7 @@ from ..extraction.listing import LISTING_SCHEMA, extract_listing_row
 from ..extraction.listpage import extract_listing_urls, extract_next_page, search_params_of
 from ..extraction.selectolite import Selector
 from .canonicalize import canonicalize_url, host_of
-from .fetchstore import fetch_map_tasks, fetch_pages
+from .fetchstore import fetch_map_requests, fetch_map_tasks, fetch_pages
 from .politeness import schedule_round, schedule_round_local
 from .robots import RobotsTable
 from .seen import SeenSet
@@ -55,6 +55,7 @@ REQUEST_SCHEMA = pa.schema(
         ("place", pa.string()),
         ("priority", pa.int32()),
         ("page_seq", pa.int32()),
+        ("url_crc", pa.uint32()),
     ]
 )
 
@@ -145,13 +146,26 @@ def extract_candidates_batch(batch: pa.Table, meta_ref) -> pa.Table:
     )
 
 
-def extract_details_batch(batch: pa.Table, meta_ref, scraped_at: str) -> pa.Table:
-    """Stateless task stage over fetched detail pages: listing row or blocked
-    marker (M3-M15). Blocked rows kept (flag column) so per-chain counters
-    fall out of a tiny aggregation instead of a second pass."""
-    meta = ray.get(meta_ref)  # url_norm -> (chain_id, mode, place)
+def extract_details_to_parts(
+    batch: pa.Table, reqs: pa.Table, chunk_id: int, scraped_at: str, parts_dir: str
+) -> dict:
+    """Stateless task stage over fetched detail pages: listing rows or
+    blocked drops (M3-M15). Writes its own Parquet part (deterministic name,
+    atomic tmp+rename — re-runs overwrite) so listing bytes never transit
+    the driver; returns only counters. ``reqs`` is the task's zero-copy
+    request slice (url_norm → chain/mode/place)."""
+    meta = {
+        n: (c, m, p)
+        for n, c, m, p in zip(
+            reqs.column("url_norm").to_pylist(),
+            reqs.column("chain_id").to_pylist(),
+            reqs.column("mode").to_pylist(),
+            reqs.column("place").to_pylist(),
+        )
+    }
     rows = []
-    flags = {"chain_id": [], "blocked": []}
+    chain_ids = []
+    blocked_n = 0
     for norm, url, html in zip(
         batch.column("url_norm").to_pylist(),
         batch.column("url").to_pylist(),
@@ -162,15 +176,20 @@ def extract_details_batch(batch: pa.Table, meta_ref, scraped_at: str) -> pa.Tabl
             html.decode("utf-8", errors="replace"),
             url, place, mode=mode, scraped_at=scraped_at,
         )
-        blocked = row is None
-        flags["chain_id"].append(chain_id)
-        flags["blocked"].append(blocked)
-        rows.append(row if row is not None else {"url": url})
-    cols = {n: [r.get(n) for r in rows] for n in [f.name for f in LISTING_SCHEMA]}
-    t = pa.Table.from_pydict(cols, schema=LISTING_SCHEMA)
-    t = t.append_column("chain_id", pa.array(flags["chain_id"], pa.int64()))
-    t = t.append_column("blocked", pa.array(flags["blocked"], pa.bool_()))
-    return t
+        if row is None:
+            blocked_n += 1
+        else:
+            rows.append(row)
+            chain_ids.append(chain_id)
+    n_listings = len(rows)
+    if n_listings:
+        cols = {n: [r.get(n) for r in rows] for n in [f.name for f in LISTING_SCHEMA]}
+        t = pa.Table.from_pydict(cols, schema=LISTING_SCHEMA)
+        t = t.append_column("chain_id", pa.array(chain_ids, pa.int64()))
+        path = os.path.join(parts_dir, f"part-{chunk_id:05d}.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return {"fetched": batch.num_rows, "blocked": blocked_n, "listings": n_listings}
 
 
 class CrawlJob:
@@ -336,24 +355,28 @@ class CrawlJob:
             ):
                 if cid in page_visits:
                     page_visits[cid]["new"] = n
-            # request rows: columns carried from the task output + per-chain
-            # mode/place via a small-map vectorized lookup
+            # request rows: arrow-native — string columns are carried
+            # zero-copy from the task output; only the (tiny-domain)
+            # chain_id → mode/place lookup materializes new arrays
             mode_map = {cid: c.mode for cid, c in self.chains.items()}
             place_map = {cid: c.place for cid, c in self.chains.items()}
-            ndf = pd.DataFrame(
+            cids = novel_detail.column("chain_id").to_numpy()
+            cid_series = pd.Series(cids)
+            novel_t = pa.table(
                 {
-                    "url": novel_detail.column("url").to_pandas(),
-                    "url_norm": novel_detail.column("url_norm").to_pandas(),
-                    "host": novel_detail.column("host").to_pandas(),
-                    "chain_id": novel_detail.column("chain_id").to_pandas(),
+                    "url": novel_detail.column("url"),
+                    "url_norm": novel_detail.column("url_norm"),
+                    "host": novel_detail.column("host"),
+                    "chain_id": novel_detail.column("chain_id"),
+                    "mode": pa.array(cid_series.map(mode_map), pa.string()),
+                    "place": pa.array(cid_series.map(place_map), pa.string()),
+                    "priority": pa.array(
+                        np.ones(len(cids), dtype=np.int32), pa.int32()
+                    ),
+                    "page_seq": novel_detail.column("page_seq"),
+                    "url_crc": novel_detail.column("url_crc"),
                 }
-            )
-            ndf["mode"] = ndf["chain_id"].map(mode_map)
-            ndf["place"] = ndf["chain_id"].map(place_map)
-            ndf["priority"] = np.int32(1)
-            ndf["page_seq"] = novel_detail.column("page_seq").to_pandas()
-            novel_t = pa.Table.from_pandas(ndf, schema=REQUEST_SCHEMA,
-                                           preserve_index=False)
+            ).cast(REQUEST_SCHEMA)
             delta["deduped"] = detail.num_rows - novel_t.num_rows
         self._lineage("dedup_claim", detail.num_rows, novel_t.num_rows, t0,
                       deduped=detail.num_rows - novel_t.num_rows)
@@ -424,22 +447,20 @@ class CrawlJob:
                           scheduled.num_rows, t0, robots_denied=denied.num_rows)
 
         # -- 5a. LAUNCH fetch-join + extraction (collected next round) --
+        # request metadata travels as ONE arrow table in plasma (zero-copy
+        # slices per chunk task); listing parts are written by the tasks
+        # themselves, so listing bytes never pass through the driver
         refs: list = []
         if scheduled.num_rows:
-            dmeta = {
-                n: (c, m, p)
-                for n, c, m, p in zip(
-                    scheduled.column("url_norm").to_pylist(),
-                    scheduled.column("chain_id").to_pylist(),
-                    scheduled.column("mode").to_pylist(),
-                    scheduled.column("place").to_pylist(),
-                )
-            }
-            dref = ray.put(dmeta)
-            refs = fetch_map_tasks(
-                cfg.index_dir, list(dmeta), "detail",
-                extract_details_batch,
-                {"meta_ref": dref, "scraped_at": cfg.scraped_at},
+            import shutil as _sh
+
+            parts_dir = os.path.join(rdir, "listings_parts")
+            _sh.rmtree(parts_dir, ignore_errors=True)  # re-run safety
+            os.makedirs(parts_dir, exist_ok=True)
+            refs = fetch_map_requests(
+                cfg.index_dir, scheduled, "detail",
+                extract_details_to_parts,
+                {"scraped_at": cfg.scraped_at, "parts_dir": parts_dir},
             )
 
         # -- 6. stop-condition fold (reference control flow) ------------
@@ -502,31 +523,17 @@ class CrawlJob:
         they overlapped the next round's list phase), fold fetch counters,
         write the checkpoint."""
         delta = pend["delta"]
-        listings_delta = None
         if pend["refs"]:
-            tables = [
-                t for t in ray.get(pend["refs"]) if t is not None and t.num_rows
-            ]
-            full = pa.concat_tables(tables, promote_options="default") \
-                if tables else None
-            if full is not None and full.num_rows:
-                blocked_n = pc.sum(
-                    full.column("blocked").cast(pa.int64())
-                ).as_py() or 0
-                delta["blocked"] = blocked_n
-                delta["fetched"] = full.num_rows
-                delta["fetch_miss"] = pend["scheduled_rows"] - full.num_rows
-                listings_delta = full.filter(
-                    pc.invert(full.column("blocked"))
-                ).drop_columns(["blocked"])
-                delta["listings"] = listings_delta.num_rows
-            else:
-                delta["fetch_miss"] = pend["scheduled_rows"]
+            counts = [c for c in ray.get(pend["refs"]) if c is not None]
+            delta["fetched"] = sum(c["fetched"] for c in counts)
+            delta["blocked"] = sum(c["blocked"] for c in counts)
+            delta["listings"] = sum(c["listings"] for c in counts)
+            delta["fetch_miss"] = pend["scheduled_rows"] - delta["fetched"]
             self.lineage.append(
                 {
                     "round": pend["round"], "stage": "fetch_extract",
                     "in_rows": pend["scheduled_rows"],
-                    "out_rows": 0 if listings_delta is None else listings_delta.num_rows,
+                    "out_rows": delta["listings"],
                     "wall_ms": int((time.time() - pend["t_fetch_launch"]) * 1000),
                     "fetched": delta["fetched"],
                 }
@@ -536,8 +543,6 @@ class CrawlJob:
 
         rdir = pend["rdir"]
         pq.write_table(pend["new_deferred"], os.path.join(rdir, "deferred.parquet"))
-        if listings_delta is not None:
-            pq.write_table(listings_delta, os.path.join(rdir, "listings.parquet"))
         # incremental seen snapshot: just this round's claims (O(Δ), not
         # O(total)); resume unions all committed rounds' claim files
         pq.write_table(
@@ -607,13 +612,24 @@ def chains_from_corpus(corpus_chains) -> list[ChainState]:
     ]
 
 
+def round_listings_paths(job_dir: str) -> list[str]:
+    """Parquet part files of every committed round's listings delta."""
+    import glob as _glob
+
+    paths: list[str] = []
+    for d in sorted(os.listdir(job_dir)):
+        if not d.startswith("round="):
+            continue
+        rdir = os.path.join(job_dir, d)
+        if not os.path.exists(os.path.join(rdir, "_COMMITTED")):
+            continue
+        paths.extend(sorted(_glob.glob(os.path.join(rdir, "listings_parts", "*.parquet"))))
+        legacy = os.path.join(rdir, "listings.parquet")
+        if os.path.exists(legacy):
+            paths.append(legacy)
+    return paths
+
+
 def crawl_listings_dataset(job_dir: str) -> ray.data.Dataset:
     """Union of all committed per-round listing deltas."""
-    paths = sorted(
-        os.path.join(job_dir, d, "listings.parquet")
-        for d in os.listdir(job_dir)
-        if d.startswith("round=")
-        and os.path.exists(os.path.join(job_dir, d, "_COMMITTED"))
-        and os.path.exists(os.path.join(job_dir, d, "listings.parquet"))
-    )
-    return ray.data.read_parquet(paths)
+    return ray.data.read_parquet(round_listings_paths(job_dir))

@@ -94,16 +94,19 @@ def crawl_store_properties(sf_dir: str) -> pd.DataFrame:
 
     from ..store.merge import merge_round
 
+    import glob as _glob
+
     _, job_dir = run_crawl(scale_tag_of(sf_dir))
     store = None
-    rounds = sorted(
-        d for d in os.listdir(job_dir)
-        if d.startswith("round=")
-        and os.path.exists(os.path.join(job_dir, d, "listings.parquet"))
-    )
-    for i, d in enumerate(rounds, start=1):
-        delta = ray.data.read_parquet(os.path.join(job_dir, d, "listings.parquet"))
-        delta = delta.drop_columns(["chain_id"])
+    round_parts = []
+    for d in sorted(os.listdir(job_dir)):
+        if not d.startswith("round="):
+            continue
+        parts = sorted(_glob.glob(os.path.join(job_dir, d, "listings_parts", "*.parquet")))
+        if parts:
+            round_parts.append(parts)
+    for i, parts in enumerate(round_parts, start=1):
+        delta = ray.data.read_parquet(parts).drop_columns(["chain_id"])
         store = merge_round(store, delta, i).materialize()
     out = store.to_pandas().sort_values("url").reset_index(drop=True)
     return out.drop(columns=["last_updated_round", "first_seen_round"])

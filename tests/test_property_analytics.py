@@ -21,7 +21,7 @@ def listings_pdf(crawl_env):
     import glob
 
     corpus, idx = crawl_env
-    files = glob.glob("/tmp/fr_test_job_full/round=*/listings.parquet")
+    files = glob.glob("/tmp/fr_test_job_full/round=*/listings_parts/*.parquet")
     if not files:
         pytest.skip("crawl job output not present (run test_crawl first)")
     df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
