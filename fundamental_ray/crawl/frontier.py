@@ -40,7 +40,7 @@ from ..extraction.listing import LISTING_SCHEMA, extract_listing_row
 from ..extraction.listpage import extract_listing_urls, extract_next_page, search_params_of
 from ..extraction.selectolite import Selector
 from .canonicalize import canonicalize_url, host_of
-from .fetchstore import fetch_map_requests, fetch_map_tasks, fetch_pages
+from .fetchstore import fetch_map_requests, fetch_map_tasks
 from .politeness import schedule_round, schedule_round_local
 from .robots import RobotsTable
 from .seen import SeenSet

@@ -184,3 +184,27 @@ def test_robots_parsing():
     assert r.allowed("/detail/open/a")  # longest-prefix Allow wins
     assert r.allowed("/x")  # other-agent group ignored
     assert r.crawl_delay == 10.0
+
+
+def test_missing_list_page_ends_chain(crawl_env):
+    """A list URL absent from the pages table (live crawl: 404) must end the
+    chain on that round, with no page-visit recorded for it."""
+    corpus, idx = crawl_env
+    shutil.rmtree("/tmp/fr_test_job_miss", ignore_errors=True)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir="/tmp/fr_test_job_miss", num_seen_shards=2,
+        scraped_at=SCRAPED_AT,
+    )
+    from fundamental_ray.crawl.frontier import ChainState
+
+    ghost = ChainState(
+        chain_id=999, host="nosuch.example", place="nergens",
+        availability="available",
+        next_url="https://nosuch.example/zoeken/koop/?selected_area=%5B%22nergens%22%5D",
+    )
+    job = CrawlJob(cfg, [ghost])
+    job.run()
+    assert job.round == 1
+    assert job.chains[999].done
+    assert job.counters["fetched"] == 0 and job.counters["listings"] == 0
+    assert _got_visits("/tmp/fr_test_job_miss") == []
