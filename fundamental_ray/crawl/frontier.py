@@ -282,9 +282,14 @@ class CrawlJob:
                 canonicalize_url(c.next_url): (c.chain_id, c.page_no) for c in live
             }
             meta_ref = ray.put(meta)
+            # chunk so every CPU gets ≥2 list-fetch tasks (load balance at
+            # high core counts; floor keeps tiny rounds in few tasks)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            chunk = max(32, len(meta) // (2 * ncpu) + 1)
             refs = fetch_map_tasks(
                 cfg.index_dir, list(meta), "list",
                 extract_candidates_batch, {"meta_ref": meta_ref},
+                max_urls_per_task=chunk,
             )
             tables = [t for t in ray.get(refs) if t is not None and t.num_rows]
             if tables:
