@@ -43,7 +43,7 @@ from .canonicalize import canonicalize_url, host_of
 from .fetchstore import fetch_map_requests, fetch_map_tasks
 from .politeness import schedule_round, schedule_round_local
 from .robots import RobotsTable
-from .seen import SeenSet
+from .seen import StatusPartitionedSeen
 
 REQUEST_SCHEMA = pa.schema(
     [
@@ -196,7 +196,7 @@ class CrawlJob:
     def __init__(self, config: CrawlConfig, chains: list[ChainState]):
         self.cfg = config
         self.chains = {c.chain_id: c for c in chains}
-        self.seen = SeenSet(config.num_seen_shards)
+        self.seen = StatusPartitionedSeen(config.num_seen_shards)
         self.robots = RobotsTable.from_rows(config.robots_rows)
         self.round = 0
         self._round_novel: pa.Table = REQUEST_SCHEMA.empty_table()
@@ -331,17 +331,28 @@ class CrawlJob:
         if detail.num_rows:
             import numpy as np
 
-            shards = detail.column("url_crc").to_numpy() % self.seen.num_shards
-            order = np.argsort(shards, kind="stable")
-            sorted_shards = shards[order]
-            cuts = np.flatnonzero(np.diff(sorted_shards)) + 1
+            # status-partitioned claim: route each candidate to its chain
+            # mode's seen class (SURVEY.md §1.2), then shard within the class
+            cids_np = detail.column("chain_id").to_numpy()
+            sold_chain = {cid for cid, c in self.chains.items() if c.mode == "sold"}
+            is_sold = np.isin(cids_np, np.fromiter(sold_chain, dtype=np.int64)) \
+                if sold_chain else np.zeros(len(cids_np), dtype=bool)
+            crc = detail.column("url_crc").to_numpy()
+            shards = crc % self.seen.num_shards
+            # composite route key: (class, shard) — contiguous after argsort
+            route = shards + np.where(is_sold, self.seen.num_shards, 0)
+            order = np.argsort(route, kind="stable")
+            sorted_route = route[order]
+            cuts = np.flatnonzero(np.diff(sorted_route)) + 1
             starts = np.concatenate(([0], cuts))
             ends = np.concatenate((cuts, [len(order)]))
             norm_only = detail.select(["url_norm"])
             futs = []
             for s0, s1 in zip(starts, ends):
                 idxs = order[s0:s1]
-                shard = self.seen.shards[int(sorted_shards[s0])]
+                r = int(sorted_route[s0])
+                pool = self.seen.pools["sold" if r >= self.seen.num_shards else "active"]
+                shard = pool.shards[r % self.seen.num_shards]
                 # ship an Arrow slice; the actor decodes strings in its own
                 # process — zero per-URL python on the driver
                 futs.append(
@@ -551,7 +562,7 @@ class CrawlJob:
         # incremental seen snapshot: just this round's claims (O(Δ), not
         # O(total)); resume unions all committed rounds' claim files
         pq.write_table(
-            pend["novel"].select(["url_norm"]),
+            pend["novel"].select(["url_norm", "mode"]),
             os.path.join(rdir, "seen_claims.parquet"),
         )
         with open(os.path.join(rdir, "chains.json"), "w") as fh:
@@ -592,12 +603,16 @@ class CrawlJob:
             chains = [ChainState(**c) for c in json.load(fh)]
         job = cls(config, chains)
         job.round = last
-        claims: list[str] = []
+        by_class: dict[str, list[str]] = {"active": [], "sold": []}
         for r in rounds:
             p = os.path.join(config.job_dir, f"round={r:04d}", "seen_claims.parquet")
             if os.path.exists(p):
-                claims.extend(pq.read_table(p).column("url_norm").to_pylist())
-        job.seen.preload(claims)
+                t = pq.read_table(p)
+                for n, m in zip(
+                    t.column("url_norm").to_pylist(), t.column("mode").to_pylist()
+                ):
+                    by_class["sold" if m == "sold" else "active"].append(n)
+        job.seen.preload(by_class)
         with open(os.path.join(rdir, "counters.json")) as fh:
             job.counters = json.load(fh)["counters"]
         deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))

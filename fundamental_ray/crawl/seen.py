@@ -266,3 +266,54 @@ class SeenSet:
             out.update(pq.read_table(tmp).column("url").to_pylist())
             os.remove(tmp)
         return out
+
+
+class StatusPartitionedSeen:
+    """Status-partitioned URL-seen sets (SURVEY.md §1.2): the reference's
+    active spider skips URLs already in {active, inactive, republished}
+    (scrapers/funda/database.py:46-51) while the sold spider skips only
+    {sold} (database.py:37-44) — two independent membership universes over
+    the same URL space. One SeenSet pool per class; claims route by the
+    requesting chain's mode, so an address can be claimed by the active
+    crawl and *independently* by the sold crawl, exactly as two reference
+    spider runs would both fetch it."""
+
+    CLASSES = ("active", "sold")
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20):
+        self.num_shards = num_shards
+        self.pools = {
+            c: SeenSet(num_shards, capacity_per_shard) for c in self.CLASSES
+        }
+
+    def pool(self, mode: str) -> SeenSet:
+        return self.pools["sold" if mode == "sold" else "active"]
+
+    def preload(self, urls_by_class: dict[str, list[str]]) -> int:
+        return sum(
+            self.pools[c].preload(urls) for c, urls in urls_by_class.items() if urls
+        )
+
+    def preload_from_store(self, statuses_and_urls: list[tuple[str, str]]) -> int:
+        """S7: seed from a property-store snapshot — the reference's
+        status-dependent SELECTs. (status, url) pairs route: sold → sold
+        class; active/inactive/republished → active class."""
+        by: dict[str, list[str]] = {"active": [], "sold": []}
+        for status, url in statuses_and_urls:
+            if status == "sold":
+                by["sold"].append(url)
+            elif status in ("active", "inactive", "republished"):
+                by["active"].append(url)
+        return self.preload(by)
+
+    def total(self) -> int:
+        return sum(p.total() for p in self.pools.values())
+
+    def all_urls(self) -> set[str]:
+        out: set[str] = set()
+        for p in self.pools.values():
+            out |= p.all_urls()
+        return out
+
+    def all_urls_by_class(self) -> dict[str, set[str]]:
+        return {c: p.all_urls() for c, p in self.pools.items()}

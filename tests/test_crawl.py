@@ -208,3 +208,31 @@ def test_missing_list_page_ends_chain(crawl_env):
     assert job.chains[999].done
     assert job.counters["fetched"] == 0 and job.counters["listings"] == 0
     assert _got_visits("/tmp/fr_test_job_miss") == []
+
+
+def test_status_partitioned_seen(ray_session):
+    """SURVEY §1.2: active and sold crawls hold independent URL-seen
+    universes — the same address can be claimed once per class (the
+    reference's two spiders would each fetch it), and store preloading
+    routes by status exactly like the reference's SELECTs
+    (scrapers/funda/database.py:37-51)."""
+    from fundamental_ray.crawl.seen import StatusPartitionedSeen
+
+    s = StatusPartitionedSeen(num_shards=2)
+    url = "https://www.funda.nl/detail/koop/amsterdam/huis-x-1/"
+    assert s.pool("active").check_and_insert([url]) == [True]
+    assert s.pool("sold").check_and_insert([url]) == [True]   # independent
+    assert s.pool("active").check_and_insert([url]) == [False]
+    assert s.pool("sold").check_and_insert([url]) == [False]
+    assert s.total() == 2 and s.all_urls() == {url}
+
+    s2 = StatusPartitionedSeen(num_shards=2)
+    s2.preload_from_store(
+        [("active", "u1"), ("inactive", "u2"), ("republished", "u3"),
+         ("sold", "u4"), ("unknown", "u5")]
+    )
+    by = s2.all_urls_by_class()
+    assert by["active"] == {"u1", "u2", "u3"}   # active spider skips these
+    assert by["sold"] == {"u4"}                  # sold spider skips only sold
+    # u5 (unknown status) is in neither class → both crawls would refetch
+    assert s2.pool("active").check_and_insert(["u4"]) == [True]
