@@ -36,6 +36,9 @@ def run_crawl(tag: str) -> tuple[CrawlJob, str]:
         f"{corpus}/pages.parquet", f"/tmp/fr_index/{os.path.basename(corpus)}", 16
     )
     job_dir = f"/tmp/fr_jobs/{os.path.basename(corpus)}"
+    import shutil
+
+    shutil.rmtree(job_dir, ignore_errors=True)  # stale layouts from other runs
     cfg = CrawlConfig(
         index_dir=idx, job_dir=job_dir, budget_per_host=1_000,
         num_seen_shards=8, scraped_at=SCRAPED_AT,
