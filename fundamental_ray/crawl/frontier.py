@@ -154,24 +154,32 @@ def extract_details_to_parts(
     atomic tmp+rename — re-runs overwrite) so listing bytes never transit
     the driver; returns only counters. ``reqs`` is the task's zero-copy
     request slice (url_norm → chain/mode/place)."""
-    meta = {
-        n: (c, m, p)
-        for n, c, m, p in zip(
-            reqs.column("url_norm").to_pylist(),
-            reqs.column("chain_id").to_pylist(),
-            reqs.column("mode").to_pylist(),
-            reqs.column("place").to_pylist(),
+    # iterate REQUEST rows (not fetched pages): the same page may be
+    # requested by both an active and a sold chain (status-partitioned
+    # crawls of one place) and must be parsed once per requesting mode
+    page_map = {
+        n: (u, h)
+        for n, u, h in zip(
+            batch.column("url_norm").to_pylist(),
+            batch.column("url").to_pylist(),
+            batch.column("html").to_pylist(),
         )
     }
     rows = []
     chain_ids = []
     blocked_n = 0
-    for norm, url, html in zip(
-        batch.column("url_norm").to_pylist(),
-        batch.column("url").to_pylist(),
-        batch.column("html").to_pylist(),
+    fetched_n = 0
+    for norm, chain_id, mode, place in zip(
+        reqs.column("url_norm").to_pylist(),
+        reqs.column("chain_id").to_pylist(),
+        reqs.column("mode").to_pylist(),
+        reqs.column("place").to_pylist(),
     ):
-        chain_id, mode, place = meta[norm]
+        page = page_map.get(norm)
+        if page is None:
+            continue  # fetch miss (live 404)
+        fetched_n += 1
+        url, html = page
         row = extract_listing_row(
             html.decode("utf-8", errors="replace"),
             url, place, mode=mode, scraped_at=scraped_at,
@@ -189,7 +197,7 @@ def extract_details_to_parts(
         path = os.path.join(parts_dir, f"part-{chunk_id:05d}.parquet")
         pq.write_table(t, path + ".tmp")
         os.replace(path + ".tmp", path)
-    return {"fetched": batch.num_rows, "blocked": blocked_n, "listings": n_listings}
+    return {"fetched": fetched_n, "blocked": blocked_n, "listings": n_listings}
 
 
 class CrawlJob:

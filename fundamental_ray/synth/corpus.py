@@ -69,7 +69,9 @@ class PageSpec:
 
 
 def chain_pages(chain: Chain) -> list[PageSpec]:
-    lid0 = chain.chain_id * 100_000
+    lid0 = (
+        chain.listing_owner if chain.listing_owner is not None else chain.chain_id
+    ) * 100_000
     if chain.layout == "standard":
         uniq = [Listing(chain, lid0 + j) for j in range(53)]
         per_page = [
@@ -169,6 +171,8 @@ def chain_rows(chain: Chain) -> list[dict]:
 
     for spec in chain_pages(chain):
         add(spec.url, list_page_html(spec))
+    if chain.listing_owner is not None:
+        return rows  # detail + noise pages are emitted by the owner chain
     for l in unique_listings(chain):
         lang = "en" if _h(SEED, "lang", l.listing_id) % 17 == 0 else "nl"
         add(l.url, l.html(), lang)

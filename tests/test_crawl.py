@@ -9,6 +9,7 @@ import os
 import shutil
 
 import duckdb
+import pandas as pd
 import pytest
 
 from fundamental_ray.crawl.fetchstore import build_fetch_index
@@ -236,3 +237,67 @@ def test_status_partitioned_seen(ray_session):
     assert by["sold"] == {"u4"}                  # sold spider skips only sold
     # u5 (unknown status) is in neither class → both crawls would refetch
     assert s2.pool("active").check_and_insert(["u4"]) == [True]
+
+
+def test_paired_active_sold_crawl_same_place(ray_session, tmp_path):
+    """End-to-end status partitioning: an active and a sold chain over the
+    SAME place crawl the SAME detail URLs. Each class claims independently
+    (two reference spider runs both fetch the page); every shared URL yields
+    one active-parse row and one sold-parse row, each matching the extractor
+    applied in that mode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fundamental_ray.crawl.fetchstore import build_fetch_index
+    from fundamental_ray.extraction.listing import extract_listing_row
+    from fundamental_ray.synth.corpus import (
+        Chain,
+        chain_rows,
+        simulate_reference_crawl,
+        unique_listings,
+    )
+    from fundamental_ray.synth.materialize import PAGES_SCHEMA, SCRAPED_AT
+
+    active = Chain(0, "www.funda.nl", "parity", "available", "standard")
+    sold = Chain(1, "www.funda.nl", "parity", "unavailable", "standard",
+                 listing_owner=0)
+    assert {l.url for l in unique_listings(active)} == {
+        l.url for l in unique_listings(sold)
+    }
+
+    rows = chain_rows(active) + chain_rows(sold)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+        str(tmp_path / "pages.parquet"),
+    )
+    idx = build_fetch_index(str(tmp_path / "pages.parquet"),
+                            str(tmp_path / "idx"), num_buckets=4)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir=str(tmp_path / "job"), num_seen_shards=2,
+        scraped_at=SCRAPED_AT,
+    )
+    job = CrawlJob(cfg, chains_from_corpus([active, sold]))
+    job.run()
+
+    _, p_active, _ = simulate_reference_crawl(active)
+    _, p_sold, _ = simulate_reference_crawl(sold)
+    by_class = job.seen.all_urls_by_class()
+    assert by_class["active"] == p_active
+    assert by_class["sold"] == p_sold
+    shared = p_active & p_sold
+    assert len(shared) > 30  # sold chain stops earlier, so a subset
+
+    ld = crawl_listings_dataset(str(tmp_path / "job")).to_pandas()
+    pages = {r["url"]: r["html"] for r in rows}
+    for url in sorted(shared)[:10]:
+        got = ld[ld["url"] == url].set_index("status")
+        assert set(got.index) == {"active", "sold"}, url
+        for mode in ("active", "sold"):
+            want = extract_listing_row(
+                bytes(pages[url]).decode(), url, "parity", mode, SCRAPED_AT
+            )
+            for fkey in ("street", "price", "year_built", "living_area",
+                         "energy_label", "listing_date", "selling_date"):
+                g = got.loc[mode, fkey]
+                w = want[fkey]
+                assert (g == w) or (pd.isna(g) and w is None), (url, mode, fkey, g, w)
