@@ -485,14 +485,29 @@ def events_sessionize(sf_dir: str) -> pd.DataFrame:
     events log — partition by key, sort by ts within the group, stateful fold
     in pandas (Ray Data has no event-time windows; the ordering assumption is
     per-user ts order, deterministic tiebreak event_id)."""
+    import pyarrow as pa
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # bucket users so each task sessionizes MANY users vectorized — a
+    # per-user map_groups would pay a python/pandas round-trip per tiny
+    # group (10k+ groups) and anti-scales at high core counts
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        )
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        g["session_no"] = gap.cumsum().astype("int64") + 1
+        g["session_no"] = (
+            (new_user | gap).groupby(g["user_id"].to_numpy()).cumsum().astype("int64")
+        )
         out = (
-            g.groupby("session_no")
+            g.groupby(["user_id", "session_no"], sort=False)
             .agg(
                 n_events=("event_id", "size"),
                 session_start=("ts", "min"),
@@ -501,11 +516,15 @@ def events_sessionize(sf_dir: str) -> pd.DataFrame:
             )
             .reset_index()
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["total_value"] = r2(out["total_value"])
         return out
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sess_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 EVENTS_SESSIONIZE_SQL = f"""
