@@ -71,7 +71,6 @@ class CrawlConfig:
     max_pages: int | None = None
     max_rounds: int = 64
     scraped_at: str = "1970-01-01T00:00:00"
-    extract_concurrency: int = 4
     base_delay: float = 2.0
 
 
@@ -367,8 +366,9 @@ class CrawlJob:
                     (idxs, shard.check_and_insert_arrow.remote(norm_only.take(idxs)))
                 )
             novel = np.zeros(detail.num_rows, dtype=bool)
-            for idxs, f in futs:
-                novel[idxs] = ray.get(f)
+            results = ray.get([f for _, f in futs])  # one barrier, not N
+            for (idxs, _), res in zip(futs, results):
+                novel[idxs] = res
 
             novel_detail = detail.filter(pa.array(novel))
             # per-chain 'new' counts — tiny vectorized groupby
