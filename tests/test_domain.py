@@ -214,3 +214,38 @@ def test_pipeline_compose(ray_session):
     ds = ray.data.from_items([{"x": 1}, {"x": 2}])
     out = sorted(r["x"] for r in run_pipeline(ds, cfg).take_all())
     assert out == [3, 5]  # (x*2)+1, not (x+1)*2
+
+
+def test_jsonl_wire_format_sink(ray_session, tmp_path, crawl_env):
+    """S5: the JSON-lines sink emits the reference's exact wire shape —
+    one sparse item per line (None fields dropped, ints as ints,
+    pipelines.py:54-69) plus the complete trailer (pipelines.py:71-81)."""
+    import json
+
+    import ray.data
+
+    from fundamental_ray.sources.jsonl_sink import write_items_jsonl
+
+    rows = [
+        {"url": "https://x/detail/koop/a/h-1/", "price": 100000.0,
+         "street": "A 1", "num_rooms": None, "status": "active",
+         "scraped_at": "2024-07-01T00:00:00"},
+        {"url": "https://x/detail/koop/a/h-2/", "price": None,
+         "street": None, "num_rooms": 3.0, "status": "sold",
+         "scraped_at": "2024-07-01T00:00:00"},
+    ]
+    p = str(tmp_path / "items.jsonl")
+    n = write_items_jsonl(ray.data.from_items(rows), p)
+    lines = [json.loads(l) for l in open(p)]
+    assert n == 2 and len(lines) == 3
+    items = [l for l in lines if l["type"] == "items"]
+    by_url = {l["data"][0]["url"]: l["data"][0] for l in items}
+    a = by_url["https://x/detail/koop/a/h-1/"]
+    assert a["price"] == 100000 and isinstance(a["price"], int)
+    assert "num_rooms" not in a  # None dropped (sparse wire format)
+    b = by_url["https://x/detail/koop/a/h-2/"]
+    assert "price" not in b and b["num_rooms"] == 3
+    trailer = lines[-1]
+    assert trailer["type"] == "complete"
+    assert trailer["data"]["total_items"] == 2
+    assert trailer["data"]["status"] == "success"
