@@ -122,17 +122,23 @@ def fetch_pages(
     return ray.data.read_parquet(paths, columns=columns or ["url_norm", "url", "html"], filter=filt)
 
 
-_DSET_CACHE: dict[tuple, "pads.Dataset"] = {}
+_DSET_CACHE: dict[tuple, tuple] = {}  # paths -> ((mtime,size)…, pads.Dataset)
 
 
 def _open_dataset(paths: list[str]):
     """Worker-process-global fragment cache: the same bucket files are
     probed every round, so dataset discovery/metadata parsing is paid once
-    per worker, not once per task."""
+    per worker, not once per task. The key carries each file's
+    (mtime_ns, size) so an index REBUILD at the same paths (rmtree +
+    rewrite in one Ray session) invalidates stale fragment metadata in
+    long-lived workers instead of serving wrong reads."""
     key = tuple(paths)
-    d = _DSET_CACHE.get(key)
-    if d is None:
-        d = _DSET_CACHE[key] = pads.dataset(paths)
+    token = tuple((st.st_mtime_ns, st.st_size) for p in paths for st in (os.stat(p),))
+    hit = _DSET_CACHE.get(key)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    d = pads.dataset(paths)
+    _DSET_CACHE[key] = (token, d)
     return d
 
 

@@ -52,6 +52,13 @@ class CuckooFilter:
         self.seed = seed
         self.count = 0
         self._rng_state = np.uint64(0x9E3779B97F4A7C15)
+        # degradation tracking: once any insert fails (table at capacity or
+        # a MAX_KICKS eviction chain gave up) a filter MISS no longer proves
+        # novelty — the evicted victim's fingerprint would otherwise vanish.
+        # The victim fp is kept in a stash consulted by contains(); degraded
+        # tells callers to fall back to the exact tier on misses.
+        self.degraded = False
+        self.stash: set[int] = set()
 
     def _fp_and_index(self, key: bytes) -> tuple[int, int]:
         h = zlib.crc32(key, self.seed)
@@ -65,6 +72,8 @@ class CuckooFilter:
 
     def contains(self, key: bytes) -> bool:
         fp, i1 = self._fp_and_index(key)
+        if fp in self.stash:
+            return True  # a failed eviction chain parked this fingerprint
         if (self.table[i1] == fp).any():
             return True
         i2 = self._alt_index(i1, fp)
@@ -95,7 +104,11 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
-        return False  # table full — callers treat as "consult exact store"
+        # table full: keep the displaced victim fingerprint findable and
+        # flip the shard to degraded mode (misses now consult the exact set)
+        self.stash.add(cur)
+        self.degraded = True
+        return False
 
 
 class SeenShardActor:
@@ -111,14 +124,15 @@ class SeenShardActor:
         out = []
         for u in urls:
             key = u.encode("utf-8")
-            if self.filter.contains(key):
-                novel = u not in self.exact  # filter hit → exact tier decides
+            if self.filter.contains(key) or self.filter.degraded:
+                # filter hit — or a degraded filter whose misses are no
+                # longer proof of novelty — the exact tier decides
+                novel = u not in self.exact
             else:
-                novel = True  # filter miss → definitely new, no exact lookup
+                novel = True  # healthy filter miss → definitely new
             if novel:
                 self.exact.add(u)
-                if not self.filter.insert(key):
-                    pass  # filter full: exact tier still authoritative
+                self.filter.insert(key)  # failure flips degraded + stashes
             out.append(novel)
         return out
 
@@ -133,7 +147,10 @@ class SeenShardActor:
         out = []
         for u in urls:
             key = u.encode("utf-8")
-            out.append(u in self.exact if self.filter.contains(key) else False)
+            if self.filter.contains(key) or self.filter.degraded:
+                out.append(u in self.exact)
+            else:
+                out.append(False)
         return out
 
     def preload(self, urls: list[str]) -> int:

@@ -39,8 +39,11 @@ def _read_docs(sf_dir: str) -> ray.data.Dataset:
 
 # ------------------------------------------------------------------ exact
 def exact_dedup(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: hash(text) partition → keep min doc_id per group
-    (groupby-first, the D3 latest/first-wins shape)."""
+    """Exact dedup: hash(text) partition → keep min doc_id per group.
+    The reduction is a groupby.aggregate(Min, Count) — a vectorized,
+    combiner-style shuffle; a map_groups here would build one pandas frame
+    per distinct hash (billions of tiny groups at corpus scale)."""
+    from ray.data.aggregate import Count, Min
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -49,24 +52,14 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
         ]
         return df[["doc_id", "text_hash"]]
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            [
-                {
-                    "text_hash": g["text_hash"].iloc[0],
-                    "keep_doc_id": int(g["doc_id"].min()),
-                    "dup_count": len(g),
-                }
-            ]
-        )
-
-    return (
+    out = (
         _read_docs(sf_dir)
         .map_batches(key, batch_format="pandas")
         .groupby("text_hash")
-        .map_groups(first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count"))
         .to_pandas()
     )
+    return out.astype({"keep_doc_id": "int64", "dup_count": "int64"})
 
 
 EXACT_DEDUP_SQL = """

@@ -2,16 +2,18 @@
 
 ``is_property_allowed`` transcribes the conjunctive filter semantics of
 models.TelegramFilters.IsPropertyAllowed (internal/models/telegram.go:39-124):
-every configured bound must pass; a listing *missing* a value for a
-configured bound is rejected; district allow-list matches postal[0:4];
-energy-label allow-list matches exactly.
+``Property.Price`` is a non-pointer int in Go, so a missing price reads as
+0 (fails any min_price, passes a max-only filter); living_area / num_rooms
+are pointers — missing + a configured bound rejects; district allow-list
+matches postal[0:4]; energy-label allow-list matches exactly ("" rejects).
 
 ``price_ratings`` reproduces the telegram deal-rating flow
 (internal/telegram/telegram.go:64-130): per-district sold median €/m²
-(12-month window + data-quality predicate F2, database.go:1326-1417) is
+(12-month window + data-quality predicate F2, database.go:1372-1417) is
 computed once with a groupby, broadcast, and each listing's €/m² ratio maps
-to a band (telegram.go:88-100): ≤0.80 GREAT, ≤0.95 GOOD, ≤1.05 FAIR,
-≤1.20 BAD, else HORRIBLE.
+to a band with the reference's exact labels (telegram.go:87-99 /
+telegram.go:110-122): ≤0.80 GREAT, ≤0.95 GOOD, ≤1.05 NORMAL, ≤1.20 BAD,
+else HORRIBLE.
 """
 
 from __future__ import annotations
@@ -47,7 +49,13 @@ def is_property_allowed(row: dict, f: NotifyFilters) -> bool:
             return False
         return True
 
-    if not bound(row.get("price"), f.min_price, f.max_price):
+    # Go Property.Price is a non-pointer int: missing ⇒ 0 (telegram.go:224)
+    price = row.get("price")
+    if price is None or (isinstance(price, float) and np.isnan(price)):
+        price = 0
+    if f.min_price is not None and price < f.min_price:
+        return False
+    if f.max_price is not None and price > f.max_price:
         return False
     if not bound(row.get("living_area"), f.min_living_area, f.max_living_area):
         return False
@@ -74,15 +82,15 @@ def filter_listings(listings: ray.data.Dataset, f: NotifyFilters) -> ray.data.Da
     return listings.map_batches(fn, batch_format="pandas")
 
 
-RATING_BANDS = [(0.80, "GREAT DEAL"), (0.95, "GOOD DEAL"), (1.05, "FAIR PRICE"),
-                (1.20, "BAD DEAL")]
+RATING_BANDS = [(0.80, "GREAT"), (0.95, "GOOD"), (1.05, "NORMAL"), (1.20, "BAD")]
 
 
 def rate(ratio: float) -> str:
+    # telegram.go:87-99 — GREAT/GOOD/NORMAL/BAD/HORRIBLE
     for ub, label in RATING_BANDS:
         if ratio <= ub:
             return label
-    return "HORRIBLE DEAL"
+    return "HORRIBLE"
 
 
 def district_sold_median(listings: pd.DataFrame, now: str = "2024-07-01") -> pd.Series:

@@ -433,15 +433,34 @@ SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 # --------------------------------------------------------------------------
 def window_prev_order(sf_dir: str) -> pd.DataFrame:
     """J7 (database.go:1420-1438): per-key previous observation (lag) —
-    groupby(key).map_groups with an explicit deterministic sort."""
+    bucketized vectorized fold: keys hash into a bounded number of buckets
+    and each bucket task lags ALL its keys with one sort + groupby-shift
+    (a map_groups per custkey would pay a pandas round-trip per tiny
+    group — millions of python frames at scale)."""
+    import pyarrow as pa
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
-        g["prev_totalprice"] = g["o_totalprice"].shift(1)
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["o_custkey"], 255), pa.int32())
+        )
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        g["prev_totalprice"] = g.groupby("o_custkey", sort=False)["o_totalprice"].shift(1)
         return g[["o_custkey", "o_orderkey", "prev_totalprice"]]
 
-    return ds.groupby("o_custkey").map_groups(lag, batch_format="pandas").to_pandas()
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 WINDOW_PREV_ORDER_SQL = """
@@ -457,13 +476,32 @@ FROM orders
 def latest_wins_merge(sf_dir: str) -> pd.DataFrame:
     """D3/S6 (database.go:766-915): latest-wins per key — the property-store
     compaction shape expressed over orders (latest order per customer)."""
+    import pyarrow as pa
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
-        return g.head(1)
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return ds.groupby("o_custkey").map_groups(latest, batch_format="pandas").to_pandas()
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["o_custkey"], 255), pa.int32())
+        )
+
+    def latest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return g.loc[~g["o_custkey"].duplicated(keep="first"),
+                     ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(latest_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 LATEST_WINS_MERGE_SQL = """
@@ -496,7 +534,7 @@ def events_sessionize(sf_dir: str) -> pd.DataFrame:
         import pyarrow.compute as pc
 
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
         )
 
     def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -142,9 +142,12 @@ def crawl_refresh_inactive(sf_dir: str) -> pd.DataFrame:
     out = store
     for c in chains:
         urls = collected[c.chain_id]
-        if not urls:
+        # refresh mode's looser '/koop/' predicate also collects noise links
+        # (/koop/<place>/map/) — a chain may have urls yet no detail urls
+        detail = [u for u in urls if "/detail/koop/" in u]
+        if not detail:
             continue
-        removed = min(u for u in urls if "/detail/koop/" in u)
+        removed = min(detail)
         out = mark_inactive(out, c.place.capitalize(), urls - {removed}, 2)
     pdf = out.to_pandas()
     return (

@@ -301,3 +301,31 @@ def test_paired_active_sold_crawl_same_place(ray_session, tmp_path):
                 g = got.loc[mode, fkey]
                 w = want[fkey]
                 assert (g == w) or (pd.isna(g) and w is None), (url, mode, fkey, g, w)
+
+
+def test_cuckoo_degradation_falls_back_to_exact(ray_session):
+    """An over-capacity filter must never re-claim an already-claimed URL:
+    on insert failure the shard flips to degraded mode (misses consult the
+    exact set) and the evicted victim fingerprint stays findable via the
+    stash (ADVICE r1)."""
+    from fundamental_ray.crawl.seen import CuckooFilter, SeenShardActor
+
+    shard = SeenShardActor(0, capacity=64)  # tiny filter, overflows fast
+    urls = [f"https://h/deg/{i}" for i in range(2_000)]
+    first = shard.check_and_insert(urls)
+    assert all(first)
+    assert shard.filter.degraded  # capacity 64 ≪ 2000 inserts
+    # every URL must now report seen — including any whose fingerprint the
+    # full filter dropped or stashed
+    second = shard.check_and_insert(urls)
+    assert not any(second)
+    assert all(shard.contains(urls))
+
+    # direct filter check: a failed insert parks the victim in the stash
+    f = CuckooFilter(16)
+    lost = []
+    for i in range(10_000):
+        k = f"k{i}".encode()
+        if not f.insert(k):
+            lost.append(k)
+    assert f.degraded and len(f.stash) > 0

@@ -71,21 +71,27 @@ def test_notify_filter_semantics():
                       energy_labels=["A", "B"])
     ok = {"price": 200_000, "postal_code": "1002 AB", "energy_label": "A"}
     assert is_property_allowed(ok, f)
-    assert not is_property_allowed({**ok, "price": None}, f)      # missing+bound ⇒ reject
+    # Go Property.Price is non-pointer: missing price reads as 0 → fails min
+    assert not is_property_allowed({**ok, "price": None}, f)
     assert not is_property_allowed({**ok, "price": 400_000}, f)
     assert not is_property_allowed({**ok, "postal_code": "9999 ZZ"}, f)
     assert not is_property_allowed({**ok, "energy_label": "G"}, f)
+    # …and a max-only price filter PASSES a missing price (0 ≤ max)
+    assert is_property_allowed({**ok, "price": None}, NotifyFilters(max_price=300_000))
+    # pointer-typed fields (living_area) still reject when missing + bound
+    assert not is_property_allowed(ok, NotifyFilters(min_living_area=10))
     # no bounds configured ⇒ everything passes
     assert is_property_allowed({"price": None}, NotifyFilters())
 
 
 def test_rating_bands():
-    assert rate(0.7) == "GREAT DEAL"
-    assert rate(0.80) == "GREAT DEAL"
-    assert rate(0.81) == "GOOD DEAL"
-    assert rate(1.0) == "FAIR PRICE"
-    assert rate(1.1) == "BAD DEAL"
-    assert rate(1.5) == "HORRIBLE DEAL"
+    # telegram.go:87-99 literal labels
+    assert rate(0.7) == "GREAT"
+    assert rate(0.80) == "GREAT"
+    assert rate(0.81) == "GOOD"
+    assert rate(1.0) == "NORMAL"
+    assert rate(1.1) == "BAD"
+    assert rate(1.5) == "HORRIBLE"
 
 
 def test_price_ratings(ray_session):
@@ -95,9 +101,7 @@ def test_price_ratings(ray_session):
     med = district_sold_median(pdf)
     assert len(med) == 3
     out = price_ratings(ray.data.from_pandas(pdf))
-    assert set(out["rating"]) <= {
-        "GREAT DEAL", "GOOD DEAL", "FAIR PRICE", "BAD DEAL", "HORRIBLE DEAL"
-    }
+    assert set(out["rating"]) <= {"GREAT", "GOOD", "NORMAL", "BAD", "HORRIBLE"}
     # spot-check one ratio against the median table
     r = out.iloc[0]
     expect = (

@@ -180,3 +180,64 @@ def test_randomized_rounds_match_oracle(ray_session):
             store = mark_inactive(store, "Amsterdam", active, rnd).materialize()
             oracle.mark_inactive("Amsterdam", active, rnd)
         _check_equal(store, oracle)
+
+
+def test_paired_round_two_deltas_deterministic(ray_session):
+    """A paired active+sold round can carry TWO delta rows for one url; the
+    fold applies them row-at-a-time in status order ('active' then 'sold'),
+    so the sold row wins the field update, a republish transition triggered
+    by the active row still increments the counter, and BOTH rows append
+    history (merge_round_full)."""
+    from fundamental_ray.store.merge import merge_round_full
+
+    # round 1: P active, then refreshed away → inactive
+    store = merge_round(None, ray.data.from_items([_row("P", price=100)]), 1).materialize()
+    store = mark_inactive(store, "Amsterdam", set(), 2).materialize()
+
+    # round 3: paired crawl emits BOTH an active and a sold row for P
+    d3 = [
+        _row("P", status="active", price=110, listing_date="2024-03-01"),
+        _row("P", status="sold", price=115, listing_date="2024-03-01",
+             selling_date="2024-04-01"),
+    ]
+    for perm in (d3, d3[::-1]):  # result must not depend on delta row order
+        s3, h3 = merge_round_full(store, ray.data.from_items(list(perm)), 3)
+        df = _ray_store_df(s3).set_index("url")
+        assert df.loc["P", "status"] == "sold"       # last-in-fold-order wins
+        assert df.loc["P", "price"] == 115
+        assert df.loc["P", "republish_count"] == 1   # active row's transition
+        hist = h3.to_pandas().sort_values("status").reset_index(drop=True)
+        assert len(hist) == 2                        # one append per delta row
+        assert list(hist["status"]) == ["republished", "sold"]
+        assert list(hist["price"]) == [110, 115]
+
+
+def test_merge_round_full_single_delta_history(ray_session):
+    from fundamental_ray.store.merge import merge_round_full
+
+    s1, h1 = merge_round_full(None, ray.data.from_items([_row("A", price=9)]), 1)
+    hist = h1.to_pandas()
+    assert len(hist) == 1 and hist.iloc[0]["status"] == "active"
+    assert hist.iloc[0]["round"] == 1
+
+
+def test_previous_price_vectorized_matches_oracle(ray_session):
+    """previous_price over a multi-url history with null listing_dates."""
+    import ray.data as rd
+
+    rows = []
+    oracle = OracleStore()
+    for rnd, (url, price, ld) in enumerate(
+        [("u1", 100, "2024-01-01"), ("u1", 110, "2024-02-01"),
+         ("u1", 120, None), ("u2", 50, "2024-01-15"), ("u3", 70, None)],
+        start=1,
+    ):
+        oracle.history.append({"url": url, "status": "active", "price": price,
+                               "listing_date": ld, "round": rnd})
+        rows.append({"url": url, "status": "active", "price": price,
+                     "listing_date": ld, "round": rnd})
+    got = previous_price(rd.from_items(rows)).to_pandas().set_index("url")
+    for u in ("u1", "u2", "u3"):
+        want = oracle.previous_price(u)
+        g = got.loc[u, "previous_price"]
+        assert (pd.isna(g) and want is None) or g == want, (u, g, want)
