@@ -26,7 +26,7 @@ from .canonicalize import canonicalize_url
 DEFAULT_BUCKETS = 32
 
 
-INDEX_VERSION = "v2"  # bump when the bucket hash / layout changes
+INDEX_VERSION = "v3"  # bump when the bucket hash / layout changes
 
 
 def bucket_of(url_norm: str, num_buckets: int) -> int:
@@ -45,9 +45,19 @@ def build_fetch_index(
     - partitioned by page *kind* (list vs detail URL shape) so list-page
       fetches never scan detail bytes and vice versa;
     - hash-bucketed by url_norm (the co-partition key of every later join);
-    - globally sorted by url_norm with small row groups, so the ``isin``
-      scan filter prunes row groups via min/max statistics instead of
-      decompressing the whole bucket.
+    - sorted by url_norm *within each bucket* with small row groups, so the
+      ``isin`` scan filter prunes row groups via min/max statistics —
+      pruning is per-bucket anyway, so the local sort is exactly as
+      selective as a global one.
+
+    Exchange discipline: the html payload crosses ONE exchange — the
+    low-cardinality (kind, bucket) hash co-location, the information-minimum
+    movement for building a hash-clustered index. There is NO global
+    high-cardinality sort carrying the binary column (SURVEY §7.5.6): the
+    url_norm sort happens inside each bucket's writer task. (A metadata-only
+    exchange followed by bucket tasks re-reading html from the unsorted
+    source would decode most source row groups once PER BUCKET — B× read
+    amplification — so shipping the bytes once is the cheaper plan.)
     Columns kept: url_norm, url, html (`text`/`lang` stay in the source)."""
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
@@ -76,11 +86,29 @@ def build_fetch_index(
             }
         )
 
+    import pyarrow.parquet as _pq
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        # bucket-local task: sort ITS rows by url_norm and write its own
+        # file — html bytes never transit the driver or a second exchange
+        t = t.sort_by("url_norm")
+        kind = t.column("kind")[0].as_py()
+        b = t.column("bucket")[0].as_py()
+        d = os.path.join(out_dir, f"kind={kind}", f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        _pq.write_table(
+            t.drop_columns(["kind", "bucket"]), path + ".tmp", row_group_size=1024
+        )
+        os.replace(path + ".tmp", path)
+        return pa.table({"kind": [kind], "bucket": [b], "rows": [t.num_rows]})
+
     ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
     (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .sort("url_norm")
-        .write_parquet(out_dir, partition_cols=["kind", "bucket"], row_group_size=1024)
+        .groupby(["kind", "bucket"])
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .materialize()
     )
     with open(done, "w") as fh:
         fh.write(f"{INDEX_VERSION}:{num_buckets}")

@@ -91,58 +91,132 @@ class ChainState:
         return "active" if self.availability == "available" else "sold"
 
 
-def extract_candidates_batch(batch: pa.Table, meta_ref) -> pa.Table:
-    """Stateless task stage: fetched list pages → candidate rows.
+def extract_candidates_batch(batch: pa.Table, meta_ref) -> dict:
+    """Stateless task stage: fetched list pages → CLAIMED novel requests.
 
-    Emits one 'visit' row per parsed page (existence marker), one 'detail'
-    row per extracted URL (deterministic sorted order within a page) and one
-    'next' row when the next-page button exists (M1/M2,
-    funda_spider.py:92-184). Stateless tasks, not actors: the selector
-    compile cache is worker-process-global, so warm across rounds without
-    actor-pool spin-up (SURVEY.md §4.2: extractors are stateless tasks)."""
+    Extraction (M1/M2, funda_spider.py:92-184) and the dedup claim both
+    happen here, in the parallel task: candidate detail URLs are routed to
+    the sharded seen actors directly (claim-before-request,
+    funda_spider.py:149-150) and only the NOVEL request rows plus tiny
+    per-page visit counters return to the driver. The driver folds counters
+    — it never touches candidate URLs, so the per-round serial section is
+    O(pages), not O(candidates). Claims stay deterministic: within a round
+    each (mode, url) is emitted by exactly one chain's single page, so no
+    two tasks race for the same key in the same seen class.
+
+    Stateless tasks, not actors: the selector compile cache is
+    worker-process-global, so warm across rounds without actor-pool
+    spin-up (SURVEY.md §4.2: extractors are stateless tasks)."""
     import zlib
 
-    meta = ray.get(meta_ref)  # url_norm -> (chain_id, page_seq)
-    out = {"chain_id": [], "page_seq": [], "kind": [], "url": [],
-           "url_norm": [], "host": [], "url_crc": []}
+    import numpy as np
 
-    def emit(chain_id, page_seq, kind, url, norm="", host="", crc=0):
-        out["chain_id"].append(chain_id)
-        out["page_seq"].append(page_seq)
-        out["kind"].append(kind)
-        out["url"].append(url)
-        out["url_norm"].append(norm)
-        out["host"].append(host)
-        out["url_crc"].append(crc)
+    meta = ray.get(meta_ref)
+    pages = meta["pages"]  # url_norm -> (chain_id, page_seq)
+    mode_map = meta["mode"]  # chain_id -> 'active' | 'sold'
+    place_map = meta["place"]
+    shard_pools = meta["shards"]  # {'active': [handles], 'sold': [handles]}
+    num_shards = meta["num_shards"]
+
+    out = {"chain_id": [], "page_seq": [], "url": [], "url_norm": [],
+           "host": [], "url_crc": []}
+    visits = {"chain_id": [], "page_seq": [], "found": [], "new": [],
+              "has_next": [], "next_url": []}
 
     for norm, url, html in zip(
         batch.column("url_norm").to_pylist(),
         batch.column("url").to_pylist(),
         batch.column("html").to_pylist(),
     ):
-        chain_id, page_seq = meta[norm]
+        chain_id, page_seq = pages[norm]
         sel = Selector(html.decode("utf-8", errors="replace"))
-        emit(chain_id, page_seq, "visit", url)
+        found = 0
         for u in sorted(extract_listing_urls(sel, url)):
-            # canonicalize + route here, in the parallel task, so the
-            # driver's dedup fold stays vectorized (no per-URL python)
             n = canonicalize_url(u)
-            emit(chain_id, page_seq, "detail", u, n, host_of(u),
-                 zlib.crc32(n.encode("utf-8")))
+            out["chain_id"].append(chain_id)
+            out["page_seq"].append(page_seq)
+            out["url"].append(u)
+            out["url_norm"].append(n)
+            out["host"].append(host_of(u))
+            out["url_crc"].append(zlib.crc32(n.encode("utf-8")))
+            found += 1
         nxt = sel.css_get('a[data-test-id="next-page-button"]::attr(href)')
-        if nxt:
-            emit(chain_id, page_seq, "next", extract_next_page(sel, url, {}, 0))
-    return pa.table(
-        {
-            "chain_id": pa.array(out["chain_id"], pa.int64()),
-            "page_seq": pa.array(out["page_seq"], pa.int32()),
-            "kind": pa.array(out["kind"], pa.string()),
-            "url": pa.array(out["url"], pa.string()),
-            "url_norm": pa.array(out["url_norm"], pa.string()),
-            "host": pa.array(out["host"], pa.string()),
-            "url_crc": pa.array(out["url_crc"], pa.uint32()),
+        visits["chain_id"].append(chain_id)
+        visits["page_seq"].append(page_seq)
+        visits["found"].append(found)
+        visits["new"].append(0)  # filled after the claim
+        visits["has_next"].append(bool(nxt))
+        visits["next_url"].append(extract_next_page(sel, url, {}, 0) if nxt else "")
+
+    n_cand = len(out["url"])
+    novel = np.zeros(n_cand, dtype=bool)
+    if n_cand:
+        cids = np.asarray(out["chain_id"], dtype=np.int64)
+        crc = np.asarray(out["url_crc"], dtype=np.int64)
+        is_sold = np.fromiter(
+            (mode_map[int(c)] == "sold" for c in cids), dtype=bool, count=n_cand
+        )
+        shards = crc % num_shards
+        route = shards + np.where(is_sold, num_shards, 0)
+        order = np.argsort(route, kind="stable")
+        sorted_route = route[order]
+        cuts = np.flatnonzero(np.diff(sorted_route)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(order)]))
+        norms = out["url_norm"]
+        futs = []
+        for s0, s1 in zip(starts, ends):
+            idxs = order[s0:s1]
+            r = int(sorted_route[s0])
+            pool = shard_pools["sold" if r >= num_shards else "active"]
+            shard = pool[r % num_shards]
+            futs.append(
+                (idxs, shard.check_and_insert.remote([norms[i] for i in idxs]))
+            )
+        for (idxs, f), res in zip(futs, ray.get([f for _, f in futs])):
+            novel[idxs] = np.asarray(res, dtype=bool)
+
+        # per-page novel counts (pages here are this task's pages only)
+        page_pos = {
+            (c, p): i
+            for i, (c, p) in enumerate(zip(visits["chain_id"], visits["page_seq"]))
         }
-    )
+        for i in np.flatnonzero(novel):
+            visits["new"][page_pos[(out["chain_id"][i], out["page_seq"][i])]] += 1
+
+    idx = np.flatnonzero(novel)
+    cid_series = pd.Series(np.asarray(out["chain_id"], dtype=np.int64)[idx], dtype="int64")
+    novel_t = pa.table(
+        {
+            "url": pa.array([out["url"][i] for i in idx], pa.string()),
+            "url_norm": pa.array([out["url_norm"][i] for i in idx], pa.string()),
+            "host": pa.array([out["host"][i] for i in idx], pa.string()),
+            "chain_id": pa.array(cid_series, pa.int64()),
+            "mode": pa.array(cid_series.map(mode_map), pa.string()),
+            "place": pa.array(cid_series.map(place_map), pa.string()),
+            "priority": pa.array(np.ones(len(idx), dtype=np.int32), pa.int32()),
+            "page_seq": pa.array(
+                [out["page_seq"][i] for i in idx], pa.int32()
+            ),
+            "url_crc": pa.array(
+                np.asarray(out["url_crc"], dtype=np.int64)[idx].astype(np.uint32),
+                pa.uint32(),
+            ),
+        }
+    ).cast(REQUEST_SCHEMA)
+    return {
+        "novel": novel_t,
+        "visits": pa.table(
+            {
+                "chain_id": pa.array(visits["chain_id"], pa.int64()),
+                "page_seq": pa.array(visits["page_seq"], pa.int32()),
+                "found": pa.array(visits["found"], pa.int32()),
+                "new": pa.array(visits["new"], pa.int32()),
+                "has_next": pa.array(visits["has_next"], pa.bool_()),
+                "next_url": pa.array(visits["next_url"], pa.string()),
+            }
+        ),
+    }
 
 
 def extract_details_to_parts(
@@ -271,139 +345,68 @@ class CrawlJob:
             "blocked": 0, "fetch_miss": 0, "listings": 0,
         }
 
-        # -- 1. list-page fetch + candidate extraction ------------------
-        cand_schema = pa.schema(
-            [("chain_id", pa.int64()), ("page_seq", pa.int32()),
-             ("kind", pa.string()), ("url", pa.string()),
-             ("url_norm", pa.string()), ("host", pa.string()),
-             ("url_crc", pa.uint32())]
-        )
-        candidates = cand_schema.empty_table()
+        # -- 1+2. list fetch + extraction + IN-TASK dedup claim ---------
+        # candidate URLs never reach the driver: each extract task claims
+        # its candidates against the seen shards directly and returns only
+        # novel request rows + per-page counters. The driver-side serial
+        # section is a counter fold over O(pages) tiny tables — this is the
+        # orchestration residue fix for high core counts / multi-node.
         page_visits: dict[int, dict] = {
             c.chain_id: {"found": 0, "new": 0, "has_next": False, "visited": False}
             for c in live
         }
+        novel_t = self._empty_requests()
+        n_candidates = 0
         if live:
             t0 = time.time()
             meta = {
-                canonicalize_url(c.next_url): (c.chain_id, c.page_no) for c in live
+                "pages": {
+                    canonicalize_url(c.next_url): (c.chain_id, c.page_no) for c in live
+                },
+                "mode": {cid: c.mode for cid, c in self.chains.items()},
+                "place": {cid: c.place for cid, c in self.chains.items()},
+                "shards": {
+                    cls: pool.shards for cls, pool in self.seen.pools.items()
+                },
+                "num_shards": self.seen.num_shards,
             }
             meta_ref = ray.put(meta)
             # chunk so every CPU gets ≥2 list-fetch tasks (load balance at
             # high core counts; floor keeps tiny rounds in few tasks)
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            chunk = max(32, len(meta) // (2 * ncpu) + 1)
+            chunk = max(32, len(meta["pages"]) // (2 * ncpu) + 1)
             refs = fetch_map_tasks(
-                cfg.index_dir, list(meta), "list",
+                cfg.index_dir, list(meta["pages"]), "list",
                 extract_candidates_batch, {"meta_ref": meta_ref},
                 max_urls_per_task=chunk,
             )
-            tables = [t for t in ray.get(refs) if t is not None and t.num_rows]
-            if tables:
-                candidates = pa.concat_tables(tables, promote_options="default")
-            # vectorized per-chain fold: three small masks instead of a
-            # python loop over thousands of pandas groups
-            if candidates.num_rows:
-                kinds = candidates.column("kind")
-                cids = candidates.column("chain_id")
-                for cid in pc.unique(
-                    cids.filter(pc.equal(kinds, "visit"))
-                ).to_pylist():
-                    page_visits[cid]["visited"] = True
-                found = (
-                    candidates.filter(pc.equal(kinds, "detail"))
-                    .group_by("chain_id").aggregate([("chain_id", "count")])
-                )
-                for cid, n in zip(
-                    found.column("chain_id").to_pylist(),
-                    found.column("chain_id_count").to_pylist(),
-                ):
-                    page_visits[cid]["found"] = n
-                nxt = candidates.filter(pc.equal(kinds, "next"))
-                for cid, url in zip(
-                    nxt.column("chain_id").to_pylist(),
-                    nxt.column("url").to_pylist(),
+            results = [r for r in ray.get(refs) if r is not None]
+            novel_tables = [r["novel"] for r in results if r["novel"].num_rows]
+            if novel_tables:
+                novel_t = pa.concat_tables(novel_tables, promote_options="default")
+            # counter fold (visits are one small row per parsed page)
+            for r in results:
+                v = r["visits"]
+                for cid, found, new, has_next, nxt in zip(
+                    v.column("chain_id").to_pylist(),
+                    v.column("found").to_pylist(),
+                    v.column("new").to_pylist(),
+                    v.column("has_next").to_pylist(),
+                    v.column("next_url").to_pylist(),
                 ):
                     pv = page_visits[cid]
-                    if not pv["has_next"]:
+                    pv["visited"] = True
+                    pv["found"] = found
+                    pv["new"] = new
+                    if has_next and not pv["has_next"]:
                         pv["has_next"] = True
-                        pv["next_url"] = url
-            self._lineage("list_extract", len(live), candidates.num_rows, t0)
-
-        # -- 2. dedup claim (sharded seen-set actors, vectorized fold) --
-        t0 = time.time()
-        detail = candidates.filter(pc.equal(candidates["kind"], "detail")) \
-            if candidates.num_rows else candidates
-        novel_t = self._empty_requests()
-        if detail.num_rows:
-            import numpy as np
-
-            # status-partitioned claim: route each candidate to its chain
-            # mode's seen class (SURVEY.md §1.2), then shard within the class
-            cids_np = detail.column("chain_id").to_numpy()
-            sold_chain = {cid for cid, c in self.chains.items() if c.mode == "sold"}
-            is_sold = np.isin(cids_np, np.fromiter(sold_chain, dtype=np.int64)) \
-                if sold_chain else np.zeros(len(cids_np), dtype=bool)
-            crc = detail.column("url_crc").to_numpy()
-            shards = crc % self.seen.num_shards
-            # composite route key: (class, shard) — contiguous after argsort
-            route = shards + np.where(is_sold, self.seen.num_shards, 0)
-            order = np.argsort(route, kind="stable")
-            sorted_route = route[order]
-            cuts = np.flatnonzero(np.diff(sorted_route)) + 1
-            starts = np.concatenate(([0], cuts))
-            ends = np.concatenate((cuts, [len(order)]))
-            norm_only = detail.select(["url_norm"])
-            futs = []
-            for s0, s1 in zip(starts, ends):
-                idxs = order[s0:s1]
-                r = int(sorted_route[s0])
-                pool = self.seen.pools["sold" if r >= self.seen.num_shards else "active"]
-                shard = pool.shards[r % self.seen.num_shards]
-                # ship an Arrow slice; the actor decodes strings in its own
-                # process — zero per-URL python on the driver
-                futs.append(
-                    (idxs, shard.check_and_insert_arrow.remote(norm_only.take(idxs)))
+                        pv["next_url"] = nxt
+                n_candidates += int(
+                    pc.sum(v.column("found")).as_py() or 0
                 )
-            novel = np.zeros(detail.num_rows, dtype=bool)
-            results = ray.get([f for _, f in futs])  # one barrier, not N
-            for (idxs, _), res in zip(futs, results):
-                novel[idxs] = res
-
-            novel_detail = detail.filter(pa.array(novel))
-            # per-chain 'new' counts — tiny vectorized groupby
-            newc = novel_detail.group_by("chain_id").aggregate([("chain_id", "count")])
-            for cid, n in zip(
-                newc.column("chain_id").to_pylist(),
-                newc.column("chain_id_count").to_pylist(),
-            ):
-                if cid in page_visits:
-                    page_visits[cid]["new"] = n
-            # request rows: arrow-native — string columns are carried
-            # zero-copy from the task output; only the (tiny-domain)
-            # chain_id → mode/place lookup materializes new arrays
-            mode_map = {cid: c.mode for cid, c in self.chains.items()}
-            place_map = {cid: c.place for cid, c in self.chains.items()}
-            cids = novel_detail.column("chain_id").to_numpy()
-            cid_series = pd.Series(cids)
-            novel_t = pa.table(
-                {
-                    "url": novel_detail.column("url"),
-                    "url_norm": novel_detail.column("url_norm"),
-                    "host": novel_detail.column("host"),
-                    "chain_id": novel_detail.column("chain_id"),
-                    "mode": pa.array(cid_series.map(mode_map), pa.string()),
-                    "place": pa.array(cid_series.map(place_map), pa.string()),
-                    "priority": pa.array(
-                        np.ones(len(cids), dtype=np.int32), pa.int32()
-                    ),
-                    "page_seq": novel_detail.column("page_seq"),
-                    "url_crc": novel_detail.column("url_crc"),
-                }
-            ).cast(REQUEST_SCHEMA)
-            delta["deduped"] = detail.num_rows - novel_t.num_rows
-        self._lineage("dedup_claim", detail.num_rows, novel_t.num_rows, t0,
-                      deduped=detail.num_rows - novel_t.num_rows)
+            delta["deduped"] = n_candidates - novel_t.num_rows
+            self._lineage("list_extract_claim", len(live), novel_t.num_rows, t0,
+                          deduped=delta["deduped"], candidates=n_candidates)
 
         # -- 3. politeness schedule over novel ∪ deferred ---------------
         t0 = time.time()
@@ -616,10 +619,13 @@ class CrawlJob:
             p = os.path.join(config.job_dir, f"round={r:04d}", "seen_claims.parquet")
             if os.path.exists(p):
                 t = pq.read_table(p)
-                for n, m in zip(
-                    t.column("url_norm").to_pylist(), t.column("mode").to_pylist()
-                ):
-                    by_class["sold" if m == "sold" else "active"].append(n)
+                sold_mask = pc.equal(t.column("mode"), "sold")
+                by_class["sold"].extend(
+                    t.filter(sold_mask).column("url_norm").to_pylist()
+                )
+                by_class["active"].extend(
+                    t.filter(pc.invert(sold_mask)).column("url_norm").to_pylist()
+                )
         job.seen.preload(by_class)
         with open(os.path.join(rdir, "counters.json")) as fh:
             job.counters = json.load(fh)["counters"]

@@ -1,67 +1,110 @@
 """Similarity search over the embeddings table: brute-force cosine top-k
 (the exactness baseline) and an IVF-bucketed variant (the scale path).
 
-Brute force: the normalized corpus matrix is broadcast once via ray.put;
-each map_batches task multiplies its query block against it (numpy matmul —
-vectorized, zero-copy reads). Exact by construction.
+Brute force streams the CORPUS and broadcasts the QUERIES (the reverse of
+round 1's shape): each map_batches task scores its corpus block against the
+tiny query matrix and emits its per-block top-k; a final per-query reduce
+merges block candidates. The full embedding matrix is never materialized on
+the driver or broadcast — corpus blocks stay zero-copy in the object store.
 
-IVF: k-means-style coarse centroids chosen deterministically (first
-``n_centroids`` vectors after one Lloyd sweep), vectors assigned to their
-nearest centroid bucket, queries probe the ``n_probe`` nearest buckets.
-Recall measured against the brute-force baseline in tests; at 10^10 vectors
-the buckets become the partition key and only probed buckets are read.
+IVF: coarse centroids are trained on a bounded sample (driver-side numpy
+over ≤``SAMPLE_ROWS`` rows — constant, not corpus-sized), broadcast once;
+assignment runs as a distributed map_batches; vectors land in
+bucket-partitioned Parquet under /tmp, and queries read ONLY their
+``n_probe`` nearest buckets back (path-pruned scan). Recall vs the brute
+baseline is test-covered; at the registered probe width the result is
+empirically exact at bench scale, which is what the driver oracle checks.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
 import ray.data
 
-
-def _load_matrix(sf_dir: str):
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30, None)
-    return emb["vec_id"].to_numpy(), matn
+SAMPLE_ROWS = 4096
 
 
-def brute_force_topk(
-    sf_dir: str, k: int = 10, n_queries: int = 5
-) -> pd.DataFrame:
-    """Top-k cosine neighbors (excluding self) for the first ``n_queries``
-    vec_ids; deterministic tiebreak (sim desc, neighbor vec_id asc)."""
-    import ray
+def _query_matrix(sf_dir: str, n_queries: int):
+    """The (tiny) query-side read: first n_queries vec_ids."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
-    ids, matn = _load_matrix(sf_dir)
-    ref = ray.put((ids, matn))
-    queries = pd.DataFrame({"query_id": ids[:n_queries]})
+    emb = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.less(pads.field("vec_id"), n_queries),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-30, None)
+    return emb["vec_id"].to_numpy(), qn
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, m = ray.get(ref)
-        pos = {d: i for i, d in enumerate(all_ids)}
-        out = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
-        for q in batch["query_id"]:
-            i = pos[q]
-            sims = m[i] @ m.T
-            sims[i] = -np.inf  # exclude self
-            order = np.lexsort((all_ids, -sims))[:k]
-            for r, j in enumerate(order, start=1):
-                out["query_id"].append(int(q))
-                out["neighbor_id"].append(int(all_ids[j]))
-                out["rank"].append(r)
-                out["cosine"].append(round(float(sims[j]), 4))
-        return pd.DataFrame(out)
+
+def _block_topk(qids: np.ndarray, qm: np.ndarray, ids: np.ndarray, mat: np.ndarray, k: int):
+    """Top-k rows of one corpus block against every query (vectorized)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    matn = mat / np.clip(norms, 1e-30, None)
+    sims = qm @ matn.T  # (Q, block)
+    out = {"query_id": [], "neighbor_id": [], "cosine": []}
+    kk = min(k, sims.shape[1])
+    for qi, qid in enumerate(qids):
+        row = sims[qi].copy()
+        self_mask = ids == qid
+        row[self_mask] = -np.inf  # exclude self
+        sel = np.lexsort((ids, -row))[:kk]
+        for j in sel:
+            if row[j] == -np.inf:
+                continue
+            out["query_id"].append(int(qid))
+            out["neighbor_id"].append(int(ids[j]))
+            out["cosine"].append(float(row[j]))
+    return pd.DataFrame(out)
+
+
+def _merge_topk(ds: ray.data.Dataset, k: int) -> pd.DataFrame:
+    """Per-query reduce of block candidates (k × n_blocks rows — small)."""
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = g["cosine"].round(4)
+        return g[["query_id", "neighbor_id", "rank", "cosine"]]
 
     return (
-        ray.data.from_pandas(queries)
-        .map_batches(block, batch_format="pandas", batch_size=64)
+        ds.groupby("query_id")
+        .map_groups(final, batch_format="pandas")
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
+    """Top-k cosine neighbors (excluding self) for the first ``n_queries``
+    vec_ids; deterministic tiebreak (sim desc, neighbor vec_id asc)."""
+    import ray
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qref = ray.put((qids, qm))
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        bq, bm = ray.get(qref)
+        return _block_topk(bq, bm, ids, mat, k)
+
+    cand = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(block, batch_format="pandas", batch_size=1024)
+    return _merge_topk(cand, k)
 
 
 def brute_force_topk_sql(k: int = 10, n_queries: int = 5) -> str:
@@ -82,55 +125,112 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def ivf_topk(
-    sf_dir: str, k: int = 10, n_queries: int = 5,
-    n_centroids: int = 16, n_probe: int = 4,
-) -> pd.DataFrame:
-    """IVF approximate top-k: coarse quantize (one deterministic Lloyd sweep
-    from evenly-strided seeds), probe the n_probe nearest buckets per query.
-    Same output schema as brute_force_topk."""
-    import ray
-
-    ids, matn = _load_matrix(sf_dir)
-    n = len(ids)
-    stride = max(1, n // n_centroids)
+def _train_centroids(sf_dir: str, n_centroids: int) -> np.ndarray:
+    """Deterministic coarse centroids from a BOUNDED sample: evenly-strided
+    seeds + one Lloyd sweep (no RNG, no wall-clock). Sample size is a
+    constant — this is the only driver-side numpy in the IVF path."""
+    sample = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .limit(SAMPLE_ROWS)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30, None)
+    stride = max(1, len(matn) // n_centroids)
     cents = matn[::stride][:n_centroids].copy()
-    # one Lloyd sweep for stability (deterministic, no RNG)
     assign = np.argmax(matn @ cents.T, axis=1)
     for c in range(len(cents)):
         members = matn[assign == c]
         if len(members):
             v = members.mean(axis=0)
             cents[c] = v / max(np.linalg.norm(v), 1e-30)
-    assign = np.argmax(matn @ cents.T, axis=1)
-    ref = ray.put((ids, matn, cents, assign))
+    return cents
 
-    queries = pd.DataFrame({"query_id": ids[:n_queries]})
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, m, C, A = ray.get(ref)
-        pos = {d: i for i, d in enumerate(all_ids)}
-        out = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
-        for q in batch["query_id"]:
-            i = pos[q]
-            probe = np.argsort(-(C @ m[i]))[:n_probe]
-            mask = np.isin(A, probe)
-            mask[i] = False
-            cand = np.nonzero(mask)[0]
-            sims = m[cand] @ m[i]
-            order = np.lexsort((all_ids[cand], -sims))[:k]
-            for r, o in enumerate(order, start=1):
-                j = cand[o]
-                out["query_id"].append(int(q))
-                out["neighbor_id"].append(int(all_ids[j]))
-                out["rank"].append(r)
-                out["cosine"].append(round(float(sims[o]), 4))
-        return pd.DataFrame(out)
+def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> tuple[str, np.ndarray]:
+    """Distributed IVF build: broadcast centroids; map_batches assigns each
+    vector to its nearest centroid; bucket-partitioned Parquet write so a
+    query's probe reads only its buckets. Idempotent per (corpus, params)."""
+    import pyarrow as pa
+    import ray
 
-    return (
-        ray.data.from_pandas(queries)
-        .map_batches(block, batch_format="pandas", batch_size=64)
-        .to_pandas()
-        .sort_values(["query_id", "rank"])
-        .reset_index(drop=True)
+    cents = _train_centroids(sf_dir, n_centroids)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/fr_ivf/{tag}-c{n_centroids}-v1"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out, cents
+    os.makedirs(out, exist_ok=True)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        mat = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30, None)
+        bucket = np.argmax(matn @ C.T, axis=1).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow", batch_size=2048)
+        .write_parquet(out, partition_cols=["bucket"])
     )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out, cents
+
+
+def ivf_topk(
+    sf_dir: str, k: int = 10, n_queries: int = 5,
+    n_centroids: int = 16, n_probe: int = 8,
+) -> pd.DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest buckets per query,
+    reading ONLY those buckets' Parquet partitions. Same output schema as
+    brute_force_topk. At the default probe width the sf-scale result is
+    empirically identical to brute force (asserted by the driver oracle);
+    narrower probes trade recall for reads (test-covered)."""
+    import glob as _glob
+
+    import ray
+
+    index_dir, cents = build_ivf_index(sf_dir, n_centroids)
+    qids, qm = _query_matrix(sf_dir, n_queries)
+
+    # per-query probe list → read each needed bucket once, score against
+    # only the queries probing it
+    probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for b in row:
+            by_bucket.setdefault(int(b), []).append(qi)
+    qref = ray.put((qids, qm))
+
+    cand_frames = []
+    paths, path_queries = [], []
+    for b, q_idx in sorted(by_bucket.items()):
+        bucket_files = sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        if bucket_files:
+            paths.append(bucket_files)
+            path_queries.append(q_idx)
+
+    @ray.remote(num_cpus=1)
+    def score_bucket(files: list[str], q_idx: list[int], qref):
+        import pyarrow.parquet as pq
+
+        qids_all, qm_all = qref  # top-level ObjectRef arg — Ray auto-derefs
+        t = pq.read_table(files, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        mat = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        sel = np.array(q_idx, dtype=np.int64)
+        return _block_topk(qids_all[sel], qm_all[sel], ids, mat, k)
+
+    refs = [score_bucket.remote(f, q, qref) for f, q in zip(paths, path_queries)]
+    cand_frames = [f for f in ray.get(refs) if len(f)]
+    if not cand_frames:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64",
+                  "cosine": "float64"})
+    cand = ray.data.from_pandas(pd.concat(cand_frames, ignore_index=True))
+    return _merge_topk(cand, k)

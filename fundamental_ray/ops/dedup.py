@@ -113,9 +113,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     (band, band_hash, doc_id) → groupby band bucket → candidate pairs →
     exact-Jaccard verification (precision 1.0 by construction).
 
-    Verification re-reads the two texts via a broadcast doc map — fine while
-    the candidate set is small; at 10^10 docs the verify stage becomes a
-    hash-join of candidates against the corpus on doc_id."""
+    Verification is a broadcast SEMI-JOIN of the corpus against the
+    candidate id set: only documents that appear in some candidate pair
+    have their shingles computed and shipped — the corpus itself is never
+    materialized on the driver. The candidate pair list is output-sized
+    (it IS the result, minus sub-threshold pairs), so holding it is fine;
+    at 10^10 docs with a huge candidate set the semi-join swaps for a
+    doc_id hash-partitioned join, same dataflow."""
     import ray
 
     docs = _read_docs(sf_dir)
@@ -153,13 +157,48 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
             {"a": "int64", "b": "int64", "jaccard": "float64"}
         )
     cand = cand.drop_duplicates().astype({"a": "int64", "b": "int64"})
-    text_map = dict(
-        zip(*(lambda d: (d["doc_id"], d["text"]))(_read_docs(sf_dir).to_pandas()))
+
+    # broadcast semi-join: shingles computed in parallel for candidate
+    # members only (bounded by the candidate set, not the corpus)
+    wanted = ray.put(frozenset(cand["a"]) | frozenset(cand["b"]))
+
+    def member_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(wanted)
+        df = df[df["doc_id"].isin(ids)]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "shingles": [sorted(_shingles(t)) for t in df["text"].fillna("")],
+            }
+        )
+
+    sh_pdf = docs.map_batches(member_shingles, batch_format="pandas").to_pandas()
+    sh_ref = ray.put(dict(zip(sh_pdf["doc_id"], sh_pdf["shingles"])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sh = ray.get(sh_ref)
+        out = df.copy()
+        sims = []
+        for a, b in zip(df["a"], df["b"]):
+            sa, sb = set(sh[a]), set(sh[b])
+            if not sa and not sb:
+                sims.append(1.0)
+            else:
+                inter = len(sa & sb)
+                sims.append(inter / (len(sa) + len(sb) - inter))
+        out["jaccard"] = np.round(sims, 6)
+        return out[out["jaccard"] >= threshold]
+
+    res = (
+        ray.data.from_pandas(cand)
+        .map_batches(verify, batch_format="pandas", batch_size=4096)
+        .to_pandas()
     )
-    sims = [jaccard(text_map[a], text_map[b]) for a, b in zip(cand["a"], cand["b"])]
-    cand["jaccard"] = np.round(sims, 6)
-    out = cand[cand["jaccard"] >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
-    return out
+    if len(res) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+    return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(
@@ -171,7 +210,9 @@ def ngram_jaccard_pairs(
     import ray
 
     pdf = _read_docs(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    if max_docs is not None:
+    if max_docs is not None and len(pdf) > max_docs:
+        # no silent caps: O(n²) brute force deliberately bounded
+        print(f"ngram_jaccard_pairs: capping corpus {len(pdf)} -> {max_docs} docs")
         pdf = pdf.head(max_docs)
     sh = [_shingles(t) for t in pdf["text"].fillna("")]
     ids = pdf["doc_id"].to_numpy()
@@ -224,31 +265,36 @@ def simhash64(text: str) -> int:
     return int(((v > 0).astype(np.uint64) << shifts).sum())
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-dup: 64-bit signature, 4×16-bit band blocking.
-    Pigeonhole guarantees full recall for hamming ≤ 3 (4 bands, ≤3 flipped
-    bits → some band untouched); above that recall is probabilistic.
-    Verification is exact hamming, so precision is exact."""
+SIMHASH_BANDS = 7  # 7 × 9-bit bands over the 63-bit signature
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 9
 
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """SimHash near-dup: 63-bit signature, 7×9-bit band blocking.
+    Pigeonhole guarantees FULL recall for hamming ≤ 6 (7 bands, ≤6 flipped
+    bits → at least one band untouched), so at the default threshold the
+    output equals the brute-force hamming join exactly — that equivalence
+    is the driver oracle. Verification is exact hamming (exact precision).
+
+    Band rows are emitted inside the signature map_batches stage (one
+    distributed explode), never by a driver-side loop over signatures."""
+
+    def sig_bands(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        hs = np.fromiter(
+            (simhash64(t) for t in df["text"].fillna("")), dtype=np.int64, count=n
+        )
+        band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
+        rep_h = np.repeat(hs, SIMHASH_BANDS)
+        band_val = (rep_h >> (band * _SIMHASH_BAND_BITS)) & ((1 << _SIMHASH_BAND_BITS) - 1)
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "simhash": [simhash64(t) for t in df["text"].fillna("")],
+                "band": band,
+                "band_val": band_val.astype("int64"),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), SIMHASH_BANDS),
+                "simhash": rep_h,
             }
         )
-
-    sigs = _read_docs(sf_dir).map_batches(sig, batch_format="pandas").to_pandas()
-
-    rows = {"band": [], "band_val": [], "doc_id": [], "simhash": []}
-    for doc_id, h in zip(sigs["doc_id"].astype("int64"), sigs["simhash"].astype("int64")):
-        h = int(h)
-        for b in range(4):  # 16+16+16+15-bit bands over the 63-bit signature
-            rows["band"].append(b)
-            rows["band_val"].append((h >> (16 * b)) & 0xFFFF)
-            rows["doc_id"].append(int(doc_id))
-            rows["simhash"].append(h)
-    bdf = pd.DataFrame(rows)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
@@ -265,7 +311,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
         return pd.DataFrame(out)
 
     cand = (
-        ray.data.from_pandas(bdf)
+        _read_docs(sf_dir)
+        .map_batches(sig_bands, batch_format="pandas")
         .groupby(["band", "band_val"])
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()

@@ -97,12 +97,14 @@ class DecodeAndFeaturize:
             feats.append(v.tolist())
             ws.append(w)
             hs.append(h)
+        norms = [round(float(np.linalg.norm(f)), 6) for f in feats]
         return pa.table(
             {
                 "media_id": t.column("media_id"),
                 "decoded_width": pa.array(ws, pa.int32()),
                 "decoded_height": pa.array(hs, pa.int32()),
                 "feature": pa.array(feats, pa.list_(pa.float64())),
+                "feature_norm": pa.array(norms, pa.float64()),
             }
         )
 
@@ -153,7 +155,8 @@ def media_features(sf_dir: str, concurrency: int | None = None) -> pd.DataFrame:
                      concurrency=concurrency, num_cpus=1)
         .map_batches(DecodeAndFeaturize, batch_format="pyarrow", batch_size=256,
                      concurrency=concurrency, num_cpus=1)
+        .select_columns(["media_id", "decoded_width", "decoded_height", "feature_norm"])
     )
-    pdf = ds.to_pandas()
-    pdf["feature_norm"] = [round(float(np.linalg.norm(f)), 6) for f in pdf["feature"]]
-    return pdf[["media_id", "decoded_width", "decoded_height", "feature_norm"]]
+    # feature vectors (the heavy column) are dropped IN the stage; only the
+    # small metadata frame reaches the driver
+    return ds.to_pandas()
