@@ -665,5 +665,11 @@ def round_listings_paths(job_dir: str) -> list[str]:
 
 
 def crawl_listings_dataset(job_dir: str) -> ray.data.Dataset:
-    """Union of all committed per-round listing deltas."""
-    return ray.data.read_parquet(round_listings_paths(job_dir))
+    """Union of all committed per-round listing deltas. The hive-style
+    ``round=NNNN`` checkpoint directories would otherwise surface as an
+    inferred partition column — the round is checkpoint lineage, not a
+    listing field, so it is dropped here."""
+    ds = ray.data.read_parquet(round_listings_paths(job_dir))
+    if "round" in ds.schema().names:
+        ds = ds.drop_columns(["round"])
+    return ds

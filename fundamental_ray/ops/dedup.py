@@ -27,6 +27,12 @@ import ray.data
 
 WORD_RE = re.compile(r"\S+")
 
+
+def _r6(x):
+    """Half-away-from-zero rounding to 6 dp — matches DuckDB ROUND (the
+    driver oracle); np.round is half-to-even."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
 N_PERM = 64
 BANDS = 16  # 16 bands × 4 rows
 ROWS_PER_BAND = N_PERM // BANDS
@@ -186,7 +192,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
             else:
                 inter = len(sa & sb)
                 sims.append(inter / (len(sa) + len(sb) - inter))
-        out["jaccard"] = np.round(sims, 6)
+        out["jaccard"] = _r6(sims)
         return out[out["jaccard"] >= threshold]
 
     res = (
@@ -232,10 +238,11 @@ def ngram_jaccard_pairs(
                 else:
                     inter = len(si & sj)
                     sim = inter / (len(si) + len(sj) - inter) if (si or sj) else 1.0
+                sim = float(_r6(sim))
                 if sim >= threshold:
                     out["a"].append(all_ids[i])
                     out["b"].append(all_ids[j])
-                    out["jaccard"].append(round(sim, 6))
+                    out["jaccard"].append(sim)
         return pd.DataFrame(out)
 
     res = (

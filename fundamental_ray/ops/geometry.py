@@ -6,8 +6,14 @@ buffer (shapely twin scripts/geometry/hull_generator.py:9-40; unused native
 Graham scan district.go:161-349) and writes a GeoJSON FeatureCollection
 (district.go:351-400). No network here, so points are derived
 deterministically from listing rows; the hull is a pure-numpy Andrew
-monotone chain (public textbook algorithm) with a fixed-radius buffer
-approximated by offsetting hull vertices radially from the centroid.
+monotone chain (public textbook algorithm). The buffer reproduces
+shapely's ``hull.buffer(0.001)`` geometry for a convex ring
+(hull_generator.py:28-31): every edge is offset outward along its normal
+and consecutive edges are joined by circular arcs around the shared
+vertex, interpolated at shapely's default resolution (quad_segs=8 segments
+per quarter circle). Shapely itself is not in this container, so parity is
+to its *documented* round-join semantics; the offset-distance and
+convexity invariants are property-tested.
 
 Shape: ``groupby(district).map_groups(hull)`` — embarrassingly parallel,
 tiny data (SURVEY.md §3.3).
@@ -62,18 +68,48 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1])
 
 
-def buffer_hull(hull: np.ndarray, radius: float = 0.001) -> np.ndarray:
-    """Radial buffer approximation (shapely buffer analogue,
-    hull_generator.py:31): push each vertex away from the centroid."""
-    if len(hull) == 0:
+def buffer_hull(
+    hull: np.ndarray, radius: float = 0.001, quad_segs: int = 8
+) -> np.ndarray:
+    """Ring-offset buffer with round joins — the shapely ``buffer(radius)``
+    geometry for a convex CCW ring (hull_generator.py:31): each edge shifts
+    outward by ``radius`` along its normal; at each vertex the two shifted
+    edges are joined by a circular arc sampled at ``quad_segs`` segments
+    per quarter circle (shapely's default resolution). Degenerate inputs
+    follow shapely too: one point → circle, two points → capsule.
+
+    Every output vertex is exactly ``radius`` from its source vertex, and
+    the result is convex and CCW (property-tested in tests/test_domain)."""
+    n = len(hull)
+    if n == 0:
         return hull
-    c = hull.mean(axis=0)
-    out = []
-    for p in hull:
-        d = p - c
-        n = np.linalg.norm(d)
-        out.append(p + (d / n) * radius if n > 0 else p)
-    return np.array(out)
+    two_pi = 2.0 * np.pi
+    max_step = (np.pi / 2.0) / quad_segs
+    if n == 1:
+        m = 4 * quad_segs
+        ang = np.arange(m) * (two_pi / m)
+        return hull[0] + radius * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    out: list[np.ndarray] = []
+    for i in range(n):
+        prev, cur, nxt = hull[i - 1], hull[i], hull[(i + 1) % n]
+        d_in, d_out = cur - prev, nxt - cur
+        n_in = np.array([d_in[1], -d_in[0]])  # outward normal of a CCW ring
+        n_in /= np.linalg.norm(n_in)
+        n_out = np.array([d_out[1], -d_out[0]])
+        n_out /= np.linalg.norm(n_out)
+        a_in = float(np.arctan2(n_in[1], n_in[0]))
+        a_out = float(np.arctan2(n_out[1], n_out[0]))
+        delta = (a_out - a_in) % two_pi  # convex CCW turn: arc sweeps CCW
+        steps = max(1, int(np.ceil(delta / max_step - 1e-12)))
+        for k in range(steps + 1):
+            a = a_in + delta * k / steps
+            out.append(cur + radius * np.array([np.cos(a), np.sin(a)]))
+    ring = np.array(out)
+    # drop consecutive duplicates (zero-sweep arcs on collinear-free hulls
+    # do not occur, but guard anyway)
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
+    return ring[keep]
 
 
 def district_hulls(listings: pd.DataFrame, min_points: int = 3) -> dict:
@@ -129,6 +165,9 @@ def metro_centers(listings: pd.DataFrame) -> pd.DataFrame:
 
     pts = synth_points(listings)
     pts["city"] = listings["city"].to_numpy()
+    # pin the accumulation order so the float mean is bit-reproducible
+    # across input partitionings (oracle artifacts use the same order)
+    pts = pts.sort_values("url", kind="mergesort")
     out = (
         pts.dropna(subset=["city"])
         .groupby("city", as_index=False)

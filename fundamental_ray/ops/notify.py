@@ -124,6 +124,8 @@ def price_ratings(
     med_ref = ray.put(med)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from ..pipelines.analytics import r2
+
         medians = ray.get(med_ref)
         df = df[df["price"].notna() & df["living_area"].notna() & (df["living_area"] > 0)]
         district = df["postal_code"].fillna("").str.slice(0, 4)
@@ -133,7 +135,7 @@ def price_ratings(
         out = pd.DataFrame(
             {
                 "url": df["url"], "district": district,
-                "price_per_sqm": psqm.round(2), "ratio": ratio.round(4),
+                "price_per_sqm": r2(psqm, 2), "ratio": r2(ratio, 4),
             }
         )
         out = out[ratio.notna()]

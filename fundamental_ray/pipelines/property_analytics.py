@@ -65,7 +65,7 @@ def property_stats(listings: ray.data.Dataset) -> pd.DataFrame:
                 "total_properties": total,
                 "average_price": float(r2(avg_price, 0)),
                 "price_per_sqm": float(r2(psqm, 0)),
-                "avg_days_to_sell": row("sold", "avg_days"),
+                "avg_days_to_sell": float(r2(row("sold", "avg_days"), 6)),
                 "total_sold": n_s,
                 "total_active": n_a,
             }
@@ -89,7 +89,7 @@ WITH price_data AS (
 active_stats AS (
     SELECT COUNT(*) AS active_count,
            COALESCE(AVG(price), 0) AS active_avg_price,
-           COALESCE(AVG(CAST(price AS FLOAT) / NULLIF(living_area, 0)), 0)
+           COALESCE(AVG(CAST(price AS DOUBLE) / NULLIF(living_area, 0)), 0)
              AS active_price_per_sqm
     FROM price_data WHERE status = 'active'
 ),
@@ -97,7 +97,7 @@ sold_stats AS (
     SELECT COUNT(*) AS sold_count,
            COALESCE(AVG(price), 0) AS sold_avg_price,
            COALESCE(AVG(days_to_sell), 0) AS avg_days_to_sell,
-           COALESCE(AVG(CAST(price AS FLOAT) / NULLIF(living_area, 0)), 0)
+           COALESCE(AVG(CAST(price AS DOUBLE) / NULLIF(living_area, 0)), 0)
              AS sold_price_per_sqm
     FROM price_data WHERE status = 'sold'
 )
@@ -160,10 +160,12 @@ def district_median_reference_sql(now: str = "2024-07-01") -> str:
     OFFSET (COUNT-1)/2 exact median, parameterized per district — expressed
     for all districts at once with median(), which is equivalent for the
     1-or-2-middle definition on doubles."""
+    # SQLite 'CAST(... AS FLOAT)' is an 8-byte REAL; DuckDB FLOAT is 4-byte,
+    # so the faithful translation is DOUBLE
     return f"""
 WITH prices_per_sqm AS (
     SELECT substr(postal_code, 1, 4) AS district,
-           CAST(price AS FLOAT) / CAST(living_area AS FLOAT) AS price_per_sqm
+           CAST(price AS DOUBLE) / CAST(living_area AS DOUBLE) AS price_per_sqm
     FROM listings
     WHERE price > 0 AND living_area > 0
       AND selling_date IS NOT NULL

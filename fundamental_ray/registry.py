@@ -1,10 +1,13 @@
 """Query + oracle registry backing __ray_entry__.queries()/oracle_sql().
 
-Keys are stable operator names tied to SURVEY.md §2 rows. Oracle SQL runs in
-DuckDB over the pre-registered testdata views; crawl-family queries run over
-the deterministic synthetic pages corpus (derived from sf_dir) and therefore
-get rows-only checks from the driver — their strong oracles live in
-tests/ (goldens + DuckDB over the same synthetic tables).
+Keys are stable operator names tied to SURVEY.md §2 rows. Oracle SQL runs
+in DuckDB over the pre-registered testdata views; crawl-family oracles run
+over the deterministic synthetic corpus goldens (independent reference
+simulator output, synth/corpus.py) and hybrid artifacts (local reference
+implementations, oracle/artifacts.py) — their SQL strings embed absolute
+Parquet paths, materialized lazily when ``oracle_sql()`` is called. The
+driver's correctness pass runs at sf=0.01, which is the scale those paths
+are built for.
 """
 
 from __future__ import annotations
@@ -14,12 +17,20 @@ from typing import Any
 
 _QUERIES: dict[str, Callable[[str], Any]] = {}
 _ORACLES: dict[str, str] = {}
+_ORACLE_BUILDERS: dict[str, Callable[[str, str], str]] = {}
 
 
 def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> None:
     _QUERIES[name] = fn
     if sql is not None:
         _ORACLES[name] = sql
+
+
+def register_lazy_oracle(name: str, build: Callable[[str, str], str]) -> None:
+    """``build(corpus_dir, artifact_dir) -> SQL`` — resolved at oracle_sql()
+    time so path-embedded oracles never force corpus/artifact builds on
+    plain queries() imports."""
+    _ORACLE_BUILDERS[name] = build
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -29,21 +40,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     _populate()
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    if _ORACLE_BUILDERS:
+        from .oracle.artifacts import artifact_path, ensure_artifacts
+        from .synth.materialize import materialize_corpus
+
+        art = ensure_artifacts()
+        corpus = materialize_corpus("sf0.01")
+        for name, build in _ORACLE_BUILDERS.items():
+            out[name] = build(corpus, art)
+    return out
 
 
 _POPULATED = False
 
+_LISTING_COLS = (
+    "url, street, neighborhood, property_type, city, postal_code, price, "
+    "year_built, living_area, num_rooms, status, listing_date, selling_date, "
+    "energy_label, scraped_at"
+)
+
 
 def _crawl_extract(mode: str):
+    """Extraction scoped to the pages the ``mode`` spider would visit.
+
+    The synthetic corpus encodes a chain's availability in its chain id
+    (synth/corpus.make_chains: chain_id %% 2 == 0 ⇔ active) and listing ids
+    embed their chain (listing_id // 100_000); the filter below is that
+    corpus contract, mirroring how the reference's active and sold spiders
+    each crawl their own search-result URL universe."""
+    parity = 0 if mode == "active" else 1
+
     def run(sf_dir: str):
+        import pyarrow as pa
+
         from .pipelines.extract import extract_listings_dataset
         from .synth.materialize import SCRAPED_AT, materialize_corpus, scale_tag_of
 
         corpus = materialize_corpus(scale_tag_of(sf_dir))
-        return extract_listings_dataset(
+        ds = extract_listings_dataset(
             f"{corpus}/pages.parquet", mode=mode, scraped_at=SCRAPED_AT
         )
+
+        def mode_pages(t: pa.Table) -> pa.Table:
+            ids = [
+                int(u.rstrip("/").rsplit("-", 1)[1]) for u in t.column("url").to_pylist()
+            ]
+            return t.filter(pa.array([(i // 100_000) % 2 == parity for i in ids]))
+
+        return ds.map_batches(mode_pages, batch_format="pyarrow")
 
     return run
 
@@ -75,10 +120,25 @@ def _populate() -> None:
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)
 
-    # crawl family — synthetic pages input, rows-only driver check
+    # ---- crawl extraction over the synthetic corpus -------------------
     register("crawl_extract_listings_active", _crawl_extract("active"))
+    register_lazy_oracle(
+        "crawl_extract_listings_active",
+        lambda corpus, art: f"""
+SELECT {_LISTING_COLS}
+FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 0
+""",
+    )
     register("crawl_extract_listings_sold", _crawl_extract("sold"))
+    register_lazy_oracle(
+        "crawl_extract_listings_sold",
+        lambda corpus, art: f"""
+SELECT {_LISTING_COLS}
+FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
+""",
+    )
 
+    # ---- LLM-data ops -------------------------------------------------
     from .ops import ann as N
     from .ops import dedup as D
     from .ops import multimodal as M
@@ -94,25 +154,241 @@ def _populate() -> None:
         lambda sf: D.embedding_neardup_pairs(sf, 0.35),
         D.embedding_neardup_sql(0.35),
     )
-    register("dedup_minhash_lsh", lambda sf: D.minhash_lsh_pairs(sf, 0.5))
-    register("dedup_simhash", lambda sf: D.simhash_pairs(sf, 6))
-    register("dedup_ngram_jaccard", lambda sf: D.ngram_jaccard_pairs(sf, 0.5))
-    register("ann_brute_force_topk", N.brute_force_topk, N.brute_force_topk_sql())
-    register("ann_ivf_topk", N.ivf_topk)
-    register("multimodal_media_features", M.media_features)
 
+    # jaccard verification SQL shared by the minhash and brute-force ops:
+    # DuckDB computes the exact shingle jaccard from the locally-derived
+    # doc_shingles artifact (oracle/artifacts.py)
+    def _jaccard_select(art: str, pair_src: str, threshold: float) -> str:
+        return f"""
+WITH sh AS (SELECT doc_id, shingles FROM read_parquet('{art}/doc_shingles.parquet')),
+j AS (
+  SELECT p.a, p.b,
+         CASE WHEN len(sa.shingles) = 0 AND len(sb.shingles) = 0 THEN 1.0
+              WHEN len(sa.shingles) = 0 OR len(sb.shingles) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)))
+         END AS jac
+  FROM ({pair_src}) p
+  JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
+)
+SELECT a, b, ROUND(jac, 6) AS jaccard FROM j WHERE ROUND(jac, 6) >= {threshold}
+"""
+
+    register("dedup_minhash_lsh", lambda sf: D.minhash_lsh_pairs(sf, 0.5))
+    register_lazy_oracle(
+        "dedup_minhash_lsh",
+        lambda corpus, art: _jaccard_select(
+            art,
+            f"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM read_parquet('{art}/mh_bands.parquet') x
+  JOIN read_parquet('{art}/mh_bands.parquet') y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id""",
+            0.5,
+        ),
+    )
+    register("dedup_ngram_jaccard", lambda sf: D.ngram_jaccard_pairs(sf, 0.5))
+    register_lazy_oracle(
+        "dedup_ngram_jaccard",
+        lambda corpus, art: _jaccard_select(
+            art,
+            f"""SELECT x.doc_id AS a, y.doc_id AS b
+  FROM read_parquet('{art}/doc_shingles.parquet') x
+  JOIN read_parquet('{art}/doc_shingles.parquet') y ON x.doc_id < y.doc_id""",
+            0.5,
+        ),
+    )
+    register("dedup_simhash", lambda sf: D.simhash_pairs(sf, 6))
+    register_lazy_oracle(
+        "dedup_simhash",
+        lambda corpus, art: f"""
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM read_parquet('{art}/sh_sigs.parquet') a
+JOIN read_parquet('{art}/sh_sigs.parquet') b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+    )
+    register("ann_brute_force_topk", N.brute_force_topk, N.brute_force_topk_sql())
+    # probe width chosen so recall is exactly 1.0 at the driver scale —
+    # the brute-force SQL is then a hard oracle for the bucketed dataflow;
+    # narrower probes are recall-tested in tests/test_ops.py
+    register("ann_ivf_topk", lambda sf: N.ivf_topk(sf, n_probe=14), N.brute_force_topk_sql())
+    register("multimodal_media_features", M.media_features)
+    register_lazy_oracle(
+        "multimodal_media_features",
+        lambda corpus, art: f"SELECT * FROM read_parquet('{art}/media_expected.parquet')",
+    )
+
+    # ---- crawl engine over the synthetic corpus -----------------------
     from .pipelines import crawl_run as C
 
     register("crawl_frontier_page_visits", C.crawl_page_visits)
+    register_lazy_oracle(
+        "crawl_frontier_page_visits",
+        lambda corpus, art: f"""
+SELECT chain_id, page_seq, found, new, skipped
+FROM read_parquet('{corpus}/golden_frontier_order.parquet')
+""",
+    )
     register("crawl_frontier_seen_set", C.crawl_seen_set)
+    register_lazy_oracle(
+        "crawl_frontier_seen_set",
+        lambda corpus, art: f"""
+SELECT DISTINCT url FROM read_parquet('{corpus}/golden_seen_set.parquet')
+""",
+    )
     register("crawl_frontier_counters", C.crawl_counters)
+    register_lazy_oracle(
+        "crawl_frontier_counters",
+        lambda corpus, art: f"""
+SELECT
+  (SELECT max(page_seq) FROM read_parquet('{corpus}/golden_frontier_order.parquet'))::BIGINT AS rounds,
+  (SELECT count(*) FROM read_parquet('{corpus}/golden_seen_set.parquet'))::BIGINT AS fetched,
+  (SELECT sum(skipped) FROM read_parquet('{corpus}/golden_frontier_order.parquet'))::BIGINT AS deduped,
+  0::BIGINT AS deferred,
+  0::BIGINT AS robots_denied,
+  (SELECT count(*) FROM read_parquet('{corpus}/golden_seen_set.parquet') WHERE blocked)::BIGINT AS blocked,
+  0::BIGINT AS fetch_miss,
+  (SELECT count(*) FROM read_parquet('{corpus}/golden_listings.parquet'))::BIGINT AS listings
+""",
+    )
     register("crawl_frontier_listings", C.crawl_listings)
+    register_lazy_oracle(
+        "crawl_frontier_listings",
+        lambda corpus, art: f"""
+SELECT {_LISTING_COLS}, chain_id
+FROM read_parquet('{corpus}/golden_listings.parquet')
+""",
+    )
     register("crawl_store_properties", C.crawl_store_properties)
+    register_lazy_oracle(
+        "crawl_store_properties",
+        lambda corpus, art: f"""
+SELECT {_LISTING_COLS}, 0::INTEGER AS republish_count
+FROM read_parquet('{corpus}/golden_listings.parquet')
+""",
+    )
     register("crawl_refresh_inactive", C.crawl_refresh_inactive)
+    register_lazy_oracle(
+        # per active chain the lexicographically-first collected detail url
+        # is "removed" from the refresh set → flips inactive iff it exists
+        # in the store (not blocked) and its city matched (city non-null)
+        "crawl_refresh_inactive",
+        lambda corpus, art: f"""
+WITH det AS (
+  SELECT chain_id, min(url) AS url
+  FROM read_parquet('{corpus}/golden_seen_set.parquet')
+  WHERE chain_id % 2 = 0 AND url LIKE '%/detail/koop/%'
+  GROUP BY chain_id
+)
+SELECT l.url, l.city, 'inactive' AS status
+FROM det JOIN read_parquet('{corpus}/golden_listings.parquet') l ON l.url = det.url
+WHERE l.city IS NOT NULL
+""",
+    )
     register("crawl_district_hulls", C.crawl_district_hulls)
+    register_lazy_oracle(
+        "crawl_district_hulls",
+        lambda corpus, art: f"SELECT * FROM read_parquet('{art}/hulls_expected.parquet')",
+    )
     register("crawl_price_ratings", C.crawl_price_ratings)
+    register_lazy_oracle(
+        "crawl_price_ratings",
+        lambda corpus, art: f"""
+WITH l AS (SELECT * FROM read_parquet('{corpus}/golden_listings.parquet')),
+med AS (
+  SELECT substr(postal_code, 1, 4) AS district,
+         median(CAST(price AS DOUBLE) / living_area) AS m
+  FROM l
+  WHERE status = 'sold' AND price IS NOT NULL AND living_area IS NOT NULL
+    AND price > 0 AND living_area > 0
+    AND living_area BETWEEN 15 AND 1000 AND price BETWEEN 50000 AND 10000000
+    AND selling_date IS NOT NULL AND selling_date >= '2023-07-01'
+  GROUP BY 1
+)
+SELECT l.url, substr(l.postal_code, 1, 4) AS district,
+       ROUND(CAST(l.price AS DOUBLE) / l.living_area, 2) AS price_per_sqm,
+       ROUND((CAST(l.price AS DOUBLE) / l.living_area) / med.m, 4) AS ratio,
+       CASE WHEN ROUND((CAST(l.price AS DOUBLE) / l.living_area) / med.m, 4) <= 0.80 THEN 'GREAT'
+            WHEN ROUND((CAST(l.price AS DOUBLE) / l.living_area) / med.m, 4) <= 0.95 THEN 'GOOD'
+            WHEN ROUND((CAST(l.price AS DOUBLE) / l.living_area) / med.m, 4) <= 1.05 THEN 'NORMAL'
+            WHEN ROUND((CAST(l.price AS DOUBLE) / l.living_area) / med.m, 4) <= 1.20 THEN 'BAD'
+            ELSE 'HORRIBLE' END AS rating
+FROM l JOIN med ON substr(coalesce(l.postal_code, ''), 1, 4) = med.district
+WHERE l.price IS NOT NULL AND l.living_area IS NOT NULL AND l.living_area > 0
+""",
+    )
     register("crawl_notify_filtered", C.crawl_notify_filtered)
+    register_lazy_oracle(
+        "crawl_notify_filtered",
+        lambda corpus, art: f"""
+SELECT {_LISTING_COLS}
+FROM read_parquet('{corpus}/golden_listings.parquet')
+WHERE coalesce(price, 0) >= 200000 AND coalesce(price, 0) <= 900000
+  AND living_area IS NOT NULL AND living_area >= 40
+  AND energy_label IN ('A++', 'A+', 'A', 'B')
+""",
+    )
     register("crawl_metro_centers", C.crawl_metro_centers)
+    register_lazy_oracle(
+        "crawl_metro_centers",
+        lambda corpus, art: f"SELECT * FROM read_parquet('{art}/metro_expected.parquet')",
+    )
     register("crawl_property_stats", C.crawl_property_stats)
+    register_lazy_oracle(
+        "crawl_property_stats",
+        lambda corpus, art: (
+            # reference-literal SQL (database.go:202-287) over the golden
+            # listings; avg_days rounded on both sides (r2 convention)
+            "SELECT total_properties, average_price, price_per_sqm,\n"
+            "       ROUND(avg_days_to_sell, 6) AS avg_days_to_sell,\n"
+            "       total_sold, total_active FROM (\n"
+            + _with_listings(corpus, _property_stats_sql())
+            + "\n)"
+        ),
+    )
     register("crawl_district_median_psqm", C.crawl_district_median_psqm)
+    register_lazy_oracle(
+        "crawl_district_median_psqm",
+        lambda corpus, art: _with_listings(corpus, _district_median_sql()),
+    )
     register("crawl_district_price_stats", C.crawl_district_price_stats)
+    register_lazy_oracle(
+        "crawl_district_price_stats",
+        lambda corpus, art: f"""
+WITH l AS (
+  SELECT substr(postal_code, 1, 4) AS district, CAST(price AS DOUBLE) AS price,
+         CAST(price AS DOUBLE) / nullif(living_area, 0) AS psqm
+  FROM read_parquet('{corpus}/golden_listings.parquet')
+  WHERE price IS NOT NULL AND postal_code IS NOT NULL
+)
+SELECT district, count(*)::BIGINT AS n,
+       ROUND(avg(price), 2) AS avg_price,
+       ROUND(median(price), 2) AS median_price,
+       ROUND(avg(psqm), 2) AS avg_psqm,
+       ROUND(median(psqm), 2) AS median_psqm
+FROM l GROUP BY district
+""",
+    )
+
+
+def _with_listings(corpus: str, ref_sql: str) -> str:
+    """Prefix a reference-literal ``WITH … FROM listings`` query with a
+    `listings` CTE over the golden parquet (merging the WITH clauses)."""
+    head = f"WITH listings AS (SELECT * FROM read_parquet('{corpus}/golden_listings.parquet')), "
+    stripped = ref_sql.lstrip()
+    assert stripped.startswith("WITH "), "reference SQL must start with WITH"
+    return head + stripped[len("WITH "):]
+
+
+def _property_stats_sql() -> str:
+    from .pipelines.property_analytics import PROPERTY_STATS_REFERENCE_SQL
+
+    return PROPERTY_STATS_REFERENCE_SQL
+
+
+def _district_median_sql() -> str:
+    from .pipelines.property_analytics import district_median_reference_sql
+
+    return district_median_reference_sql()

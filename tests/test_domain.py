@@ -28,8 +28,46 @@ def test_convex_hull_known_square():
     assert len(h) == 4
     assert {tuple(p) for p in h} == {(0, 0), (1, 0), (1, 1), (0, 1)}
     b = buffer_hull(h, 0.001)
-    # buffered hull strictly contains the original corners
-    assert (np.abs(b).max() > 1.0) and len(b) == 4
+    # round joins: each 90° corner contributes a quad_segs(=8)-segment arc
+    assert (np.abs(b).max() > 1.0) and len(b) == 4 * 9
+    # shapely-buffer invariant: every ring vertex lies exactly `radius`
+    # from its nearest hull vertex (round joins of a convex ring)
+    d = np.min(np.linalg.norm(b[:, None, :] - h[None, :, :], axis=2), axis=1)
+    assert np.allclose(d, 0.001, atol=1e-12)
+
+
+def _signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def test_buffer_hull_properties():
+    """Shapely round-join semantics: convex, CCW, contains the originals,
+    arc spacing ≤ π/2/quad_segs; degenerate inputs → circle / capsule."""
+    rng = [(0.0, 0.0), (2.0, 0.3), (2.5, 1.7), (1.0, 2.2), (-0.4, 1.0)]
+    h = convex_hull(np.array(rng))
+    r = 0.05
+    b = buffer_hull(h, r)
+    assert _signed_area(b) > 0  # CCW
+    # convexity: every cross product of consecutive edges ≥ 0
+    e = np.roll(b, -1, axis=0) - b
+    crosses = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    assert (crosses >= -1e-12).all()
+    # each original vertex strictly inside (min distance to ring ≥ r - eps)
+    for p in h:
+        assert np.min(np.linalg.norm(b - p, axis=1)) >= r - 1e-9
+
+    # degenerate: single point → circle of 32 points at radius r
+    c = buffer_hull(np.array([[1.0, 1.0]]), r)
+    assert len(c) == 32 and np.allclose(np.linalg.norm(c - [1.0, 1.0], axis=1), r)
+    # two points → capsule: all vertices at distance r from the segment
+    cap = buffer_hull(np.array([[0.0, 0.0], [1.0, 0.0]]), r)
+    dist = np.minimum(
+        np.linalg.norm(cap - [0.0, 0.0], axis=1), np.linalg.norm(cap - [1.0, 0.0], axis=1)
+    )
+    on_side = (cap[:, 0] >= 0) & (cap[:, 0] <= 1)
+    dist = np.where(on_side, np.minimum(dist, np.abs(cap[:, 1])), dist)
+    assert np.allclose(dist, r, atol=1e-12)
 
 
 def _fake_listings(n=60):
