@@ -112,7 +112,12 @@ def crawl_store_properties(sf_dir: str) -> pd.DataFrame:
         delta = ray.data.read_parquet(parts).drop_columns(["chain_id"])
         store = merge_round(store, delta, i).materialize()
     out = store.to_pandas().sort_values("url").reset_index(drop=True)
-    return out.drop(columns=["last_updated_round", "first_seen_round"])
+    # round lineage + geocode columns are their own queries
+    # (crawl_geocoded); this one is the upsert state machine
+    return out.drop(
+        columns=["last_updated_round", "first_seen_round",
+                 "latitude", "longitude", "geocoding_attempted"]
+    )
 
 
 def crawl_refresh_inactive(sf_dir: str) -> pd.DataFrame:
@@ -225,3 +230,74 @@ def crawl_district_price_stats(sf_dir: str) -> pd.DataFrame:
     from .property_analytics import district_price_stats
 
     return district_price_stats(crawl_listings(sf_dir))
+
+
+def crawl_geocoded(sf_dir: str) -> pd.DataFrame:
+    """S8 geocode pass over the crawl's store (database.go:620-759 +
+    geocoder.go:100-189): one attempt per eligible address through the
+    cached rate-budgeted actor pool; never retried. Returns the geocode
+    projection of the store."""
+    import ray.data
+
+    from ..ops.geocode import GeocoderPool, update_missing_coordinates
+    from ..store.merge import merge_round, migrate_store
+
+    listings = crawl_listings(sf_dir)
+    store = migrate_store(merge_round(None, listings.drop_columns(["chain_id"]), 1))
+    pool = GeocoderPool(num_shards=2)
+    geocoded = update_missing_coordinates(store, pool).materialize()
+    out = (
+        geocoded.to_pandas()[["url", "latitude", "longitude", "geocoding_attempted"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    out["geocoding_attempted"] = out["geocoding_attempted"].astype("int64")
+    return out
+
+
+def crawl_notify_messages(sf_dir: str) -> pd.DataFrame:
+    """Telegram delivery path (telegram.go:198-423): filter the listings
+    delta, then render the byte-exact notification message per survivor
+    (thousand separators, district analysis, N/A fallbacks)."""
+    from ..ops.notify import NotifyFilters, notify_messages
+
+    f = NotifyFilters(
+        min_price=200_000, max_price=900_000, min_living_area=40,
+        energy_labels=["A++", "A+", "A", "B"],
+    )
+    return notify_messages(crawl_listings(sf_dir), f)
+
+
+def crawl_schedule_slots(sf_dir: str) -> pd.DataFrame:
+    """Scheduler refresh-slot assignment (scheduler.go:209-243) over the
+    corpus's configured city list (places in chain order)."""
+    from .cadence import schedule_slots
+
+    tag = scale_tag_of(sf_dir)
+    cities = [c.place for c in make_chains(SCALE_CHAINS[tag], n_hosts=4)]
+    out = schedule_slots(cities)
+    return out.astype({"day": "float64", "hour": "float64"})
+
+
+def crawl_metro_concat(sf_dir: str) -> pd.DataFrame:
+    """GetMetropolitanAreas' GROUP_CONCAT round-trip (database.go:919-952):
+    comma-join member cities + coordinates per metro area, then split the
+    city list back (the Go scan does strings.Split) — n_cities counts the
+    round-tripped list."""
+    mc = crawl_metro_centers(sf_dir)
+    mc = mc.copy()
+    mc["area"] = mc["city"].str.replace(r"-\d+$", "", regex=True)
+    mc = mc.sort_values("city", kind="mergesort")
+    rows = []
+    for area, g in mc.groupby("area", sort=True):
+        cities_cs = ",".join(g["city"])
+        rows.append(
+            {
+                "area": area,
+                "cities": cities_cs,
+                "city_lats": ",".join(f"{v:.6f}" for v in g["center_lat"]),
+                "city_lngs": ",".join(f"{v:.6f}" for v in g["center_lng"]),
+                "n_cities": len(cities_cs.split(",")) if cities_cs else 0,
+            }
+        )
+    return pd.DataFrame(rows)

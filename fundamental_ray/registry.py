@@ -287,6 +287,30 @@ FROM det JOIN read_parquet('{corpus}/golden_listings.parquet') l ON l.url = det.
 WHERE l.city IS NOT NULL
 """,
     )
+    register("crawl_geocoded", C.crawl_geocoded)
+    register_lazy_oracle(
+        # the synthetic resolver is md5-based precisely so DuckDB can
+        # recompute every coordinate + the 1-in-10 failure draw in pure SQL
+        # (ops/geocode.resolve_address)
+        "crawl_geocoded",
+        lambda corpus, art: f"""
+WITH g AS (
+  SELECT url,
+         street IS NOT NULL AND postal_code IS NOT NULL AND city IS NOT NULL AS eligible,
+         md5(street || '|' || postal_code || '|' || city) AS h
+  FROM read_parquet('{corpus}/golden_listings.parquet')
+)
+SELECT url,
+  CASE WHEN eligible AND ('0x' || substr(h, 17, 2))::UBIGINT % 10 <> 0
+       THEN 50.75 + (('0x' || substr(h, 1, 8))::UBIGINT % 300000) / 100000.0
+  END AS latitude,
+  CASE WHEN eligible AND ('0x' || substr(h, 17, 2))::UBIGINT % 10 <> 0
+       THEN 3.2 + (('0x' || substr(h, 9, 8))::UBIGINT % 400000) / 100000.0
+  END AS longitude,
+  (CASE WHEN eligible THEN 1 ELSE 0 END)::BIGINT AS geocoding_attempted
+FROM g
+""",
+    )
     register("crawl_district_hulls", C.crawl_district_hulls)
     register_lazy_oracle(
         "crawl_district_hulls",
@@ -330,10 +354,118 @@ WHERE coalesce(price, 0) >= 200000 AND coalesce(price, 0) <= 900000
   AND energy_label IN ('A++', 'A+', 'A', 'B')
 """,
     )
+    register("crawl_notify_messages", C.crawl_notify_messages)
+    register_lazy_oracle(
+        # telegram.go:198-423 message text rebuilt in pure SQL: DuckDB's
+        # fmt format('{:,}') reproduces formatNumber's comma grouping and
+        # printf('%+.1f') the diff line; medians/counts re-derived from the
+        # goldens with the F2 quality predicate
+        "crawl_notify_messages",
+        lambda corpus, art: f"""
+WITH l AS (SELECT * FROM read_parquet('{corpus}/golden_listings.parquet')),
+q AS (
+  SELECT substr(postal_code, 1, 4) AS d, status, selling_date,
+         CAST(price AS DOUBLE) / living_area AS psqm
+  FROM l
+  WHERE price IS NOT NULL AND living_area IS NOT NULL
+    AND price > 0 AND living_area > 0
+    AND living_area BETWEEN 15 AND 1000 AND price BETWEEN 50000 AND 10000000
+),
+act AS (SELECT d, median(psqm) AS m, count(*) AS c FROM q WHERE status = 'active' GROUP BY d),
+sold AS (SELECT d, median(psqm) AS m, count(*) AS c FROM q
+         WHERE status = 'sold' AND selling_date IS NOT NULL
+           AND selling_date >= '2023-07-01' GROUP BY d),
+f AS (
+  SELECT * FROM l
+  WHERE coalesce(price, 0) >= 200000 AND coalesce(price, 0) <= 900000
+    AND living_area IS NOT NULL AND living_area >= 40
+    AND energy_label IN ('A++', 'A+', 'A', 'B')
+),
+base AS (
+  SELECT f.*, CAST(f.price AS DOUBLE) / f.living_area AS psqm,
+         act.m AS am, act.c AS ac, sold.m AS sm, sold.c AS sc
+  FROM f
+  LEFT JOIN act ON act.d = substr(f.postal_code, 1, 4)
+  LEFT JOIN sold ON sold.d = substr(f.postal_code, 1, 4)
+)
+SELECT url,
+ '<b>New Property Listed!</b>' || chr(10) || chr(10)
+ || '🏠 ' || coalesce(street, '') || chr(10)
+ || '📍 ' || coalesce(city, '') || ', ' || coalesce(postal_code, 'Unknown') || chr(10)
+ || '💰 €' || format('{{:,}}', CAST(printf('%.0f', CAST(price AS DOUBLE)) AS BIGINT)) || chr(10)
+ || '📐 ' || CAST(living_area AS VARCHAR) || ' m²' || chr(10)
+ || '💵 €' || format('{{:,}}', CAST(printf('%.0f', psqm) AS BIGINT)) || '/m²' || chr(10)
+ || '🏗️ Built: ' || coalesce(CAST(year_built AS VARCHAR), 'N/A') || chr(10)
+ || '🚪 Rooms: ' || coalesce(CAST(num_rooms AS VARCHAR), 'N/A') || chr(10)
+ || '⚡ Energy label: ' || coalesce(energy_label, '') || chr(10) || chr(10)
+ || CASE WHEN postal_code IS NULL THEN 'N/A (price analysis unavailable)'
+    ELSE '📊 <u>District Analysis</u>' || chr(10)
+      || CASE WHEN am > 0 THEN
+           'Current listings (' || CAST(ac AS VARCHAR) || ' properties):' || chr(10)
+           || '<b>' || CASE WHEN psqm / am <= 0.80 THEN 'GREAT'
+                            WHEN psqm / am <= 0.95 THEN 'GOOD'
+                            WHEN psqm / am <= 1.05 THEN 'NORMAL'
+                            WHEN psqm / am <= 1.20 THEN 'BAD'
+                            ELSE 'HORRIBLE' END || '</b>'
+           || ' (' || printf('%+.1f', (psqm / am - 1) * 100) || '% vs. median)'
+           || chr(10) || chr(10)
+         ELSE 'Current listings (0 properties):' || chr(10)
+              || 'No active listings for comparison' || chr(10) || chr(10) END
+      || CASE WHEN sm > 0 THEN
+           'Past year sales (' || CAST(sc AS VARCHAR) || ' properties):' || chr(10)
+           || '<b>' || CASE WHEN psqm / sm <= 0.80 THEN 'GREAT'
+                            WHEN psqm / sm <= 0.95 THEN 'GOOD'
+                            WHEN psqm / sm <= 1.05 THEN 'NORMAL'
+                            WHEN psqm / sm <= 1.20 THEN 'BAD'
+                            ELSE 'HORRIBLE' END || '</b>'
+           || ' (' || printf('%+.1f', (psqm / sm - 1) * 100) || '% vs. median)'
+         ELSE 'Past year sales (0 properties):' || chr(10)
+              || 'No recent sales for comparison' END
+    END || chr(10) || chr(10)
+ || '🔗 <a href="' || url || '">View on Funda</a>' AS message
+FROM base
+""",
+    )
     register("crawl_metro_centers", C.crawl_metro_centers)
     register_lazy_oracle(
         "crawl_metro_centers",
         lambda corpus, art: f"SELECT * FROM read_parquet('{art}/metro_expected.parquet')",
+    )
+    register("crawl_schedule_slots", C.crawl_schedule_slots)
+    register_lazy_oracle(
+        # cities derived independently from the golden seen set's url
+        # structure (places in chain order); the slot formula mirrors
+        # scheduler.go:209-243: hour blocks [0,4,8,12,16,20], Sunday-first
+        "crawl_schedule_slots",
+        lambda corpus, art: f"""
+WITH c AS (
+  SELECT chain_id,
+         min(regexp_extract(url, '/detail/koop/([^/]+)/', 1)) AS place
+  FROM read_parquet('{corpus}/golden_seen_set.parquet')
+  GROUP BY chain_id
+), o AS (
+  SELECT place, row_number() OVER (ORDER BY chain_id) - 1 AS i FROM c
+)
+SELECT place AS city,
+       CASE WHEN i < 42 THEN CAST(i % 7 AS DOUBLE) END AS day,
+       CASE WHEN i < 42 THEN CAST([0, 4, 8, 12, 16, 20][(i // 7) + 1] AS DOUBLE) END AS hour
+FROM o
+""",
+    )
+    register("crawl_metro_concat", C.crawl_metro_concat)
+    register_lazy_oracle(
+        "crawl_metro_concat",
+        lambda corpus, art: f"""
+WITH mc AS (SELECT * FROM read_parquet('{art}/metro_expected.parquet')),
+g AS (SELECT regexp_replace(city, '-[0-9]+$', '') AS area, city,
+             center_lat, center_lng FROM mc)
+SELECT area,
+       string_agg(city, ',' ORDER BY city) AS cities,
+       string_agg(printf('%.6f', center_lat), ',' ORDER BY city) AS city_lats,
+       string_agg(printf('%.6f', center_lng), ',' ORDER BY city) AS city_lngs,
+       len(string_split(string_agg(city, ',' ORDER BY city), ','))::BIGINT AS n_cities
+FROM g GROUP BY area
+""",
     )
     register("crawl_property_stats", C.crawl_property_stats)
     register_lazy_oracle(

@@ -44,10 +44,23 @@ STORE_EXTRA = [
     ("last_updated_round", pa.int32()),
     ("first_seen_round", pa.int32()),
 ]
-STORE_SCHEMA = pa.schema(list(LISTING_SCHEMA) + [pa.field(n, t) for n, t in STORE_EXTRA])
+# geocode columns (schema evolution v2, mirroring database.go:480-584's
+# ALTER TABLE ... ADD COLUMN migrations): preserved across field updates —
+# the upsert's UPDATE never touches them (database.go:795-815)
+GEO_EXTRA = [
+    ("latitude", pa.float64()),
+    ("longitude", pa.float64()),
+    ("geocoding_attempted", pa.int32()),
+]
+STORE_SCHEMA = pa.schema(
+    list(LISTING_SCHEMA)
+    + [pa.field(n, t) for n, t in STORE_EXTRA]
+    + [pa.field(n, t) for n, t in GEO_EXTRA]
+)
 
 _FIELDS = [f.name for f in LISTING_SCHEMA]
-_EXTRA = [n for n, _ in STORE_EXTRA]
+_EXTRA = [n for n, _ in STORE_EXTRA] + [n for n, _ in GEO_EXTRA]
+_PRESERVED = ["first_seen_round"] + [n for n, _ in GEO_EXTRA]  # update keeps old
 
 NUM_MERGE_BUCKETS = 256  # fold parallelism; each bucket folds many urls
 
@@ -114,6 +127,20 @@ def _fold_bucket(g: pd.DataFrame, round_no: int, emit_history: bool) -> pd.DataF
         pd.to_numeric(old_first_seen, errors="coerce").fillna(round_no).astype("int64")
     )
     merged["last_updated_round"] = np.int64(round_no)
+    # geocode columns survive the field update (database.go:795-815's
+    # UPDATE column list never includes them); new urls start unattempted
+    if len(old):
+        merged["latitude"] = urls.map(old_by_url["latitude"])
+        merged["longitude"] = urls.map(old_by_url["longitude"])
+        merged["geocoding_attempted"] = (
+            pd.to_numeric(urls.map(old_by_url["geocoding_attempted"]), errors="coerce")
+            .fillna(0)
+            .astype("int64")
+        )
+    else:
+        merged["latitude"] = np.nan
+        merged["longitude"] = np.nan
+        merged["geocoding_attempted"] = np.int64(0)
     # single-delta urls whose transition fired surface as 'republished';
     # with two deltas the second row's own status wins (sequential fold)
     merged.loc[repub & single, "status"] = "republished"
@@ -314,3 +341,24 @@ def previous_price(
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def migrate_store(store: ray.data.Dataset) -> ray.data.Dataset:
+    """Schema evolution (database.go:480-584): bring a store written under
+    an older schema up to STORE_SCHEMA by adding the missing columns with
+    their defaults (ALTER TABLE ... ADD COLUMN semantics:
+    geocoding_attempted DEFAULT 0, everything else NULL). Columns already
+    present pass through unchanged, so re-migrating is a no-op."""
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {}
+        for fld in STORE_SCHEMA:
+            if fld.name in t.column_names:
+                cols[fld.name] = t.column(fld.name).cast(fld.type)
+            elif fld.name == "geocoding_attempted":
+                cols[fld.name] = pa.array([0] * t.num_rows, fld.type)
+            else:
+                cols[fld.name] = pa.nulls(t.num_rows, fld.type)
+        return pa.table(cols)
+
+    return store.map_batches(f, batch_format="pyarrow")

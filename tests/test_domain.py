@@ -291,3 +291,50 @@ def test_jsonl_wire_format_sink(ray_session, tmp_path, crawl_env):
     assert trailer["type"] == "complete"
     assert trailer["data"]["total_items"] == 2
     assert trailer["data"]["status"] == "success"
+
+
+def test_format_number_go_parity():
+    from fundamental_ray.ops.notify import format_number
+
+    assert format_number(1234567.0) == "1,234,567"
+    assert format_number(999.0) == "999"
+    assert format_number(1000.0) == "1,000"
+    assert format_number(248156.4) == "248,156"
+    assert format_number(2.5) == "2"  # Go %.0f rounds half-even
+    assert format_number(3.5) == "4"
+
+
+def test_render_message_republished_and_fallbacks():
+    """telegram.go:337-368 republished titles + previous-price delta line;
+    missing postal → 'N/A (price analysis unavailable)' + 'Unknown'."""
+    import pandas as pd
+
+    from fundamental_ray.ops.notify import render_new_property_message
+
+    act = pd.DataFrame({"district": [], "m": [], "c": []}).set_index("district")
+    sold = act.copy()
+    base = {
+        "url": "https://x/detail/koop/a/h-1/", "street": "S 1", "city": "A",
+        "postal_code": "1012 AB", "price": 300_000, "living_area": 100,
+        "year_built": None, "num_rooms": 3, "energy_label": "A",
+        "status": "republished", "republish_count": 2,
+    }
+    msg = render_new_property_message(base, act, sold, previous_price=250_000)
+    assert "<b>⚡ Property Republished! (2 times)</b>" in msg
+    assert "💰 €300,000 (📈 +20.0% from €250,000)" in msg
+    assert "🏗️ Built: N/A" in msg and "🚪 Rooms: 3" in msg
+    # district exists in neither table → zero-count branches
+    assert "Current listings (0 properties):\nNo active listings for comparison" in msg
+    assert "Past year sales (0 properties):\nNo recent sales for comparison" in msg
+
+    one = render_new_property_message({**base, "republish_count": 1,
+                                       "price": 200_000}, act, sold,
+                                      previous_price=250_000)
+    assert "<b>⚡ Property Republished!</b>" in one
+    assert "(📉 -20.0% from €250,000)" in one
+
+    nopc = render_new_property_message({**base, "status": "active",
+                                        "postal_code": None}, act, sold)
+    assert "<b>New Property Listed!</b>" in nopc
+    assert "📍 A, Unknown" in nopc
+    assert "N/A (price analysis unavailable)" in nopc

@@ -241,3 +241,99 @@ def test_previous_price_vectorized_matches_oracle(ray_session):
         want = oracle.previous_price(u)
         g = got.loc[u, "previous_price"]
         assert (pd.isna(g) and want is None) or g == want, (u, g, want)
+
+
+def test_migrate_store_adds_geo_columns(ray_session, tmp_path):
+    """Schema evolution (database.go:480-584): an old-layout store snapshot
+    (no geocode columns) loads, gains the columns with defaults, and keeps
+    merging; re-migrating is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fundamental_ray.store.merge import STORE_SCHEMA, migrate_store
+
+    old_fields = [f for f in STORE_SCHEMA
+                  if f.name not in ("latitude", "longitude", "geocoding_attempted")]
+    old = pa.table(
+        {f.name: pa.array(["X"] if f.name == "url" else [None], f.type) for f in old_fields}
+    )
+    path = tmp_path / "old_store.parquet"
+    pq.write_table(old, str(path))
+
+    store = migrate_store(ray.data.read_parquet(str(path)))
+    df = store.to_pandas()
+    assert df.loc[0, "geocoding_attempted"] == 0
+    assert pd.isna(df.loc[0, "latitude"]) and pd.isna(df.loc[0, "longitude"])
+    # still merges after migration
+    merged = merge_round(store, ray.data.from_items([_row("Y")]), 2)
+    assert len(merged.to_pandas()) == 2
+    # idempotent
+    again = migrate_store(store).to_pandas()
+    assert list(again.columns) == [f.name for f in STORE_SCHEMA]
+
+
+def test_geocode_once_never_retried(ray_session):
+    """database.go:680-719: every eligible row is attempted exactly once;
+    failures are marked attempted and never retried; geocode columns
+    survive later field updates."""
+    import ray.data
+
+    from fundamental_ray.ops.geocode import (
+        GeocoderPool,
+        resolve_address,
+        update_missing_coordinates,
+    )
+    from fundamental_ray.store.merge import migrate_store
+
+    rows = [_row(f"u{i}", street=f"S{i}", postal_code="1012 AB") for i in range(40)]
+    rows.append(_row("no-postal", street="S", postal_code=None))  # ineligible
+    store = migrate_store(merge_round(None, ray.data.from_items(rows), 1))
+
+    pool = GeocoderPool(num_shards=2)
+    g1 = update_missing_coordinates(store, pool).materialize()
+    df = g1.to_pandas().set_index("url")
+    assert df.loc["no-postal", "geocoding_attempted"] == 0
+    eligible = df.drop(index="no-postal")
+    assert (eligible["geocoding_attempted"] == 1).all()
+    # coordinates match the deterministic resolver, incl. failures
+    fails = 0
+    for u, r in eligible.iterrows():
+        want = resolve_address(r["street"], r["postal_code"], r["city"])
+        if want is None:
+            fails += 1
+            assert pd.isna(r["latitude"])
+        else:
+            assert (r["latitude"], r["longitude"]) == want
+    s1 = pool.stats()
+    assert s1["misses"] == len(eligible) and s1["elapsed"] == float(len(eligible))
+
+    # second pass: nothing to do — failed rows are NOT retried
+    g2 = update_missing_coordinates(g1, pool).materialize()
+    s2 = pool.stats()
+    assert s2["misses"] == s1["misses"] and s2["hits"] == s1["hits"]
+    assert g2.to_pandas().set_index("url").equals(df)
+
+    # a field update (round 2 delta) preserves coords + attempted flag
+    upd = merge_round(g1, ray.data.from_items([_row("u0", price=999)]), 2).to_pandas()
+    row = upd.set_index("url").loc["u0"]
+    assert row["price"] == 999 and row["geocoding_attempted"] == 1
+    want = resolve_address("S0", "1012 AB", "Amsterdam")
+    if want is not None:
+        assert (row["latitude"], row["longitude"]) == want
+
+
+def test_geocode_cache_hits(ray_session):
+    """Shared addresses hit the cache: misses = distinct keys (the 1 req/s
+    budget is paid once per address, geocoder.go:105-118)."""
+    import ray.data
+
+    from fundamental_ray.ops.geocode import GeocoderPool, update_missing_coordinates
+    from fundamental_ray.store.merge import migrate_store
+
+    rows = [_row(f"dup{i}", street="Same Street 1", postal_code="2000 XY")
+            for i in range(20)]
+    store = migrate_store(merge_round(None, ray.data.from_items(rows), 1))
+    pool = GeocoderPool(num_shards=2)
+    update_missing_coordinates(store, pool).materialize()
+    s = pool.stats()
+    assert s["misses"] == 1 and s["hits"] == 19 and s["elapsed"] == 1.0
