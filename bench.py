@@ -83,28 +83,40 @@ def run_bench() -> dict:
     ray.get([_warm.remote(i) for i in range(num_cpus)])
 
     # -- headline: full frontier crawl ------------------------------------
+    # FR_BENCH_REPEAT > 1 runs the identical crawl k times in this process
+    # and reports the fastest — the scaling harness uses 2 per leg (both
+    # legs treated identically) because this virtualized host shows ±30-40%
+    # one-shot noise that would otherwise dominate the efficiency ratio
     import shutil
 
-    job_dir = f"/tmp/fr_bench_job_{num_cpus}"
-    shutil.rmtree(job_dir, ignore_errors=True)
-    cfg = CrawlConfig(
-        index_dir=idx, job_dir=job_dir, budget_per_host=100_000,
-        num_seen_shards=max(4, num_cpus // 2), scraped_at=SCRAPED_AT,
-    )
-    chains = chains_from_corpus(
-        make_chains(BENCH_CHAINS, n_hosts=BENCH_HOSTS, zipf_s=BENCH_ZIPF)
-    )
-    t0 = time.time()
-    job = CrawlJob(cfg, chains)
-    counters = job.run()
-    crawl_sec = time.time() - t0
-    # URLs scheduled+deduped = every candidate checked against the seen set:
-    # novel claims (= final membership) + duplicate rejections
-    urls_checked = job.seen.total() + counters["deduped"]
+    repeat = int(os.environ.get("FR_BENCH_REPEAT", "2"))
+    chains_spec = make_chains(BENCH_CHAINS, n_hosts=BENCH_HOSTS, zipf_s=BENCH_ZIPF)
+    best = None
+    runs = []
+    for rep in range(repeat):
+        job_dir = f"/tmp/fr_bench_job_{num_cpus}"
+        shutil.rmtree(job_dir, ignore_errors=True)
+        cfg = CrawlConfig(
+            index_dir=idx, job_dir=job_dir, budget_per_host=100_000,
+            num_seen_shards=max(4, num_cpus // 2), scraped_at=SCRAPED_AT,
+        )
+        t0 = time.time()
+        job = CrawlJob(cfg, chains_from_corpus(chains_spec))
+        counters = job.run()
+        crawl_sec = time.time() - t0
+        # URLs scheduled+deduped = every candidate checked against the seen
+        # set: novel claims (= final membership) + duplicate rejections
+        urls_checked = job.seen.total() + counters["deduped"]
+        runs.append(round(crawl_sec, 2))
+        if best is None or crawl_sec < best[0]:
+            best = (crawl_sec, counters, job.round, urls_checked)
+    crawl_sec, counters, rounds, urls_checked = best
     queries["crawl_frontier"] = round(crawl_sec, 2)
     extra["frontier_urls_per_sec"] = round(urls_checked / crawl_sec, 1)
     extra["crawl_counters"] = counters
-    extra["crawl_rounds"] = job.round
+    extra["crawl_rounds"] = rounds
+    if repeat > 1:
+        extra["crawl_run_secs"] = runs
 
     # -- politeness-constrained crawl: deferral machinery under Zipf skew --
     # (skipped in --scaling legs: not the headline metric, and slow at low
@@ -144,6 +156,13 @@ def run_bench() -> dict:
         **extra,
     }
     ray.shutdown()
+    if os.environ.get("FR_BENCH_CONTROL", "0") == "1":
+        # hardware control measured IN this leg's process, seconds after
+        # its crawl — the host's noisy-neighbor state drifts minute to
+        # minute, so a control taken later (after both legs) decomposes
+        # the wrong host state (observed: control anti-correlated with the
+        # crawl it was meant to normalize)
+        result["parse_control_pages_per_sec"] = _parse_control(num_cpus)
     return result
 
 
@@ -175,13 +194,14 @@ def _bench_polite(num_cpus, idx, queries, extra):
     extra["polite_rounds"] = job_p.round
 
 
-def _intrinsic_parse_control(lo: int, hi: int) -> dict:
+def _parse_control(nproc: int) -> float:
     """Hardware control: the same per-page parse kernel under plain
-    multiprocessing (no Ray, no object store). On one box, per-core
-    throughput drops as occupancy rises (frequency/memory effects), which
-    caps ANY orchestration's wall-clock scaling — a real N→4N *node* cluster
-    does not share this confound. Reporting the control lets the efficiency
-    number be decomposed into hardware × orchestration."""
+    multiprocessing (no Ray, no object store) at ``nproc`` processes. On
+    one box, per-core throughput drops as occupancy rises (frequency/
+    memory effects), which caps ANY orchestration's wall-clock scaling — a
+    real N→4N *node* cluster does not share this confound. Each bench leg
+    measures its OWN control so the decomposition reflects the host state
+    that leg actually ran under."""
     import glob
     import multiprocessing as mp
 
@@ -193,16 +213,13 @@ def _intrinsic_parse_control(lo: int, hi: int) -> dict:
         )
     )
     per = 600
-    out = {}
-    for nproc in (lo, hi):
-        jobs = [(files[i % len(files)], per) for i in range(nproc)]
-        with mp.Pool(nproc) as p:
-            p.map(_parse_slice, [(files[0], 50)] * nproc)  # warm imports
-            t0 = time.time()
-            p.map(_parse_slice, jobs)
-            dt = time.time() - t0
-        out[nproc] = round(per * nproc / dt, 1)
-    return out
+    jobs = [(files[i % len(files)], per) for i in range(nproc)]
+    with mp.Pool(nproc) as p:
+        p.map(_parse_slice, [(files[0], 50)] * nproc)  # warm imports
+        t0 = time.time()
+        p.map(_parse_slice, jobs)
+        dt = time.time() - t0
+    return round(per * nproc / dt, 1)
 
 
 def _parse_slice(args):
@@ -223,10 +240,23 @@ def run_scaling() -> dict:
     import subprocess
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FR_BENCH_POLITE="0")
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), FR_BENCH_POLITE="0",
+            FR_BENCH_REPEAT=os.environ.get("FR_BENCH_REPEAT", "2"),
+            FR_BENCH_CONTROL="1",
+        )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # confine the whole leg (raylet, workers, num_cpus=0 actors, the
+        # in-process control) to exactly ncpu PHYSICAL cores: without the
+        # cpuset, a small-N leg's zero-cpu actors and system threads spill
+        # onto the box's idle cores — free parallelism an N-core NODE would
+        # not have — inflating the lo leg and understating efficiency
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -237,7 +267,8 @@ def run_scaling() -> dict:
     tput_lo = r_lo["frontier_urls_per_sec"]
     tput_hi = r_hi["frontier_urls_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
-    control = _intrinsic_parse_control(lo, hi)
+    control = {lo: r_lo["parse_control_pages_per_sec"],
+               hi: r_hi["parse_control_pages_per_sec"]}
     intrinsic_eff = (control[hi] / control[lo]) / (hi / lo)
     return {
         "metric": f"scaling efficiency (frontier urls/sec, {lo} → {hi} cpus)",

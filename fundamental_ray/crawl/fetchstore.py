@@ -263,9 +263,18 @@ def fetch_map_requests(
 
     num_buckets = index_num_buckets(index_dir)
     buckets = requests.column("url_crc").to_numpy().astype(np.int64) % num_buckets
-    # vectorized (bucket, url_norm) sort → contiguous per-bucket chunks
-    order = np.lexsort(
-        (np.asarray(requests.column("url_norm"), dtype=object), buckets)
+    # vectorized (bucket, url_norm) sort → contiguous per-bucket chunks.
+    # Arrow's C++ sort, not np.lexsort: an object-dtype string lexsort pays
+    # python comparisons per element on the driver's critical path
+    order = (
+        pc.sort_indices(
+            pa.table(
+                {"b": pa.array(buckets), "u": requests.column("url_norm")}
+            ),
+            sort_keys=[("b", "ascending"), ("u", "ascending")],
+        )
+        .to_numpy()
+        .astype(np.int64)
     )
     sorted_t = requests.take(pa.array(order))
     sorted_buckets = buckets[order]

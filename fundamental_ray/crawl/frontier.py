@@ -10,12 +10,20 @@ no-new pages active / first no-new non-empty page sold —
 funda_spider.py:127-145, funda_spider_sold.py:129-141) and commits a
 checkpoint directory; a killed run resumes from the last _COMMITTED round.
 
-Dataflow per round (html bytes never cross an exchange):
+Dataflow per round (html bytes never cross an exchange; candidate URLs
+never transit the driver):
 
-  list reqs ──fetch-join──> list pages ──map_batches──> candidates
-     candidates ──actor-pool claim──> novel requests + per-chain counters
+  list reqs ──fetch-join──> list pages ──extract tasks──> candidate tables
+                                                          (object store)
+     seen shards ──pull + claim own hash slice──> novel requests (small)
      (novel ∪ deferred) ──groupby(host) schedule──> scheduled | deferred
      scheduled ──robots gate──> fetchable ──fetch-join + extract──> listings Δ
+
+The extract tasks pre-route candidates (sorted by (status class, shard)
+with slice offsets), each seen shard actor pulls its ZERO-COPY slice of
+every task output and claims it in ONE call per round, and the driver's
+serial section folds per-page counters plus the politeness-bounded novel
+set — O(pages + novel), independent of the candidate volume.
 
 Politeness budget applies to detail fetches (list fetches are 1/chain/round
 and implicitly within any budget); deferred requests persist as Parquet in
@@ -85,24 +93,26 @@ class ChainState:
     empty_count: int = 0
     no_new_count: int = 0
     done: bool = False
+    # canonical form of next_url, computed by the extract TASK that found
+    # the next-page button (driver-side canonicalization of every live
+    # chain per round is O(chains) serial python — measured 27 µs/url);
+    # None → the driver canonicalizes lazily (seeds, constructed URLs,
+    # resume from a pre-field checkpoint)
+    next_url_norm: str | None = None
 
     @property
     def mode(self) -> str:
         return "active" if self.availability == "available" else "sold"
 
 
-def extract_candidates_batch(batch: pa.Table, meta_ref) -> dict:
-    """Stateless task stage: fetched list pages → CLAIMED novel requests.
-
-    Extraction (M1/M2, funda_spider.py:92-184) and the dedup claim both
-    happen here, in the parallel task: candidate detail URLs are routed to
-    the sharded seen actors directly (claim-before-request,
-    funda_spider.py:149-150) and only the NOVEL request rows plus tiny
-    per-page visit counters return to the driver. The driver folds counters
-    — it never touches candidate URLs, so the per-round serial section is
-    O(pages), not O(candidates). Claims stay deterministic: within a round
-    each (mode, url) is emitted by exactly one chain's single page, so no
-    two tasks race for the same key in the same seen class.
+def extract_candidates_batch(batch: pa.Table, meta_ref, static_ref) -> dict:
+    """Stateless task stage: fetched list pages → candidate request rows
+    (full REQUEST_SCHEMA, pre-routed with ``url_crc``) + per-page visit
+    counters. The candidate table stays in the OBJECT STORE: the seen-shard
+    actors read it from plasma and claim their hash slice directly
+    (``SeenShardActor.claim_from_outputs``) — candidate URLs never pass
+    through the driver, whose per-round serial section folds only counters
+    and the (politeness-bounded) novel set.
 
     Stateless tasks, not actors: the selector compile cache is
     worker-process-global, so warm across rounds without actor-pool
@@ -111,17 +121,15 @@ def extract_candidates_batch(batch: pa.Table, meta_ref) -> dict:
 
     import numpy as np
 
-    meta = ray.get(meta_ref)
-    pages = meta["pages"]  # url_norm -> (chain_id, page_seq)
+    pages = ray.get(meta_ref)  # url_norm -> (chain_id, page_seq), per round
+    meta = ray.get(static_ref)  # job-static chain metadata (plasma, cached)
     mode_map = meta["mode"]  # chain_id -> 'active' | 'sold'
     place_map = meta["place"]
-    shard_pools = meta["shards"]  # {'active': [handles], 'sold': [handles]}
-    num_shards = meta["num_shards"]
 
     out = {"chain_id": [], "page_seq": [], "url": [], "url_norm": [],
            "host": [], "url_crc": []}
-    visits = {"chain_id": [], "page_seq": [], "found": [], "new": [],
-              "has_next": [], "next_url": []}
+    visits = {"chain_id": [], "page_seq": [], "found": [],
+              "has_next": [], "next_url": [], "next_norm": []}
 
     for norm, url, html in zip(
         batch.column("url_norm").to_pylist(),
@@ -141,79 +149,54 @@ def extract_candidates_batch(batch: pa.Table, meta_ref) -> dict:
             out["url_crc"].append(zlib.crc32(n.encode("utf-8")))
             found += 1
         nxt = sel.css_get('a[data-test-id="next-page-button"]::attr(href)')
+        next_url = extract_next_page(sel, url, {}, 0) if nxt else ""
         visits["chain_id"].append(chain_id)
         visits["page_seq"].append(page_seq)
         visits["found"].append(found)
-        visits["new"].append(0)  # filled after the claim
         visits["has_next"].append(bool(nxt))
-        visits["next_url"].append(extract_next_page(sel, url, {}, 0) if nxt else "")
+        visits["next_url"].append(next_url)
+        visits["next_norm"].append(canonicalize_url(next_url) if nxt else "")
 
-    n_cand = len(out["url"])
-    novel = np.zeros(n_cand, dtype=bool)
-    if n_cand:
-        cids = np.asarray(out["chain_id"], dtype=np.int64)
-        crc = np.asarray(out["url_crc"], dtype=np.int64)
-        is_sold = np.fromiter(
-            (mode_map[int(c)] == "sold" for c in cids), dtype=bool, count=n_cand
-        )
-        shards = crc % num_shards
-        route = shards + np.where(is_sold, num_shards, 0)
-        order = np.argsort(route, kind="stable")
-        sorted_route = route[order]
-        cuts = np.flatnonzero(np.diff(sorted_route)) + 1
-        starts = np.concatenate(([0], cuts))
-        ends = np.concatenate((cuts, [len(order)]))
-        norms = out["url_norm"]
-        futs = []
-        for s0, s1 in zip(starts, ends):
-            idxs = order[s0:s1]
-            r = int(sorted_route[s0])
-            pool = shard_pools["sold" if r >= num_shards else "active"]
-            shard = pool[r % num_shards]
-            futs.append(
-                (idxs, shard.check_and_insert.remote([norms[i] for i in idxs]))
-            )
-        for (idxs, f), res in zip(futs, ray.get([f for _, f in futs])):
-            novel[idxs] = np.asarray(res, dtype=bool)
-
-        # per-page novel counts (pages here are this task's pages only)
-        page_pos = {
-            (c, p): i
-            for i, (c, p) in enumerate(zip(visits["chain_id"], visits["page_seq"]))
-        }
-        for i in np.flatnonzero(novel):
-            visits["new"][page_pos[(out["chain_id"][i], out["page_seq"][i])]] += 1
-
-    idx = np.flatnonzero(novel)
-    cid_series = pd.Series(np.asarray(out["chain_id"], dtype=np.int64)[idx], dtype="int64")
-    novel_t = pa.table(
+    cid_series = pd.Series(out["chain_id"], dtype="int64")
+    cand = pa.table(
         {
-            "url": pa.array([out["url"][i] for i in idx], pa.string()),
-            "url_norm": pa.array([out["url_norm"][i] for i in idx], pa.string()),
-            "host": pa.array([out["host"][i] for i in idx], pa.string()),
+            "url": pa.array(out["url"], pa.string()),
+            "url_norm": pa.array(out["url_norm"], pa.string()),
+            "host": pa.array(out["host"], pa.string()),
             "chain_id": pa.array(cid_series, pa.int64()),
             "mode": pa.array(cid_series.map(mode_map), pa.string()),
             "place": pa.array(cid_series.map(place_map), pa.string()),
-            "priority": pa.array(np.ones(len(idx), dtype=np.int32), pa.int32()),
-            "page_seq": pa.array(
-                [out["page_seq"][i] for i in idx], pa.int32()
+            "priority": pa.array(
+                np.ones(len(out["url"]), dtype=np.int32), pa.int32()
             ),
+            "page_seq": pa.array(out["page_seq"], pa.int32()),
             "url_crc": pa.array(
-                np.asarray(out["url_crc"], dtype=np.int64)[idx].astype(np.uint32),
+                np.asarray(out["url_crc"], dtype=np.int64).astype(np.uint32),
                 pa.uint32(),
             ),
         }
     ).cast(REQUEST_SCHEMA)
+    # pre-route for the shard pull: sort by (class, shard) so each claim
+    # actor takes its ZERO-COPY contiguous slice via the offsets table —
+    # no per-actor scan of the candidate stream
+    num_shards = meta["num_shards"]
+    crc = np.asarray(out["url_crc"], dtype=np.int64)
+    is_sold = cid_series.map(mode_map).to_numpy() == "sold"
+    route = (crc % num_shards) + np.where(is_sold, num_shards, 0)
+    order = np.argsort(route, kind="stable")
+    cand = cand.take(pa.array(order))
+    offsets = np.searchsorted(route[order], np.arange(2 * num_shards + 1))
     return {
-        "novel": novel_t,
+        "cand": cand,
+        "route_offsets": offsets,
         "visits": pa.table(
             {
                 "chain_id": pa.array(visits["chain_id"], pa.int64()),
                 "page_seq": pa.array(visits["page_seq"], pa.int32()),
                 "found": pa.array(visits["found"], pa.int32()),
-                "new": pa.array(visits["new"], pa.int32()),
                 "has_next": pa.array(visits["has_next"], pa.bool_()),
                 "next_url": pa.array(visits["next_url"], pa.string()),
+                "next_norm": pa.array(visits["next_norm"], pa.string()),
             }
         ),
     }
@@ -280,6 +263,7 @@ class CrawlJob:
         self.seen = StatusPartitionedSeen(config.num_seen_shards)
         self.robots = RobotsTable.from_rows(config.robots_rows)
         self.round = 0
+        self._static_meta_ref = None  # job-static chain metadata, put once
         self._round_novel: pa.Table = REQUEST_SCHEMA.empty_table()
         self.lineage: list[dict] = []
         self.counters: dict[str, int] = {
@@ -345,12 +329,14 @@ class CrawlJob:
             "blocked": 0, "fetch_miss": 0, "listings": 0,
         }
 
-        # -- 1+2. list fetch + extraction + IN-TASK dedup claim ---------
-        # candidate URLs never reach the driver: each extract task claims
-        # its candidates against the seen shards directly and returns only
-        # novel request rows + per-page counters. The driver-side serial
-        # section is a counter fold over O(pages) tiny tables — this is the
-        # orchestration residue fix for high core counts / multi-node.
+        # -- 1+2. list fetch + extraction + shard-pull dedup claim ------
+        # extract tasks park their candidate tables in the object store;
+        # every seen shard then pulls ALL outputs (zero-copy plasma reads),
+        # claims its hash slice of its status class, and returns only its
+        # novel rows — ONE actor call per shard per round, no per-task RPC
+        # fan-out, and candidate URLs never transit the driver. The
+        # driver's serial section folds per-page counters + concatenates
+        # the (politeness-bounded) novel set.
         page_visits: dict[int, dict] = {
             c.chain_id: {"found": 0, "new": 0, "has_next": False, "visited": False}
             for c in live
@@ -359,54 +345,91 @@ class CrawlJob:
         n_candidates = 0
         if live:
             t0 = time.time()
-            meta = {
-                "pages": {
-                    canonicalize_url(c.next_url): (c.chain_id, c.page_no) for c in live
-                },
-                "mode": {cid: c.mode for cid, c in self.chains.items()},
-                "place": {cid: c.place for cid, c in self.chains.items()},
-                "shards": {
-                    cls: pool.shards for cls, pool in self.seen.pools.items()
-                },
-                "num_shards": self.seen.num_shards,
+            # chain metadata is static for the job's lifetime — shipped to
+            # plasma ONCE; only the per-round page map is rebuilt (the
+            # per-round driver serial section must stay O(live pages))
+            if self._static_meta_ref is None:
+                self._static_meta_ref = ray.put(
+                    {
+                        "mode": {cid: c.mode for cid, c in self.chains.items()},
+                        "place": {cid: c.place for cid, c in self.chains.items()},
+                        "num_shards": self.seen.num_shards,
+                    }
+                )
+            pages = {
+                (c.next_url_norm or canonicalize_url(c.next_url)):
+                    (c.chain_id, c.page_no)
+                for c in live
             }
-            meta_ref = ray.put(meta)
+            meta_ref = ray.put(pages)
             # chunk so every CPU gets ≥2 list-fetch tasks (load balance at
             # high core counts; floor keeps tiny rounds in few tasks)
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            chunk = max(32, len(meta["pages"]) // (2 * ncpu) + 1)
+            chunk = max(32, len(pages) // (2 * ncpu) + 1)
+            t_launch = time.time()
             refs = fetch_map_tasks(
-                cfg.index_dir, list(meta["pages"]), "list",
-                extract_candidates_batch, {"meta_ref": meta_ref},
+                cfg.index_dir, list(pages), "list",
+                extract_candidates_batch,
+                {"meta_ref": meta_ref, "static_ref": self._static_meta_ref},
                 max_urls_per_task=chunk,
             )
+            # dispatch the shard pulls immediately — the actors block on the
+            # extract outputs themselves, overlapping the driver's own fold
+            claim_futs = []
+            for cls, pool in self.seen.pools.items():
+                for k, shard in enumerate(pool.shards):
+                    claim_futs.append(
+                        shard.claim_from_outputs.remote(
+                            refs, cls, k, self.seen.num_shards
+                        )
+                    )
+            t_dispatch = time.time()
             results = [r for r in ray.get(refs) if r is not None]
-            novel_tables = [r["novel"] for r in results if r["novel"].num_rows]
-            if novel_tables:
-                novel_t = pa.concat_tables(novel_tables, promote_options="default")
+            t_extract = time.time()
             # counter fold (visits are one small row per parsed page)
             for r in results:
                 v = r["visits"]
-                for cid, found, new, has_next, nxt in zip(
+                for cid, found, has_next, nxt, nnorm in zip(
                     v.column("chain_id").to_pylist(),
                     v.column("found").to_pylist(),
-                    v.column("new").to_pylist(),
                     v.column("has_next").to_pylist(),
                     v.column("next_url").to_pylist(),
+                    v.column("next_norm").to_pylist(),
                 ):
                     pv = page_visits[cid]
                     pv["visited"] = True
                     pv["found"] = found
-                    pv["new"] = new
                     if has_next and not pv["has_next"]:
                         pv["has_next"] = True
                         pv["next_url"] = nxt
-                n_candidates += int(
-                    pc.sum(v.column("found")).as_py() or 0
-                )
+                        pv["next_norm"] = nnorm
+                n_candidates += int(pc.sum(v.column("found")).as_py() or 0)
+            t_fold = time.time()
+            novel_tables = [
+                t for t in ray.get(claim_futs) if t is not None and t.num_rows
+            ]
+            t_claim = time.time()
+            if novel_tables:
+                novel_t = pa.concat_tables(novel_tables, promote_options="default")
+            # per-chain 'new' counts — tiny vectorized groupby over novels
+            if novel_t.num_rows:
+                newc = novel_t.group_by("chain_id").aggregate([("chain_id", "count")])
+                for cid, n in zip(
+                    newc.column("chain_id").to_pylist(),
+                    newc.column("chain_id_count").to_pylist(),
+                ):
+                    if cid in page_visits:
+                        page_visits[cid]["new"] = n
             delta["deduped"] = n_candidates - novel_t.num_rows
-            self._lineage("list_extract_claim", len(live), novel_t.num_rows, t0,
-                          deduped=delta["deduped"], candidates=n_candidates)
+            self._lineage(
+                "list_extract_claim", len(live), novel_t.num_rows, t0,
+                deduped=delta["deduped"], candidates=n_candidates,
+                meta_ms=int((t_launch - t0) * 1000),
+                launch_ms=int((t_dispatch - t_launch) * 1000),
+                extract_ms=int((t_extract - t_dispatch) * 1000),
+                fold_ms=int((t_fold - t_extract) * 1000),
+                claim_ms=int((t_claim - t_fold) * 1000),
+            )
 
         # -- 3. politeness schedule over novel ∪ deferred ---------------
         t0 = time.time()
@@ -524,6 +547,7 @@ class CrawlJob:
             # pagination: button href, else manual construction (M2)
             if pv.get("has_next"):
                 c.next_url = pv["next_url"]
+                c.next_url_norm = pv.get("next_norm") or None
             else:
                 params = search_params_of(c.next_url)
                 params.pop("page", None)
@@ -534,6 +558,7 @@ class CrawlJob:
                 c.next_url = urlunsplit(
                     (s.scheme, s.netloc, s.path, urlencode(params), "")
                 )
+                c.next_url_norm = None  # canonicalized lazily next round
             c.page_no += 1
 
         return {
@@ -583,7 +608,10 @@ class CrawlJob:
                 {
                     "round": pend["round"], "counters": self.counters,
                     "page_visits": {
-                        str(k): {kk: vv for kk, vv in v.items() if kk != "next_url"}
+                        str(k): {
+                            kk: vv for kk, vv in v.items()
+                            if kk not in ("next_url", "next_norm")
+                        }
                         for k, v in pend["page_visits"].items()
                     },
                 },

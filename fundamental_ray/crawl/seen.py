@@ -143,6 +143,35 @@ class SeenShardActor:
             self.check_and_insert(table.column("url_norm").to_pylist()), dtype=bool
         )
 
+    def claim_from_outputs(
+        self, output_refs: list, mode_class: str, shard_id: int, num_shards: int
+    ):
+        """Pull-style round claim: read the candidate-extract task outputs
+        straight from the object store (zero-copy plasma) and take THIS
+        shard's pre-routed contiguous slice (the tasks sorted candidates by
+        (class, shard) and shipped the slice offsets), claim it, and return
+        only the novel request rows. One actor call per shard per round —
+        candidate URLs never transit the driver, no per-task RPC fan-out,
+        and no per-actor scan of the candidate stream."""
+        import ray as _ray
+
+        route = shard_id + (num_shards if mode_class == "sold" else 0)
+        tables = []
+        for out in _ray.get(list(output_refs)):
+            if out is None:
+                continue
+            offs = out["route_offsets"]
+            lo, hi = int(offs[route]), int(offs[route + 1])
+            if hi > lo:
+                tables.append(out["cand"].slice(lo, hi - lo))
+        if not tables:
+            return None
+        mine = pa.concat_tables(tables, promote_options="default")
+        novel = np.array(
+            self.check_and_insert(mine.column("url_norm").to_pylist()), dtype=bool
+        )
+        return mine.filter(pa.array(novel))
+
     def contains(self, urls: list[str]) -> list[bool]:
         out = []
         for u in urls:

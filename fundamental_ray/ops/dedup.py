@@ -381,6 +381,78 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92) -> pd.DataFram
     return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def embedding_neardup_ivf(
+    sf_dir: str, threshold: float = 0.92, n_centroids: int = 16, n_probe: int = 4
+) -> pd.DataFrame:
+    """Scale path for embedding near-dup: instead of broadcasting the full
+    matrix, reuse the bucket-partitioned IVF index (ops/ann.build_ivf_index)
+    — each vector's candidates come from its own bucket plus its
+    ``n_probe`` nearest centroid buckets, read back bucket-by-bucket.
+    Exactness becomes recall-bounded (measured vs the brute pairs in
+    tests); precision stays exact because every candidate pair is verified
+    with the true cosine."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from .ann import build_ivf_index
+
+    index_dir, cents = build_ivf_index(sf_dir, n_centroids)
+
+    def load_bucket(b: int):
+        files = sorted(_glob.glob(_os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        if not files:
+            return None
+        t = _pq.read_table(files, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        m = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-30, None)
+        return ids, m
+
+    # bucket neighbor lists from centroid geometry (tiny, driver-side)
+    probes = np.argsort(-(cents @ cents.T), axis=1)[:, :n_probe]
+
+    @ray.remote(num_cpus=1)
+    def pairs_for_bucket(b: int, probe_list: list[int]):
+        base = load_bucket(b)
+        if base is None:
+            return None
+        ids_a, m_a = base
+        out = {"a": [], "b": [], "cosine": []}
+        for pb in probe_list:
+            other = base if pb == b else load_bucket(int(pb))
+            if other is None:
+                continue
+            ids_b, m_b = other
+            sims = m_a @ m_b.T
+            ii, jj = np.nonzero(sims >= threshold)
+            for i, j in zip(ii, jj):
+                a, c = int(ids_a[i]), int(ids_b[j])
+                if a < c:
+                    out["a"].append(a)
+                    out["b"].append(c)
+                    out["cosine"].append(round(float(sims[i, j]), 4))
+        return pd.DataFrame(out)
+
+    refs = [
+        pairs_for_bucket.remote(b, [int(x) for x in probes[b]])
+        for b in range(n_centroids)
+    ]
+    frames = [f for f in ray.get(refs) if f is not None and len(f)]
+    if not frames:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+            {"a": "int64", "b": "int64", "cosine": "float64"}
+        )
+    return (
+        pd.concat(frames, ignore_index=True)
+        .drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 def embedding_neardup_sql(threshold: float = 0.92) -> str:
     return f"""
 SELECT a.vec_id AS a, b.vec_id AS b,

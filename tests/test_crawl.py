@@ -329,3 +329,42 @@ def test_cuckoo_degradation_falls_back_to_exact(ray_session):
         if not f.insert(k):
             lost.append(k)
     assert f.degraded and len(f.stash) > 0
+
+
+def test_schedule_round_dataset_matches_local(ray_session):
+    """The Dataset groupby politeness scheduler (the pathological-blow-up
+    fallback) must agree exactly with the vectorized driver-local one,
+    including Crawl-delay budget shrink."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fundamental_ray.crawl.politeness import schedule_round, schedule_round_local
+
+    rng = np.arange(500)
+    hosts = np.array([
+        "big.example" if i % 5 == 0 else f"h{i % 7}" for i in range(500)
+    ])
+    t = pa.table(
+        {
+            "url": pa.array([f"https://{h}/d/{i}/" for i, h in enumerate(hosts)]),
+            "url_norm": pa.array([f"{h}/d/{i}" for i, h in enumerate(hosts)]),
+            "host": pa.array(hosts.tolist()),
+            "chain_id": pa.array((rng % 11).astype("int64")),
+            "mode": pa.array(["active"] * 500),
+            "place": pa.array(["x"] * 500),
+            "priority": pa.array(((rng * 7) % 3).astype("int32")),
+            "page_seq": pa.array((rng % 9).astype("int32")),
+            "url_crc": pa.array(rng.astype("uint32")),
+        }
+    )
+    delays = {"big.example": 8.0}
+    sched_l, defer_l = schedule_round_local(t, 20, delays, 2.0)
+    ds = schedule_round(ray.data.from_arrow(t), 20, delays, 2.0).to_pandas()
+    got_sched = set(ds[ds["scheduled"]]["url_norm"])
+    got_defer = set(ds[~ds["scheduled"]]["url_norm"])
+    assert got_sched == set(sched_l.column("url_norm").to_pylist())
+    assert got_defer == set(defer_l.column("url_norm").to_pylist())
+    # Crawl-delay shrink: big.example budget = 20 * 2/8 = 5
+    big = ds[ds["host"] == "big.example"]
+    assert int(big["scheduled"].sum()) == 5

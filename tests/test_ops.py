@@ -148,3 +148,17 @@ def test_multimodal_plumbing(ray_session):
 def test_decode_stub_rejects_garbage():
     with pytest.raises(ValueError):
         M._decode(b"JPEGnotreally")
+
+
+def test_embedding_neardup_ivf_recall(ray_session):
+    """IVF-bucketed near-dup (the 100-TB path): exact precision by
+    construction; recall vs the brute-force pairs measured and high."""
+    from fundamental_ray.ops import dedup as D
+
+    SF = "/root/testdata/sf0.01"
+    brute = D.embedding_neardup_pairs(SF, 0.35)
+    ivf = D.embedding_neardup_ivf(SF, 0.35, n_centroids=16, n_probe=6)
+    bset = set(zip(brute["a"], brute["b"]))
+    iset = set(zip(ivf["a"], ivf["b"]))
+    assert iset <= bset  # precision 1.0 (every pair cosine-verified)
+    assert len(iset & bset) / len(bset) >= 0.5  # bucketed recall bound
