@@ -362,10 +362,14 @@ class CrawlJob:
                 for c in live
             }
             meta_ref = ray.put(pages)
-            # chunk so every CPU gets ≥2 list-fetch tasks (load balance at
-            # high core counts; floor keeps tiny rounds in few tasks)
+            # chunking: ≥2 list-fetch tasks per CPU balances load, but every
+            # claim actor pulls EVERY task's output, so the round's pull
+            # fan-in is n_tasks × n_claim_actors — cap it (measured: at 32
+            # cpus halving the task count cut the round wall ~12%)
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            chunk = max(32, len(pages) // (2 * ncpu) + 1)
+            n_claims = 2 * self.seen.num_shards
+            waves = 2 if 2 * ncpu * n_claims <= 1024 else 1
+            chunk = max(32, len(pages) // (waves * ncpu) + 1)
             t_launch = time.time()
             refs = fetch_map_tasks(
                 cfg.index_dir, list(pages), "list",
