@@ -368,3 +368,71 @@ def test_schedule_round_dataset_matches_local(ray_session):
     # Crawl-delay shrink: big.example budget = 20 * 2/8 = 5
     big = ds[ds["host"] == "big.example"]
     assert int(big["scheduled"].sum()) == 5
+
+
+def test_multirun_crawl_with_store_preload(crawl_env):
+    """Cross-RUN seen semantics end-to-end (S7/D2): run 1 crawls fresh and
+    builds the store; run 2 preloads its seen sets FROM that store (the
+    reference's status-dependent SELECTs) and re-crawls the same corpus.
+    The second run's page visits and (empty) listings delta must match the
+    reference simulator given the same existing-URL sets."""
+    import ray.data
+
+    from fundamental_ray.crawl.frontier import round_listings_paths
+    from fundamental_ray.store.merge import merge_round
+    from fundamental_ray.synth.corpus import simulate_reference_crawl
+
+    corpus, idx = crawl_env
+    job1, _ = _run(idx, "/tmp/fr_test_job_mr1", budget_per_host=1000)
+
+    # store built from run 1's listings (insert-only)
+    listings = crawl_listings_dataset("/tmp/fr_test_job_mr1")
+    store = merge_round(None, listings.drop_columns(["chain_id"]), 1).materialize()
+    pdf = store.to_pandas()
+
+    # run 2: fresh job whose seen sets are preloaded from the store —
+    # PLUS the blocked urls run 1 claimed but never stored (the reference
+    # spider's processed set only persists via the DB rows it inserted, so
+    # blocked pages WOULD be re-claimed; the simulator models that too)
+    shutil.rmtree("/tmp/fr_test_job_mr2", ignore_errors=True)
+    cfg2 = CrawlConfig(
+        index_dir=idx, job_dir="/tmp/fr_test_job_mr2", num_seen_shards=4,
+        scraped_at=SCRAPED_AT, budget_per_host=1000,
+    )
+    chains2 = chains_from_corpus(make_chains(N_CHAINS, n_hosts=4))
+    job2 = CrawlJob(cfg2, chains2)
+    job2.seen.preload_from_store(list(zip(pdf["status"], pdf["url"])))
+    job2.run()
+
+    # simulator twin: per chain, existing = store urls its class skips
+    by_class = {
+        "active": {u for s, u in zip(pdf["status"], pdf["url"])
+                   if s in ("active", "inactive", "republished")},
+        "sold": {u for s, u in zip(pdf["status"], pdf["url"]) if s == "sold"},
+    }
+    want_visits = []
+    want_new_urls = set()
+    for c in make_chains(N_CHAINS, n_hosts=4):
+        visits, processed, blocked = simulate_reference_crawl(
+            c, existing_urls=frozenset(by_class[c.mode])
+        )
+        for v in visits:
+            want_visits.append((v.chain_id, v.page_seq, v.found, v.new, v.skipped))
+        want_new_urls |= processed
+    assert _got_visits("/tmp/fr_test_job_mr2") == sorted(want_visits)
+
+    # run 2's novel claims = exactly the urls the store did NOT cover for
+    # that class (here: the blocked interstitials run 1 never stored)
+    got_new = set()
+    import pyarrow.parquet as _pq
+    for d in sorted(os.listdir("/tmp/fr_test_job_mr2")):
+        if d.startswith("round="):
+            p = os.path.join("/tmp/fr_test_job_mr2", d, "seen_claims.parquet")
+            if os.path.exists(p):
+                got_new |= set(_pq.read_table(p).column("url_norm").to_pylist())
+    assert got_new == want_new_urls
+    assert all(u not in set(pdf["url"]) for u in got_new)  # only unseen urls
+
+    # and their fetches re-hit the blocked interstitial → zero new listings
+    assert job2.counters["listings"] == 0
+    assert job2.counters["blocked"] == len(got_new)
