@@ -60,7 +60,6 @@ STORE_SCHEMA = pa.schema(
 
 _FIELDS = [f.name for f in LISTING_SCHEMA]
 _EXTRA = [n for n, _ in STORE_EXTRA] + [n for n, _ in GEO_EXTRA]
-_PRESERVED = ["first_seen_round"] + [n for n, _ in GEO_EXTRA]  # update keeps old
 
 NUM_MERGE_BUCKETS = 256  # fold parallelism; each bucket folds many urls
 
