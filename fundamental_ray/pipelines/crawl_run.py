@@ -301,3 +301,33 @@ def crawl_metro_concat(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+_POLITE_MEMO: dict[str, CrawlJob] = {}
+
+
+def crawl_polite_seen_set(sf_dir: str) -> pd.DataFrame:
+    """North-rule invariance, driver-checked: a politeness-constrained
+    crawl (budget 50 fetches/host/round → multi-round deferrals) must
+    reach EXACTLY the same final URL-seen membership as the unconstrained
+    reference simulation — throttling changes timing, never results."""
+    import shutil
+
+    tag = scale_tag_of(sf_dir)
+    job = _POLITE_MEMO.get(tag)
+    if job is None:
+        corpus = materialize_corpus(tag)
+        idx = build_fetch_index(
+            f"{corpus}/pages.parquet", f"/tmp/fr_index/{os.path.basename(corpus)}", 16
+        )
+        job_dir = f"/tmp/fr_jobs/{os.path.basename(corpus)}-polite"
+        shutil.rmtree(job_dir, ignore_errors=True)
+        cfg = CrawlConfig(
+            index_dir=idx, job_dir=job_dir, budget_per_host=50,
+            num_seen_shards=8, scraped_at=SCRAPED_AT, max_rounds=128,
+        )
+        job = CrawlJob(cfg, chains_from_corpus(make_chains(SCALE_CHAINS[tag], n_hosts=4)))
+        job.run()
+        assert job.counters["deferred"] > 0  # the budget actually throttled
+        _POLITE_MEMO[tag] = job
+    return pd.DataFrame({"url": sorted(job.seen.all_urls())})

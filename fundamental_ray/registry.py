@@ -238,6 +238,16 @@ FROM read_parquet('{corpus}/golden_frontier_order.parquet')
 SELECT DISTINCT url FROM read_parquet('{corpus}/golden_seen_set.parquet')
 """,
     )
+    register("crawl_polite_seen_set", C.crawl_polite_seen_set)
+    register_lazy_oracle(
+        # politeness invariance: the throttled crawl's membership equals
+        # the unconstrained golden (north_rule: same seed list + politeness
+        # budget ⇒ same final URL-seen set)
+        "crawl_polite_seen_set",
+        lambda corpus, art: f"""
+SELECT DISTINCT url FROM read_parquet('{corpus}/golden_seen_set.parquet')
+""",
+    )
     register("crawl_frontier_counters", C.crawl_counters)
     register_lazy_oracle(
         "crawl_frontier_counters",

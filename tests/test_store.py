@@ -337,3 +337,38 @@ def test_geocode_cache_hits(ray_session):
     update_missing_coordinates(store, pool).materialize()
     s = pool.stats()
     assert s["misses"] == 1 and s["hits"] == 19 and s["elapsed"] == 1.0
+
+
+def test_randomized_paired_rounds_match_oracle(ray_session):
+    """Fuzz the vectorized fold against the row-at-a-time oracle with
+    OCCASIONAL two-delta urls per round (paired active+sold crawls), folded
+    in the engine's deterministic status-asc order."""
+    oracle = OracleStore()
+    store = None
+    urls = [f"p{i}" for i in range(25)]
+
+    def h(*k):
+        return int.from_bytes(hashlib.blake2b("|".join(map(str, k)).encode(), digest_size=4).digest(), "big")
+
+    for rnd in range(1, 8):
+        delta = []
+        for u in urls:
+            x = h("pick", rnd, u) % 100
+            if x < 35:
+                status = "sold" if h("st", rnd, u) % 4 == 0 else "active"
+                delta.append(_row(u, status=status, price=100 + h("p", rnd, u) % 50,
+                                  listing_date=f"2024-0{rnd}-01"))
+                if x < 12:  # paired: second delta in the other status
+                    other = "active" if status == "sold" else "sold"
+                    delta.append(_row(u, status=other, price=200 + h("p2", rnd, u) % 50,
+                                      listing_date=f"2024-0{rnd}-02"))
+        if delta:
+            # engine order: status ascending within url (active before sold)
+            delta_sorted = sorted(delta, key=lambda r: (r["url"], r["status"]))
+            store = merge_round(store, ray.data.from_items(delta), rnd).materialize()
+            oracle.insert_properties(delta_sorted, rnd)
+        if rnd % 3 == 0:
+            active = {u for u in urls if h("keep", rnd, u) % 2 == 0}
+            store = mark_inactive(store, "Amsterdam", active, rnd).materialize()
+            oracle.mark_inactive("Amsterdam", active, rnd)
+        _check_equal(store, oracle)
