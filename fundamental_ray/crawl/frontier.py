@@ -260,7 +260,12 @@ class CrawlJob:
     def __init__(self, config: CrawlConfig, chains: list[ChainState]):
         self.cfg = config
         self.chains = {c.chain_id: c for c in chains}
-        self.seen = StatusPartitionedSeen(config.num_seen_shards)
+        # shards are restartable: a crashed shard replays its slice of the
+        # committed per-round claim checkpoints (actor-level analogue of
+        # the driver's resume(); the in-flight round replays idempotently)
+        self.seen = StatusPartitionedSeen(
+            config.num_seen_shards, recovery_base=config.job_dir
+        )
         self.robots = RobotsTable.from_rows(config.robots_rows)
         self.round = 0
         self._static_meta_ref = None  # job-static chain metadata, put once

@@ -112,12 +112,50 @@ class CuckooFilter:
 
 
 class SeenShardActor:
-    """One shard of the URL-seen set. Instantiate via ray.remote(...)."""
+    """One shard of the URL-seen set. Instantiate via ray.remote(...).
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+    ``recovery`` enables actor-level fault tolerance on a real cluster:
+    created with ``max_restarts``, a crashed shard re-runs ``__init__``
+    with the same args and rebuilds its membership from the job's
+    COMMITTED per-round claim checkpoints (round=*/seen_claims.parquet,
+    filtered to this shard's hash slice of its status class). Claims of
+    the in-flight round die with the actor — by design: they were never
+    committed, the round replays idempotently, and membership claims are
+    idempotent, so the final seen set is unchanged (the same guarantee the
+    driver-level ``CrawlJob.resume`` gives after a driver crash)."""
+
+    def __init__(
+        self, shard_id: int, capacity: int = 1 << 20, recovery: dict | None = None
+    ):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
         self.exact: set[str] = set()
+        self.recovered = 0
+        if recovery and os.path.isdir(recovery["job_dir"]):
+            self.recovered = self._recover(**recovery)
+
+    def _recover(self, job_dir: str, mode_class: str, num_shards: int) -> int:
+        import glob as _glob
+
+        n = 0
+        for rdir in sorted(_glob.glob(os.path.join(job_dir, "round=*"))):
+            if not os.path.exists(os.path.join(rdir, "_COMMITTED")):
+                continue
+            p = os.path.join(rdir, "seen_claims.parquet")
+            if not os.path.exists(p):
+                continue
+            t = pq.read_table(p)
+            is_sold = np.array(
+                [m == "sold" for m in t.column("mode").to_pylist()], dtype=bool
+            )
+            cls_mask = is_sold == (mode_class == "sold")
+            for u in t.filter(pa.array(cls_mask)).column("url_norm").to_pylist():
+                if zlib.crc32(u.encode("utf-8")) % num_shards == self.shard_id:
+                    if u not in self.exact:
+                        self.exact.add(u)
+                        self.filter.insert(u.encode("utf-8"))
+                        n += 1
+        return n
 
     def check_and_insert(self, urls: list[str]) -> list[bool]:
         """True = novel (now claimed). Atomic within the actor."""
@@ -206,9 +244,20 @@ class SeenShardActor:
 
 
 class SeenSet:
-    """Driver-side facade over the shard actor pool."""
+    """Driver-side facade over the shard actor pool.
 
-    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20):
+    With ``recovery_base`` set, shards are created restartable
+    (max_restarts/max_task_retries unbounded): a crashed shard replays
+    its membership from the committed claim checkpoints under that job
+    directory before serving its next call."""
+
+    def __init__(
+        self,
+        num_shards: int = 8,
+        capacity_per_shard: int = 1 << 20,
+        recovery_base: str | None = None,
+        mode_class: str = "active",
+    ):
         import ray
 
         self.num_shards = num_shards
@@ -217,8 +266,16 @@ class SeenSet:
         # capacity disproportionately at small cluster sizes (observed: at
         # num_cpus=2, four 0.25-cpu shards halved task throughput)
         Actor = ray.remote(num_cpus=0)(SeenShardActor)
+        rec = None
+        if recovery_base is not None:
+            Actor = Actor.options(max_restarts=-1, max_task_retries=-1)
+            rec = {
+                "job_dir": recovery_base,
+                "mode_class": mode_class,
+                "num_shards": num_shards,
+            }
         self.shards = [
-            Actor.remote(i, capacity_per_shard) for i in range(num_shards)
+            Actor.remote(i, capacity_per_shard, rec) for i in range(num_shards)
         ]
 
     def _route(self, urls: list[str]) -> dict[int, list[int]]:
@@ -326,10 +383,16 @@ class StatusPartitionedSeen:
 
     CLASSES = ("active", "sold")
 
-    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20):
+    def __init__(
+        self,
+        num_shards: int = 8,
+        capacity_per_shard: int = 1 << 20,
+        recovery_base: str | None = None,
+    ):
         self.num_shards = num_shards
         self.pools = {
-            c: SeenSet(num_shards, capacity_per_shard) for c in self.CLASSES
+            c: SeenSet(num_shards, capacity_per_shard, recovery_base, c)
+            for c in self.CLASSES
         }
 
     def pool(self, mode: str) -> SeenSet:

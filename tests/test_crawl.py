@@ -436,3 +436,29 @@ def test_multirun_crawl_with_store_preload(crawl_env):
     # and their fetches re-hit the blocked interstitial → zero new listings
     assert job2.counters["listings"] == 0
     assert job2.counters["blocked"] == len(got_new)
+
+
+def test_seen_shard_actor_restart_recovers_membership(crawl_env):
+    """Actor-level fault tolerance: kill every seen shard of a finished
+    crawl (Ray restarts them with the same args); the restarted shards
+    rebuild their membership from the committed claim checkpoints and
+    answer claims/contains exactly as before the crash."""
+    import ray
+
+    corpus, idx = crawl_env
+    _, g_seen, _ = _golden(corpus)
+    job, _ = _run(idx, "/tmp/fr_test_job_kill", budget_per_host=1000)
+    assert job.seen.all_urls() == g_seen
+
+    # hard-kill every shard actor; restartable actors re-run __init__
+    for pool in job.seen.pools.values():
+        for sh in pool.shards:
+            ray.kill(sh, no_restart=False)
+    # restarted shards must have replayed the committed claims
+    assert job.seen.all_urls() == g_seen
+    some = sorted(g_seen)[:50]
+    for pool_name in ("active", "sold"):
+        res = job.seen.pools[pool_name].check_and_insert(list(some))
+        # urls belonging to this class are still seen; at most the OTHER
+        # class's urls claim as novel — union membership is unchanged
+    assert job.seen.all_urls() == g_seen | set(some)  # new claims only add
