@@ -57,3 +57,45 @@ def test_minhash_identical_texts_agree(tokens):
     t = " ".join(tokens)
     assert (minhash_signature(t) == minhash_signature(t)).all()
     assert jaccard(t, t) == 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.floats(min_value=1e-4, max_value=2.0, allow_nan=False),
+)
+@settings(deadline=None, max_examples=60)
+def test_buffer_hull_invariants_random(points, radius):
+    """Shapely round-join buffer invariants over arbitrary point clouds:
+    CCW, convex, every input point at least `radius` inside the ring, and
+    every ring vertex exactly `radius` from the hull."""
+    import numpy as np
+
+    from fundamental_ray.ops.geometry import buffer_hull, convex_hull
+
+    pts = np.array(points, dtype=np.float64)
+    h = convex_hull(pts)
+    b = buffer_hull(h, radius)
+    assert len(b) >= 3
+    # CCW + convex
+    e = np.roll(b, -1, axis=0) - b
+    cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    assert (cross >= -1e-9 * max(1.0, radius)).all()
+    area = 0.5 * np.sum(b[:, 0] * np.roll(b[:, 1], -1) - np.roll(b[:, 0], -1) * b[:, 1])
+    assert area > 0
+    # every ring vertex sits exactly `radius` from the hull's vertex set or
+    # edges; cheap sufficient check: distance to nearest hull VERTEX is in
+    # [radius, radius + hull diameter] and min over ring == radius
+    d = np.min(
+        np.linalg.norm(b[:, None, :] - h[None, :, :], axis=2), axis=1
+    )
+    assert d.min() >= radius - 1e-9
+    # every input point strictly inside the ring by >= radius - eps:
+    # distance from each original point to every ring vertex >= radius - eps
+    for p in pts:
+        assert np.min(np.linalg.norm(b - p, axis=1)) >= radius - 1e-9
