@@ -38,8 +38,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each queries() entry (omitted for
-    non-SQL-expressible ops → driver does a rows-only check)."""
+    """DuckDB SQL for EVERY queries() entry: testdata queries against ANSI
+    SQL over the pre-registered views; crawl-family queries against the
+    independent reference-simulator goldens (path-embedded parquet,
+    materialized lazily); non-SQL-expressible kernels against
+    local-reference-implementation artifacts with the operator semantics
+    (LSH banding join, brute-force hamming/jaccard verification,
+    aggregation) performed by DuckDB itself (fundamental_ray/oracle/)."""
     from fundamental_ray import registry
 
     return registry.oracle_sql()
