@@ -462,3 +462,30 @@ def test_seen_shard_actor_restart_recovers_membership(crawl_env):
         # urls belonging to this class are still seen; at most the OTHER
         # class's urls claim as novel — union membership is unchanged
     assert job.seen.all_urls() == g_seen | set(some)  # new claims only add
+
+
+def test_crawl_parity_skewed_corpus(ray_session):
+    """Conformance generalizes beyond the fixture corpus: a Zipf-skewed
+    2-host corpus (hot-host fan-out, the north rule's skew case) must still
+    reproduce the simulator's visits, membership and listings exactly."""
+    from fundamental_ray.synth.materialize import materialize_corpus
+
+    corpus = materialize_corpus("sf0.001", n_chains=6, n_hosts=2, zipf_s=1.5)
+    idx = build_fetch_index(
+        f"{corpus}/pages.parquet", "/tmp/fr_index_skew", num_buckets=8
+    )
+    shutil.rmtree("/tmp/fr_test_job_skew", ignore_errors=True)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir="/tmp/fr_test_job_skew", num_seen_shards=4,
+        scraped_at=SCRAPED_AT, budget_per_host=7,  # hot host must defer
+    )
+    job = CrawlJob(cfg, chains_from_corpus(make_chains(6, n_hosts=2, zipf_s=1.5)))
+    counters = job.run()
+
+    con, g_seen, g_visits = _golden(corpus)
+    assert job.seen.all_urls() == g_seen
+    assert _got_visits("/tmp/fr_test_job_skew") == g_visits
+    assert counters["deferred"] > 0  # the skew actually hit the budget
+    ld = crawl_listings_dataset("/tmp/fr_test_job_skew").to_pandas()
+    gl = con.sql(f"select * from '{corpus}/golden_listings.parquet'").df()
+    assert set(ld["url"]) == set(gl["url"]) and len(ld) == len(gl)
