@@ -162,3 +162,26 @@ def test_embedding_neardup_ivf_recall(ray_session):
     iset = set(zip(ivf["a"], ivf["b"]))
     assert iset <= bset  # precision 1.0 (every pair cosine-verified)
     assert len(iset & bset) / len(bset) >= 0.5  # bucketed recall bound
+
+
+def test_minhash_estimates_jaccard():
+    """Sketch math sanity: the fraction of agreeing signature slots is an
+    unbiased Jaccard estimator — over deterministic doc pairs spanning the
+    similarity range, the 64-perm estimate tracks the exact value."""
+    import numpy as np
+
+    from fundamental_ray.ops.dedup import jaccard, minhash_signature
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    words = base.split()
+    errs = []
+    for k in range(0, 40, 5):
+        # mutate k words → pairs from near-identical to dissimilar
+        mutated = list(words)
+        for i in range(k):
+            mutated[(i * 7) % len(mutated)] = f"tok{i}"
+        a, b = " ".join(words), " ".join(mutated)
+        true_j = jaccard(a, b)
+        est = float(np.mean(minhash_signature(a) == minhash_signature(b)))
+        errs.append(abs(est - true_j))
+    assert np.mean(errs) < 0.12  # 64 perms → std ≈ sqrt(j(1-j)/64) ≈ 0.06
