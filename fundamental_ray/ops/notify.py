@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -72,14 +74,57 @@ def is_property_allowed(row: dict, f: NotifyFilters) -> bool:
     return True
 
 
+def allowed_mask(t: pa.Table, f: NotifyFilters) -> pa.Array:
+    """``is_property_allowed`` as Arrow column masks over a whole batch —
+    same conjunctive semantics (telegram.go:39-124), zero per-row Python.
+    The scalar function above stays as the unit-test twin."""
+    n = t.num_rows
+    mask = np.ones(n, dtype=bool)
+    if f.min_price is not None or f.max_price is not None:
+        # Go Property.Price is a non-pointer int: missing ⇒ 0 (telegram.go:224)
+        price = np.nan_to_num(
+            t.column("price").to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        )
+        if f.min_price is not None:
+            mask &= price >= f.min_price
+        if f.max_price is not None:
+            mask &= price <= f.max_price
+    for col, lo, hi in (
+        ("living_area", f.min_living_area, f.max_living_area),
+        ("num_rooms", f.min_num_rooms, f.max_num_rooms),
+    ):
+        if lo is None and hi is None:
+            continue
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)  # configured bound + missing value ⇒ reject
+        if lo is not None:
+            ok &= np.nan_to_num(v, nan=-np.inf) >= lo
+        if hi is not None:
+            ok &= np.nan_to_num(v, nan=np.inf) <= hi
+        mask &= ok
+    if f.districts:
+        d4 = pc.utf8_slice_codeunits(t.column("postal_code"), 0, 4)
+        hit = pc.fill_null(pc.is_in(d4, value_set=pa.array(f.districts)), False)
+        mask &= hit.to_numpy(zero_copy_only=False)
+    if f.energy_labels:
+        hit = pc.fill_null(
+            pc.is_in(t.column("energy_label"), value_set=pa.array(f.energy_labels)),
+            False,
+        )
+        mask &= hit.to_numpy(zero_copy_only=False)
+    return pa.array(mask)
+
+
 def filter_listings(listings: ray.data.Dataset, f: NotifyFilters) -> ray.data.Dataset:
-    """F4 as a vectorized map_batches filter over a listings Dataset."""
+    """F4 as an Arrow-native vectorized filter: integer columns keep their
+    int64 dtype through the stage (no pandas nullable-int → float64
+    coercion), and the mask is pure column kernels."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        mask = [is_property_allowed(r, f) for r in df.to_dict("records")]
-        return df[pd.Series(mask, index=df.index)]
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(allowed_mask(t, f))
 
-    return listings.map_batches(fn, batch_format="pandas")
+    return listings.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 RATING_BANDS = [(0.80, "GREAT"), (0.95, "GOOD"), (1.05, "NORMAL"), (1.20, "BAD")]
@@ -112,15 +157,81 @@ def district_sold_median(listings: pd.DataFrame, now: str = "2024-07-01") -> pd.
     return df.groupby("district")["psqm"].median()
 
 
+def district_analysis_tables_ds(
+    listings: ray.data.Dataset, now: str = "2024-07-01"
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """``district_analysis_tables`` computed DISTRIBUTED (A4 as a Dataset
+    op): F2-quality prep inside map_batches, one groupby('district')
+    exchange computing the active and sold median/count in the same pass.
+    Only the per-district result table (thousands of rows, not the corpus)
+    ever reaches the driver — the broadcastable small side of J6."""
+    cutoff = (pd.Timestamp(now) - pd.DateOffset(months=12)).strftime("%Y-%m-%d")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (
+            df["price"].notna() & df["living_area"].notna()
+            & (df["price"] > 0) & (df["living_area"] > 0)
+            & df["living_area"].between(15, 1000)
+            & df["price"].between(50_000, 10_000_000)
+        )
+        df = df[ok].copy()
+        out = pd.DataFrame(
+            {
+                "district": df["postal_code"].str.slice(0, 4),
+                "psqm": df["price"].astype(float) / df["living_area"].astype(float),
+                "is_active": (df["status"] == "active").to_numpy(),
+                "is_recent_sold": (
+                    (df["status"] == "sold")
+                    & df["selling_date"].notna()
+                    & (df["selling_date"] >= cutoff)
+                ).to_numpy(),
+            }
+        )
+        return out[out["is_active"] | out["is_recent_sold"]]
+
+    def both(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["is_active"]]["psqm"]
+        s = g[g["is_recent_sold"]]["psqm"]
+        return pd.DataFrame(
+            [
+                {
+                    "district": g["district"].iloc[0],
+                    "am": a.median() if len(a) else np.nan, "ac": len(a),
+                    "sm": s.median() if len(s) else np.nan, "sc": len(s),
+                }
+            ]
+        )
+
+    res = (
+        listings.map_batches(prep, batch_format="pandas")
+        .groupby("district")
+        .map_groups(both, batch_format="pandas")
+        .to_pandas()
+    )
+    act = (
+        res[res["ac"] > 0][["district", "am", "ac"]]
+        .rename(columns={"am": "m", "ac": "c"})
+        .set_index("district")
+    )
+    sold = (
+        res[res["sc"] > 0][["district", "sm", "sc"]]
+        .rename(columns={"sm": "m", "sc": "c"})
+        .set_index("district")
+    )
+    return act, sold
+
+
 def price_ratings(
     listings: ray.data.Dataset, now: str = "2024-07-01"
 ) -> pd.DataFrame:
-    """J6: broadcast the (tiny) district sold-median table against the
-    listings Dataset; emit ratio + band per rateable listing."""
+    """J6: the district sold-median table is computed with a distributed
+    groupby (district_analysis_tables_ds) and only that tiny result is
+    broadcast against the listings Dataset; emit ratio + band per rateable
+    listing."""
     import ray
 
-    pdf = listings.to_pandas()  # medians need the sold subset anyway (small)
-    med = district_sold_median(pdf, now)
+    _, sold = district_analysis_tables_ds(listings, now)
+    med = sold["m"]
     med_ref = ray.put(med)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -294,16 +405,21 @@ def notify_messages(
     listings: ray.data.Dataset, f: NotifyFilters, now: str = "2024-07-01"
 ) -> pd.DataFrame:
     """New-listing notification flow (manager.go:168-179 → telegram.go:
-    198-423): filter the delta, broadcast the (tiny) district analysis
-    tables, render one message per surviving listing."""
+    198-423): filter the delta with the vectorized F4 mask, broadcast the
+    (tiny, distributed-computed) district analysis tables, render one
+    message per surviving listing (rendering is per-row by nature — the
+    loop runs over the output-sized survivor set only)."""
     import ray
 
-    tables = district_analysis_tables(listings.to_pandas(), now)
+    tables = district_analysis_tables_ds(listings, now)
     ref = ray.put(tables)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         act, sold = ray.get(ref)
-        keep = [r for r in df.to_dict("records") if is_property_allowed(r, f)]
+        keep_mask = allowed_mask(pa.Table.from_pandas(df), f).to_numpy(
+            zero_copy_only=False
+        )
+        keep = df[keep_mask].to_dict("records")
         return pd.DataFrame(
             {
                 "url": [r["url"] for r in keep],
