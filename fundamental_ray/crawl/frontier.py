@@ -37,6 +37,7 @@ import os
 import time
 from dataclasses import asdict, dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -64,6 +65,7 @@ REQUEST_SCHEMA = pa.schema(
         ("priority", pa.int32()),
         ("page_seq", pa.int32()),
         ("url_crc", pa.uint32()),
+        ("attempt", pa.int32()),  # fetch attempt counter (S4 retry sim)
     ]
 )
 
@@ -80,6 +82,13 @@ class CrawlConfig:
     max_rounds: int = 64
     scraped_at: str = "1970-01-01T00:00:00"
     base_delay: float = 2.0
+    # S4 retry simulation (settings.py:31-32: 5 retries on transient HTTP
+    # codes): when on, detail requests whose url_norm is md5-flaky fail
+    # with a synthetic 5xx/429 on their first attempt and are re-queued
+    # (attempt+1) through the deferral path, succeeding next round. Pure
+    # fault injection — final membership and listings are invariant.
+    simulate_transient: bool = False
+    transient_mod: int = 7  # flaky iff int(md5(url_norm)[:2],16) % mod == 0
 
 
 @dataclass
@@ -174,6 +183,9 @@ def extract_candidates_batch(batch: pa.Table, meta_ref, static_ref) -> dict:
                 np.asarray(out["url_crc"], dtype=np.int64).astype(np.uint32),
                 pa.uint32(),
             ),
+            "attempt": pa.array(
+                np.zeros(len(out["url"]), dtype=np.int32), pa.int32()
+            ),
         }
     ).cast(REQUEST_SCHEMA)
     # pre-route for the shard pull: sort by (class, shard) so each claim
@@ -257,23 +269,46 @@ def extract_details_to_parts(
 
 
 class CrawlJob:
-    def __init__(self, config: CrawlConfig, chains: list[ChainState]):
+    def __init__(
+        self, config: CrawlConfig, chains: list[ChainState], _resuming: bool = False
+    ):
+        # A FRESH job over a job_dir holding a previous run's committed
+        # rounds would silently replay that run's seen claims (the shards
+        # recover whenever committed checkpoints exist) — deduping
+        # everything and emitting zero listings with no warning. Fail fast;
+        # continuation goes through CrawlJob.resume().
+        if not _resuming and os.path.isdir(config.job_dir):
+            import glob as _glob
+
+            stale = _glob.glob(
+                os.path.join(config.job_dir, "round=*", "_COMMITTED")
+            )
+            if stale:
+                raise ValueError(
+                    f"job_dir {config.job_dir} already holds {len(stale)} "
+                    "committed round(s); use CrawlJob.resume(config) to "
+                    "continue it, or clear the directory for a fresh run"
+                )
         self.cfg = config
         self.chains = {c.chain_id: c for c in chains}
         # shards are restartable: a crashed shard replays its slice of the
         # committed per-round claim checkpoints (actor-level analogue of
-        # the driver's resume(); the in-flight round replays idempotently)
+        # the driver's resume(); the in-flight round is covered by the
+        # next round's claim re-push — see claim_from_outputs)
         self.seen = StatusPartitionedSeen(
             config.num_seen_shards, recovery_base=config.job_dir
         )
         self.robots = RobotsTable.from_rows(config.robots_rows)
         self.round = 0
         self._static_meta_ref = None  # job-static chain metadata, put once
+        # (class, shard) -> ObjectRef of that shard's previous claim output,
+        # handed back on the next claim call as the crash-window re-push
+        self._prev_claim_refs: dict = {}
         self._round_novel: pa.Table = REQUEST_SCHEMA.empty_table()
         self.lineage: list[dict] = []
         self.counters: dict[str, int] = {
             "fetched": 0, "deduped": 0, "deferred": 0, "robots_denied": 0,
-            "blocked": 0, "fetch_miss": 0, "listings": 0,
+            "blocked": 0, "fetch_miss": 0, "listings": 0, "retried": 0,
         }
         os.makedirs(config.job_dir, exist_ok=True)
 
@@ -331,7 +366,7 @@ class CrawlJob:
         os.makedirs(rdir, exist_ok=True)
         delta = {
             "fetched": 0, "deduped": 0, "deferred": 0, "robots_denied": 0,
-            "blocked": 0, "fetch_miss": 0, "listings": 0,
+            "blocked": 0, "fetch_miss": 0, "listings": 0, "retried": 0,
         }
 
         # -- 1+2. list fetch + extraction + shard-pull dedup claim ------
@@ -383,15 +418,22 @@ class CrawlJob:
                 max_urls_per_task=chunk,
             )
             # dispatch the shard pulls immediately — the actors block on the
-            # extract outputs themselves, overlapping the driver's own fold
+            # extract outputs themselves, overlapping the driver's own fold.
+            # Each call also hands the shard its own previous claim output
+            # ref (Ray resolves it actor-side from plasma): the idempotent
+            # re-push closes the die-after-return / restart-before-commit
+            # duplicate-claim window (see SeenShardActor.claim_from_outputs)
             claim_futs = []
+            next_claim_refs: dict = {}
             for cls, pool in self.seen.pools.items():
                 for k, shard in enumerate(pool.shards):
-                    claim_futs.append(
-                        shard.claim_from_outputs.remote(
-                            refs, cls, k, self.seen.num_shards
-                        )
+                    fut = shard.claim_from_outputs.remote(
+                        refs, cls, k, self.seen.num_shards,
+                        self._prev_claim_refs.get((cls, k)),
                     )
+                    claim_futs.append(fut)
+                    next_claim_refs[(cls, k)] = fut
+            self._prev_claim_refs = next_claim_refs
             t_dispatch = time.time()
             results = [r for r in ray.get(refs) if r is not None]
             t_extract = time.time()
@@ -493,17 +535,59 @@ class CrawlJob:
         self._lineage("politeness", pending.num_rows, scheduled.num_rows, t0,
                       deferred=new_deferred.num_rows)
 
-        # -- 4. robots gate ---------------------------------------------
+        # -- 4. robots gate (vectorized: host-level lookup + numpy prefix
+        # masks; only hosts that actually have rules cost per-row work) --
         if cfg.obey_robots and scheduled.num_rows:
             t0 = time.time()
             allowed_mask = pa.array(
-                [self.robots.allowed(u) for u in scheduled.column("url").to_pylist()]
+                self.robots.allowed_mask(
+                    scheduled.column("host").to_numpy(zero_copy_only=False),
+                    scheduled.column("url").to_numpy(zero_copy_only=False),
+                )
             )
             denied = scheduled.filter(pc.invert(allowed_mask))
             scheduled = scheduled.filter(allowed_mask)
             delta["robots_denied"] = denied.num_rows
             self._lineage("robots", scheduled.num_rows + denied.num_rows,
                           scheduled.num_rows, t0, robots_denied=denied.num_rows)
+
+        # -- 4b. transient-retry simulation (S4, settings.py:31-32) -----
+        # first-attempt requests of md5-flaky urls "fail with a 5xx/429":
+        # they consumed their politeness slot (as a real failed GET would),
+        # are counted `retried`, and re-ride the deferral path with
+        # attempt+1 — succeeding on the next round's wave.
+        if cfg.simulate_transient and scheduled.num_rows:
+            import hashlib as _hl
+
+            t0 = time.time()
+            # opt-in fault injection: md5 per scheduled row (politeness-
+            # bounded), matching the DuckDB-recomputable flakiness rule
+            flaky = np.array(
+                [
+                    int(_hl.md5(u.encode("utf-8")).hexdigest()[:2], 16)
+                    % cfg.transient_mod == 0
+                    for u in scheduled.column("url_norm").to_pylist()
+                ],
+                dtype=bool,
+            )
+            first = pc.equal(scheduled.column("attempt"), 0).to_numpy(
+                zero_copy_only=False
+            )
+            fail = pa.array(flaky & first)
+            retry_rows = scheduled.filter(fail)
+            scheduled = scheduled.filter(pc.invert(fail))
+            if retry_rows.num_rows:
+                retry_rows = retry_rows.set_column(
+                    retry_rows.schema.get_field_index("attempt"),
+                    "attempt",
+                    pc.add(retry_rows.column("attempt"), 1).cast(pa.int32()),
+                )
+                new_deferred = pa.concat_tables(
+                    [new_deferred, retry_rows], promote_options="default"
+                ).select(REQUEST_SCHEMA.names)
+            delta["retried"] = retry_rows.num_rows
+            self._lineage("transient_retry", scheduled.num_rows + retry_rows.num_rows,
+                          scheduled.num_rows, t0, retried=retry_rows.num_rows)
 
         # -- 5a. LAUNCH fetch-join + extraction (collected next round) --
         # request metadata travels as ONE arrow table in plasma (zero-copy
@@ -649,7 +733,7 @@ class CrawlJob:
         rdir = os.path.join(config.job_dir, f"round={last:04d}")
         with open(os.path.join(rdir, "chains.json")) as fh:
             chains = [ChainState(**c) for c in json.load(fh)]
-        job = cls(config, chains)
+        job = cls(config, chains, _resuming=True)
         job.round = last
         by_class: dict[str, list[str]] = {"active": [], "sold": []}
         for r in rounds:
@@ -665,8 +749,13 @@ class CrawlJob:
                 )
         job.seen.preload(by_class)
         with open(os.path.join(rdir, "counters.json")) as fh:
-            job.counters = json.load(fh)["counters"]
+            job.counters = {"retried": 0, **json.load(fh)["counters"]}
         deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))
+        if "attempt" not in deferred.column_names:  # pre-retry-sim layout
+            deferred = deferred.append_column(
+                "attempt", pa.array(np.zeros(deferred.num_rows, dtype=np.int32))
+            )
+        deferred = deferred.select(REQUEST_SCHEMA.names)
         return job, deferred
 
 def chains_from_corpus(corpus_chains) -> list[ChainState]:

@@ -70,6 +70,45 @@ class RobotsTable:
         r = self.rules.get(s.hostname.lower() if s.hostname else "")
         return r.allowed(s.path or "/") if r else True
 
+    def allowed_mask(self, hosts, urls) -> "object":
+        """Vectorized gate over parallel host/url arrays: host-level rule
+        lookup first — hosts without rules (the overwhelming majority of a
+        web-scale frontier) cost ZERO per-row work — then numpy prefix
+        matching of only the gated hosts' url paths against their
+        Allow/Disallow lists (longest-prefix wins, same semantics as the
+        scalar ``allowed``). Returns a numpy bool mask."""
+        import numpy as np
+        import pandas as pd
+
+        hosts = np.asarray(hosts, dtype=object)
+        mask = np.ones(len(hosts), dtype=bool)
+        gated = set(pd.unique(hosts)) & set(self.rules)
+        if not gated:
+            return mask
+        paths = (
+            pd.Series(np.asarray(urls, dtype=object))
+            .str.replace(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "", regex=True)
+            .str.split("?").str[0]
+            .replace("", "/")
+            .to_numpy()
+        )
+        for h in gated:
+            idx = np.nonzero(hosts == h)[0]
+            r = self.rules[h]
+            p = paths[idx].astype(str)
+            d_len = np.full(len(p), -1)
+            for pref in r.disallow:
+                d_len = np.where(
+                    np.char.startswith(p, pref), np.maximum(d_len, len(pref)), d_len
+                )
+            a_len = np.full(len(p), -1)
+            for pref in r.allow:
+                a_len = np.where(
+                    np.char.startswith(p, pref), np.maximum(a_len, len(pref)), a_len
+                )
+            mask[idx] = (d_len < 0) | (a_len >= d_len)
+        return mask
+
     def crawl_delay(self, host: str) -> float | None:
         r = self.rules.get(host)
         return r.crawl_delay if r else None

@@ -182,7 +182,12 @@ class SeenShardActor:
         )
 
     def claim_from_outputs(
-        self, output_refs: list, mode_class: str, shard_id: int, num_shards: int
+        self,
+        output_refs: list,
+        mode_class: str,
+        shard_id: int,
+        num_shards: int,
+        repush=None,
     ):
         """Pull-style round claim: read the candidate-extract task outputs
         straight from the object store (zero-copy plasma) and take THIS
@@ -190,9 +195,24 @@ class SeenShardActor:
         (class, shard) and shipped the slice offsets), claim it, and return
         only the novel request rows. One actor call per shard per round —
         candidate URLs never transit the driver, no per-task RPC fan-out,
-        and no per-actor scan of the candidate stream."""
+        and no per-actor scan of the candidate stream.
+
+        ``repush`` (an Arrow request table or None) carries this shard's
+        OWN novel rows from the previous round, straight from the previous
+        claim call's plasma output (the driver just hands the ObjectRef
+        back). Re-inserting them is an idempotent no-op on a healthy shard,
+        but closes the crash window where a shard dies AFTER returning a
+        round's novel rows and restarts BEFORE that round commits:
+        ``_recover`` replays only _COMMITTED rounds, so without the re-push
+        a later round could claim those in-flight URLs twice (duplicate
+        detail fetches + duplicate listing rows)."""
         import ray as _ray
 
+        if repush is not None:
+            for u in repush.column("url_norm").to_pylist():
+                if u not in self.exact:
+                    self.exact.add(u)
+                    self.filter.insert(u.encode("utf-8"))
         route = shard_id + (num_shards if mode_class == "sold" else 0)
         tables = []
         for out in _ray.get(list(output_refs)):
@@ -221,10 +241,16 @@ class SeenShardActor:
         return out
 
     def preload(self, urls: list[str]) -> int:
-        """Seed from a snapshot / DB-style seen source (S7)."""
+        """Seed from a snapshot / DB-style seen source (S7). Idempotent:
+        URLs already present (e.g. replayed by ``_recover`` before a
+        resume-time preload of the same committed claims) are skipped so
+        they don't consume a second filter slot — double-inserting every
+        recovered URL would halve effective filter capacity and flip
+        shards to degraded mode at half the intended scale."""
         for u in urls:
-            self.exact.add(u)
-            self.filter.insert(u.encode("utf-8"))
+            if u not in self.exact:
+                self.exact.add(u)
+                self.filter.insert(u.encode("utf-8"))
         return len(self.exact)
 
     def size(self) -> int:

@@ -23,6 +23,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 WORD_RE = re.compile(r"\S+")
@@ -114,19 +115,45 @@ def jaccard(a: str, b: str) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+def _shingle_blob(text: str) -> bytes:
+    """Shingle set serialized as one sorted newline-joined binary blob —
+    a flat binary column survives hash-join exchanges (nested list payloads
+    don't), and set ops recover it with one split."""
+    return b"\n".join(sorted(_shingles(text)))
+
+
+def _blob_jaccard(blob_a: bytes, blob_b: bytes) -> float:
+    sa = set(blob_a.split(b"\n")) if blob_a else set()
+    sb = set(blob_b.split(b"\n")) if blob_b else set()
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, threshold: float = 0.6, num_partitions: int | None = None
+) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: signature per doc → explode to
     (band, band_hash, doc_id) → groupby band bucket → candidate pairs →
     exact-Jaccard verification (precision 1.0 by construction).
 
-    Verification is a broadcast SEMI-JOIN of the corpus against the
-    candidate id set: only documents that appear in some candidate pair
-    have their shingles computed and shipped — the corpus itself is never
-    materialized on the driver. The candidate pair list is output-sized
-    (it IS the result, minus sub-threshold pairs), so holding it is fine;
-    at 10^10 docs with a huge candidate set the semi-join swaps for a
-    doc_id hash-partitioned join, same dataflow."""
+    Verification is a doc_id hash-partitioned JOIN, end to end off the
+    driver: candidate pairs (deduped with a combiner-style groupby) join
+    the distributed (doc_id, shingle-blob) table once on ``a`` and once on
+    ``b``; each joined row then computes its exact Jaccard locally. No
+    corpus-proportional structure — candidate list, shingle dict or
+    otherwise — is ever collected on the driver; only the final
+    above-threshold pair table is."""
     import ray
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        # join aggregators are CPU-holding actors: cap the partition count
+        # at half the cluster so upstream map tasks keep running (16
+        # aggregators on a 4-cpu session starve the pipeline into a hang)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(64, cpus // 2))
 
     docs = _read_docs(sf_dir)
 
@@ -144,113 +171,164 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].tolist())
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
         out = {"a": [], "b": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out["a"].append(ids[i])
                 out["b"].append(ids[j])
-        return pd.DataFrame(out)
+        return pd.DataFrame(out).astype("int64")
 
+    # candidate (a, b) pairs, deduped across bands by a combiner groupby —
+    # the same pair surfacing from multiple bands collapses in the shuffle
     cand = (
         docs.map_batches(bands, batch_format="pandas")
         .groupby(["band", "band_hash"])
         .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .drop_columns(["n_bands"])
     )
-    if len(cand) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
-            {"a": "int64", "b": "int64", "jaccard": "float64"}
-        )
-    cand = cand.drop_duplicates().astype({"a": "int64", "b": "int64"})
 
-    # broadcast semi-join: shingles computed in parallel for candidate
-    # members only (bounded by the candidate set, not the corpus)
-    wanted = ray.put(frozenset(cand["a"]) | frozenset(cand["b"]))
-
-    def member_shingles(df: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(wanted)
-        df = df[df["doc_id"].isin(ids)]
+    def blob(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "shingles": [sorted(_shingles(t)) for t in df["text"].fillna("")],
+                "doc_id": df["doc_id"].astype("int64"),
+                "sh": [_shingle_blob(t) for t in df["text"].fillna("")],
             }
         )
 
-    sh_pdf = docs.map_batches(member_shingles, batch_format="pandas").to_pandas()
-    sh_ref = ray.put(dict(zip(sh_pdf["doc_id"], sh_pdf["shingles"])))
+    sh_ds = docs.map_batches(blob, batch_format="pandas")
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sh = ray.get(sh_ref)
-        out = df.copy()
-        sims = []
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = set(sh[a]), set(sh[b])
-            if not sa and not sb:
-                sims.append(1.0)
-            else:
-                inter = len(sa & sb)
-                sims.append(inter / (len(sa) + len(sb) - inter))
-        out["jaccard"] = _r6(sims)
-        return out[out["jaccard"] >= threshold]
+    # hash-partitioned joins on doc_id: attach a's blob, then b's (the
+    # join merges the key columns — only `sh` is added each time)
+    j = cand.join(sh_ds, "inner", num_partitions, on=("a",), right_on=("doc_id",))
 
-    res = (
-        ray.data.from_pandas(cand)
-        .map_batches(verify, batch_format="pandas", batch_size=4096)
-        .to_pandas()
+    def rename_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["sh_a" if c == "sh" else c for c in t.column_names]
+        )
+
+    j = j.map_batches(rename_a, batch_format="pyarrow").join(
+        sh_ds, "inner", num_partitions, on=("b",), right_on=("doc_id",)
     )
+
+    def verify(t: pa.Table) -> pa.Table:
+        sims = _r6(
+            [
+                _blob_jaccard(x, y)
+                for x, y in zip(t.column("sh_a").to_pylist(), t.column("sh").to_pylist())
+            ]
+        )
+        out = pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "jaccard": pa.array(np.asarray(sims, dtype=np.float64)),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    res = j.map_batches(verify, batch_format="pyarrow").to_pandas()
     if len(res) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
         )
-    return res.sort_values(["a", "b"]).reset_index(drop=True)
+    return (
+        res.astype({"a": "int64", "b": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
 
+
+def _block_refs_of(ds: ray.data.Dataset) -> list:
+    """Materialize a Dataset into the OBJECT STORE and return its Arrow
+    block refs — the fan-out handle for block-pair (O(B²) task) algorithms.
+    Blocks live in plasma (spillable), never on the driver."""
+    mat = ds.materialize()
+    return [r for bundle in mat.iter_internal_ref_bundles() for r in bundle.block_refs]
+
+
+
+def _as_arrow(block) -> pa.Table:
+    """Blocks materialized from pandas-format stages arrive as DataFrames;
+    normalize to Arrow for the pair tasks."""
+    return block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
 
 def ngram_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.6, max_docs: int | None = None
+    sf_dir: str, threshold: float = 0.6, n_blocks: int = 16
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard over all pairs — the brute-force oracle for the
-    sketch path, distributed as: broadcast shingle-set list, one map_batches
-    task per row-block computing its pair-block (O(n²) total, blocked)."""
+    """Exact n-gram Jaccard over ALL pairs — the brute-force recall oracle
+    for the sketch paths. O(n²) work is inherent to the exact oracle; the
+    dataflow distributes it as a block-pair fan-out: the (doc_id,
+    shingle-blob) table is materialized into the object store, and one task
+    per unordered block pair (i ≤ j) pulls its two zero-copy plasma blocks
+    and emits that pair-block's qualifying rows. The corpus never touches
+    the driver; only the above-threshold result does. Production dedup at
+    corpus scale is the sketch family (minhash/simhash) — this is their
+    recall yardstick."""
     import ray
 
-    pdf = _read_docs(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    if max_docs is not None and len(pdf) > max_docs:
-        # no silent caps: O(n²) brute force deliberately bounded
-        print(f"ngram_jaccard_pairs: capping corpus {len(pdf)} -> {max_docs} docs")
-        pdf = pdf.head(max_docs)
-    sh = [_shingles(t) for t in pdf["text"].fillna("")]
-    ids = pdf["doc_id"].to_numpy()
-    ref = ray.put((ids, sh))
+    def blob(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "sh": [_shingle_blob(t) for t in df["text"].fillna("")],
+            }
+        )
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_sh = ray.get(ref)
-        pos = {d: i for i, d in enumerate(all_ids)}
+    sh_ds = (
+        _read_docs(sf_dir)
+        .map_batches(blob, batch_format="pandas")
+        .repartition(n_blocks)
+    )
+    refs = _block_refs_of(sh_ds)
+
+    @ray.remote(num_cpus=1)
+    def pair_block(x, y, same: bool) -> pd.DataFrame:
+        x = _as_arrow(x)
+        ids_x = x.column("doc_id").to_pylist()
+        sh_x = [set(v.split(b"\n")) if v else set() for v in x.column("sh").to_pylist()]
+        if same:
+            ids_y, sh_y = ids_x, sh_x
+        else:
+            y = _as_arrow(y)
+            ids_y = y.column("doc_id").to_pylist()
+            sh_y = [set(v.split(b"\n")) if v else set() for v in y.column("sh").to_pylist()]
         out = {"a": [], "b": [], "jaccard": []}
-        for d in batch["doc_id"]:
-            i = pos[d]
-            si = all_sh[i]
-            for j in range(i + 1, len(all_ids)):
-                sj = all_sh[j]
+        for i, (di, si) in enumerate(zip(ids_x, sh_x)):
+            start = i + 1 if same else 0
+            for dj, sj in zip(ids_y[start:], sh_y[start:]):
+                if di == dj:
+                    continue
                 if not si and not sj:
                     sim = 1.0
                 else:
                     inter = len(si & sj)
-                    sim = inter / (len(si) + len(sj) - inter) if (si or sj) else 1.0
+                    sim = inter / (len(si) + len(sj) - inter)
                 sim = float(_r6(sim))
                 if sim >= threshold:
-                    out["a"].append(all_ids[i])
-                    out["b"].append(all_ids[j])
+                    out["a"].append(min(di, dj))
+                    out["b"].append(max(di, dj))
                     out["jaccard"].append(sim)
         return pd.DataFrame(out)
 
-    res = (
-        ray.data.from_pandas(pdf[["doc_id"]])
-        .map_batches(block, batch_format="pandas", batch_size=64)
-        .to_pandas()
+    futs = [
+        pair_block.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    frames = [f for f in ray.get(futs) if len(f)]
+    if not frames:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+    return (
+        pd.concat(frames, ignore_index=True)
+        .astype({"a": "int64", "b": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
     )
-    return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------- simhash
@@ -337,48 +415,73 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
 
 
 # ------------------------------------------------------------- embeddings
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92) -> pd.DataFrame:
-    """Embedding-cosine near-dup: normalized matrix broadcast once
-    (ray.put), each task computes its row-block × full-matrix product —
-    blocked brute force (exact). The scale path replaces the full broadcast
-    with IVF coarse buckets (see ops/ann.py)."""
+def embedding_neardup_pairs(
+    sf_dir: str, threshold: float = 0.92, n_blocks: int = 8
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup, exact, fully off the driver: the
+    row-normalized embedding table is materialized into the object store
+    and one task per unordered block pair computes its block×block matmul
+    against two zero-copy plasma blocks (same fan-out shape as
+    ngram_jaccard_pairs). The full matrix is never assembled anywhere —
+    not on the driver, not in any single task. The sublinear scale path is
+    ``embedding_neardup_ivf`` (bucket-partitioned, probe-pruned)."""
     import ray
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
-    emb = emb.sort_values("vec_id").reset_index(drop=True)
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    matn = mat / np.clip(norms, 1e-30, None)
-    ids = emb["vec_id"].to_numpy()
-    ref = ray.put((ids, matn))
+    def norm_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-30, None)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"), "embedding": list(m)}
+        )
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, m = ray.get(ref)
-        pos = {d: i for i, d in enumerate(all_ids)}
-        idx = np.array([pos[d] for d in batch["vec_id"]])
-        sims = m[idx] @ m.T  # (block, N)
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(norm_rows, batch_format="pandas")
+        .repartition(n_blocks)
+    )
+    refs = _block_refs_of(ds)
+
+    @ray.remote(num_cpus=1)
+    def pair_block(x, y, same: bool) -> pd.DataFrame:
+        x = _as_arrow(x)
+        ids_x = np.asarray(x.column("vec_id").to_numpy(zero_copy_only=False))
+        m_x = np.stack(x.column("embedding").to_pandas().to_numpy())
+        if same:
+            ids_y, m_y = ids_x, m_x
+        else:
+            y = _as_arrow(y)
+            ids_y = np.asarray(y.column("vec_id").to_numpy(zero_copy_only=False))
+            m_y = np.stack(y.column("embedding").to_pandas().to_numpy())
+        sims = m_x @ m_y.T
+        ii, jj = np.nonzero(sims >= threshold)
         out = {"a": [], "b": [], "cosine": []}
-        for row, i in enumerate(idx):
-            js = np.nonzero(sims[row] >= threshold)[0]
-            for j in js:
-                if j > i:
-                    out["a"].append(int(all_ids[i]))
-                    out["b"].append(int(all_ids[j]))
-                    out["cosine"].append(round(float(sims[row, j]), 4))
+        for i, j in zip(ii, jj):
+            a, c = int(ids_x[i]), int(ids_y[j])
+            if a == c or (same and a > c):
+                continue  # same-block: upper triangle only
+            out["a"].append(min(a, c))
+            out["b"].append(max(a, c))
+            out["cosine"].append(round(float(sims[i, j]), 4))
         return pd.DataFrame(out)
 
-    res = (
-        ray.data.from_pandas(emb[["vec_id"]])
-        .map_batches(block, batch_format="pandas", batch_size=256)
-        .to_pandas()
-    )
-    if len(res) == 0:
+    futs = [
+        pair_block.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    frames = [f for f in ray.get(futs) if len(f)]
+    if not frames:
         return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
             {"a": "int64", "b": "int64", "cosine": "float64"}
         )
-    return res.sort_values(["a", "b"]).reset_index(drop=True)
+    return (
+        pd.concat(frames, ignore_index=True)
+        .astype({"a": "int64", "b": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
 
 
 def embedding_neardup_ivf(
@@ -430,10 +533,15 @@ def embedding_neardup_ivf(
             ii, jj = np.nonzero(sims >= threshold)
             for i, j in zip(ii, jj):
                 a, c = int(ids_a[i]), int(ids_b[j])
-                if a < c:
-                    out["a"].append(a)
-                    out["b"].append(c)
-                    out["cosine"].append(round(float(sims[i, j]), 4))
+                if a == c:
+                    continue
+                # emit the normalized pair unconditionally: probe lists are
+                # asymmetric (b in a's probes ⇏ a in b's), so dropping
+                # a > c pairs would lose found matches; the downstream
+                # drop_duplicates absorbs symmetric-probe double counting
+                out["a"].append(min(a, c))
+                out["b"].append(max(a, c))
+                out["cosine"].append(round(float(sims[i, j]), 4))
         return pd.DataFrame(out)
 
     refs = [

@@ -303,6 +303,45 @@ def crawl_metro_concat(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+_RETRY_MEMO: dict[str, CrawlJob] = {}
+
+
+def crawl_retry_counters(sf_dir: str) -> pd.DataFrame:
+    """S4 end-to-end (settings.py:31-32): a crawl with the transient-5xx
+    simulation on — every md5-flaky detail request fails its first attempt,
+    is counted ``retried`` and re-queued through the deferral path, then
+    succeeds. Results (membership, listings) are invariant; the counters
+    prove the retry-then-succeed path actually ran."""
+    import shutil
+
+    tag = scale_tag_of(sf_dir)
+    job = _RETRY_MEMO.get(tag)
+    if job is None:
+        corpus = materialize_corpus(tag)
+        idx = build_fetch_index(
+            f"{corpus}/pages.parquet", f"/tmp/fr_index/{os.path.basename(corpus)}", 16
+        )
+        job_dir = f"/tmp/fr_jobs/{os.path.basename(corpus)}-retry"
+        shutil.rmtree(job_dir, ignore_errors=True)
+        cfg = CrawlConfig(
+            index_dir=idx, job_dir=job_dir, budget_per_host=1_000,
+            num_seen_shards=8, scraped_at=SCRAPED_AT, simulate_transient=True,
+        )
+        job = CrawlJob(cfg, chains_from_corpus(make_chains(SCALE_CHAINS[tag], n_hosts=4)))
+        job.run()
+        assert job.counters["retried"] > 0  # the fault injection actually fired
+        _RETRY_MEMO[tag] = job
+    return pd.DataFrame(
+        [
+            {
+                "retried": job.counters["retried"],
+                "fetched": job.counters["fetched"],
+                "listings": job.counters["listings"],
+            }
+        ]
+    )
+
+
 _POLITE_MEMO: dict[str, CrawlJob] = {}
 
 

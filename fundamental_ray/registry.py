@@ -260,6 +260,23 @@ SELECT
   0::BIGINT AS robots_denied,
   (SELECT count(*) FROM read_parquet('{corpus}/golden_seen_set.parquet') WHERE blocked)::BIGINT AS blocked,
   0::BIGINT AS fetch_miss,
+  (SELECT count(*) FROM read_parquet('{corpus}/golden_listings.parquet'))::BIGINT AS listings,
+  0::BIGINT AS retried
+""",
+    )
+    register("crawl_retry_counters", C.crawl_retry_counters)
+    register_lazy_oracle(
+        # S4 transient-retry simulation: every md5-flaky claimed url fails
+        # its first detail fetch and succeeds on the retry round, so
+        # retried = the md5-rule count over the golden seen set, while
+        # fetched/listings stay invariant (fault injection never changes
+        # results, only timing)
+        "crawl_retry_counters",
+        lambda corpus, art: f"""
+SELECT
+  (SELECT count(*) FROM read_parquet('{corpus}/golden_seen_set.parquet')
+   WHERE ('0x' || substr(md5(url), 1, 2))::UBIGINT % 7 = 0)::BIGINT AS retried,
+  (SELECT count(*) FROM read_parquet('{corpus}/golden_seen_set.parquet'))::BIGINT AS fetched,
   (SELECT count(*) FROM read_parquet('{corpus}/golden_listings.parquet'))::BIGINT AS listings
 """,
     )

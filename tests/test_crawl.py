@@ -489,3 +489,142 @@ def test_crawl_parity_skewed_corpus(ray_session):
     ld = crawl_listings_dataset("/tmp/fr_test_job_skew").to_pandas()
     gl = con.sql(f"select * from '{corpus}/golden_listings.parquet'").df()
     assert set(ld["url"]) == set(gl["url"]) and len(ld) == len(gl)
+
+
+# --------------------------------------------------------- round-3 fixes
+def test_fresh_job_refuses_dirty_job_dir(crawl_env):
+    """A fresh CrawlJob over a dir holding a previous run's committed
+    rounds must fail fast — silently replaying the old seen claims would
+    dedup everything and emit zero listings with no warning."""
+    corpus, idx = crawl_env
+    _run(idx, "/tmp/fr_test_job_dirty", budget_per_host=1000)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir="/tmp/fr_test_job_dirty", num_seen_shards=4,
+        scraped_at=SCRAPED_AT,
+    )
+    with pytest.raises(ValueError, match="committed round"):
+        CrawlJob(cfg, chains_from_corpus(make_chains(N_CHAINS, n_hosts=4)))
+
+
+def test_preload_idempotent_filter_slots():
+    """Re-preloading the same URLs (resume: shards already recovered the
+    committed claims in __init__) must not consume second filter slots —
+    double insertion would halve effective capacity and flip shards to
+    degraded mode early."""
+    from fundamental_ray.crawl.seen import SeenShardActor
+
+    sh = SeenShardActor(0)
+    urls = [f"https://h.example/x{i}" for i in range(500)]
+    sh.preload(urls)
+    slots_after_first = sh.filter.count
+    sh.preload(urls)
+    assert sh.filter.count == slots_after_first
+    assert not sh.filter.degraded
+
+
+def test_shard_crash_claim_repush_window(ray_session, tmp_path):
+    """ADVICE window: a shard that dies AFTER returning a round's novel
+    rows but restarts BEFORE that round commits loses the in-flight
+    claims (_recover replays only _COMMITTED rounds). The next round's
+    claim call re-pushes the shard's own previous output, restoring the
+    membership before any new claim."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fundamental_ray.crawl.seen import SeenSet
+
+    s = SeenSet(num_shards=1, recovery_base=str(tmp_path / "job"))
+    urls = [f"https://h.example/detail/koop/x{i}" for i in range(10)]
+    out = {
+        "cand": pa.table(
+            {"url_norm": pa.array(urls), "mode": pa.array(["active"] * 10)}
+        ),
+        "route_offsets": np.array([0, 10, 10]),
+    }
+    ref = ray.put(out)
+    shard = s.shards[0]
+
+    def crash_and_wait_restart():
+        # ray.kill is async — wait until the restarted incarnation (empty
+        # membership after recovering a claim-less job dir) answers
+        import time as _t
+
+        ray.kill(shard, no_restart=False)
+        for _ in range(200):
+            if ray.get(shard.size.remote()) == 0:
+                return
+            _t.sleep(0.05)
+        raise AssertionError("shard did not restart empty")
+
+    novel1 = ray.get(shard.claim_from_outputs.remote([ref], "active", 0, 1, None))
+    assert novel1.num_rows == 10
+
+    # crash between claim-return and commit: restart recovers an empty dir
+    crash_and_wait_restart()
+    # WITHOUT the re-push the restarted shard re-claims everything (the bug)
+    redo = ray.get(shard.claim_from_outputs.remote([ref], "active", 0, 1, None))
+    assert redo is not None and redo.num_rows == 10
+
+    crash_and_wait_restart()
+    # WITH the re-push (driver hands back the previous claim output) the
+    # restarted shard recognizes every URL as already claimed
+    fixed = ray.get(shard.claim_from_outputs.remote([ref], "active", 0, 1, novel1))
+    assert fixed is None or fixed.num_rows == 0
+
+
+def test_transient_retry_simulation(crawl_env):
+    """S4 (settings.py:31-32): md5-flaky detail requests fail once with a
+    synthetic transient status and succeed on the retry round; membership
+    and listings are invariant and `retried` counts exactly the flaky
+    claimed URLs. Chains all reach their reference stop conditions."""
+    import hashlib
+
+    corpus, idx = crawl_env
+    con, g_seen, g_visits = _golden(corpus)
+    job, counters = _run(
+        idx, "/tmp/fr_test_job_retrysim", budget_per_host=1000,
+        simulate_transient=True,
+    )
+    assert counters["retried"] > 0
+    expected = sum(
+        1 for u in g_seen
+        if int(hashlib.md5(u.encode()).hexdigest()[:2], 16) % 7 == 0
+    )
+    assert counters["retried"] == expected
+    assert job.seen.all_urls() == g_seen
+    assert all(c.done for c in job.chains.values())  # chain-end reached
+    # page-visit contract unchanged — retries touch detail fetches only
+    assert _got_visits("/tmp/fr_test_job_retrysim") == g_visits
+    got = crawl_listings_dataset("/tmp/fr_test_job_retrysim").to_pandas()
+    n_golden = con.sql(
+        f"select count(*) from '{corpus}/golden_listings.parquet'"
+    ).fetchone()[0]
+    assert len(got) == n_golden
+
+
+def test_robots_mask_matches_scalar():
+    """Vectorized robots gate ≡ per-URL scalar semantics."""
+    import numpy as np
+
+    from fundamental_ray.crawl.robots import RobotsTable
+
+    rt = RobotsTable.from_rows(
+        [
+            ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+            ("b.example", "User-agent: *\nDisallow: /\n"),
+        ]
+    )
+    urls = [
+        "https://a.example/private/x",
+        "https://a.example/private/ok/y",
+        "https://a.example/pub?page=2",
+        "https://a.example/",
+        "https://b.example/anything",
+        "https://c.example/free",
+        "https://c.example",
+    ]
+    hosts = [u.split("/")[2] for u in urls]
+    got = rt.allowed_mask(np.array(hosts, dtype=object), np.array(urls, dtype=object))
+    want = np.array([rt.allowed(u) for u in urls])
+    assert (got == want).all()
