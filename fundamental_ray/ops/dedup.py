@@ -16,6 +16,7 @@ sorted. No wall-clock, no RNG state.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import struct
 import zlib
@@ -131,30 +132,113 @@ def _blob_jaccard(blob_a: bytes, blob_b: bytes) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+SHINGLE_INDEX_BUCKETS = 16
+SHINGLE_INDEX_VERSION = "v1"
+
+
+def _shingle_index(sf_dir: str, num_buckets: int = SHINGLE_INDEX_BUCKETS) -> str:
+    """One-time doc_id-hash-partitioned shingle-blob index (the dedup
+    sibling of crawl/fetchstore.build_fetch_index): documents →
+    (bucket = doc_id % B, doc_id, blob) → one groupby exchange →
+    per-bucket Parquet sorted by doc_id with small row groups, so later
+    point-lookups prune row groups via min/max stats. Idempotent via
+    _DONE; blobs cross exactly one exchange, once per corpus."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    slug = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = f"/tmp/fr_dedup_index/{slug}-b{num_buckets}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        with open(done) as fh:
+            if fh.read().split(":")[0] == SHINGLE_INDEX_VERSION:
+                return out_dir
+        import shutil as _sh
+
+        _sh.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def blob_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "bucket": (ids % num_buckets).astype("int32"),
+                "doc_id": ids,
+                "sh": [_shingle_blob(t) for t in df["text"].fillna("")],
+            }
+        )
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by("doc_id")
+        b = t.column("bucket")[0].as_py()
+        d = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        _pq.write_table(
+            t.drop_columns(["bucket"]), path + ".tmp", row_group_size=1024
+        )
+        os.replace(path + ".tmp", path)
+        return pa.table({"bucket": [b], "rows": [t.num_rows]})
+
+    (
+        _read_docs(sf_dir)
+        .map_batches(blob_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    with open(done, "w") as fh:
+        fh.write(f"{SHINGLE_INDEX_VERSION}:{num_buckets}")
+    return out_dir
+
+
+def _lookup_blobs(index_dir: str, ids: "np.ndarray", num_buckets: int) -> dict:
+    """Batch point-read of shingle blobs by doc_id from the bucketed index:
+    bucket path pruning + isin row-group pruning (sorted doc_id). Returns a
+    BATCH-sized dict — never corpus-proportional."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+
+    from ..crawl.fetchstore import _open_dataset
+
+    out: dict = {}
+    ids = np.unique(ids)
+    for b in np.unique(ids % num_buckets):
+        paths = sorted(
+            _glob.glob(os.path.join(index_dir, f"bucket={int(b)}", "*.parquet"))
+        )
+        if not paths:
+            continue
+        want = ids[ids % num_buckets == b]
+        t = _open_dataset(paths).to_table(
+            columns=["doc_id", "sh"],
+            filter=pc.is_in(pads.field("doc_id"), value_set=pa.array(want)),
+        )
+        out.update(zip(t.column("doc_id").to_pylist(), t.column("sh").to_pylist()))
+    return out
+
+
 def minhash_lsh_pairs(
-    sf_dir: str, threshold: float = 0.6, num_partitions: int | None = None
+    sf_dir: str, threshold: float = 0.6, num_buckets: int = SHINGLE_INDEX_BUCKETS
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: signature per doc → explode to
     (band, band_hash, doc_id) → groupby band bucket → candidate pairs →
     exact-Jaccard verification (precision 1.0 by construction).
 
-    Verification is a doc_id hash-partitioned JOIN, end to end off the
-    driver: candidate pairs (deduped with a combiner-style groupby) join
-    the distributed (doc_id, shingle-blob) table once on ``a`` and once on
-    ``b``; each joined row then computes its exact Jaccard locally. No
-    corpus-proportional structure — candidate list, shingle dict or
-    otherwise — is ever collected on the driver; only the final
-    above-threshold pair table is."""
-    import ray
+    Verification is a doc_id hash-partitioned DISK JOIN, end to end off
+    the driver: candidate pairs (deduped by a combiner-style groupby over
+    (a, b) — int pairs only, the cheapest possible exchange) stream
+    through map_batches tasks that point-read their members' shingle
+    blobs from the bucketed shingle index (built once per corpus; the
+    same bucket-pruned, row-group-pruned lookup the crawl fetch index
+    uses for pages). No corpus-proportional structure — candidate list,
+    shingle dict or otherwise — exists on the driver or in any single
+    task; per-task state is batch-sized."""
     from ray.data.aggregate import Count
 
-    if num_partitions is None:
-        # join aggregators are CPU-holding actors: cap the partition count
-        # at half the cluster so upstream map tasks keep running (16
-        # aggregators on a 4-cpu session starve the pipeline into a hang)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(64, cpus // 2))
-
+    index_dir = _shingle_index(sf_dir, num_buckets)
     docs = _read_docs(sf_dir)
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -190,46 +274,23 @@ def minhash_lsh_pairs(
         .drop_columns(["n_bands"])
     )
 
-    def blob(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype("int64"),
-                "sh": [_shingle_blob(t) for t in df["text"].fillna("")],
-            }
-        )
-
-    sh_ds = docs.map_batches(blob, batch_format="pandas")
-
-    # hash-partitioned joins on doc_id: attach a's blob, then b's (the
-    # join merges the key columns — only `sh` is added each time)
-    j = cand.join(sh_ds, "inner", num_partitions, on=("a",), right_on=("doc_id",))
-
-    def rename_a(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            ["sh_a" if c == "sh" else c for c in t.column_names]
-        )
-
-    j = j.map_batches(rename_a, batch_format="pyarrow").join(
-        sh_ds, "inner", num_partitions, on=("b",), right_on=("doc_id",)
-    )
-
     def verify(t: pa.Table) -> pa.Table:
-        sims = _r6(
-            [
-                _blob_jaccard(x, y)
-                for x, y in zip(t.column("sh_a").to_pylist(), t.column("sh").to_pylist())
-            ]
-        )
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = _lookup_blobs(index_dir, np.concatenate([a, b]), num_buckets)
+        sims = _r6([_blob_jaccard(blobs[x], blobs[y]) for x, y in zip(a, b)])
         out = pa.table(
             {
-                "a": t.column("a"),
-                "b": t.column("b"),
+                "a": pa.array(a),
+                "b": pa.array(b),
                 "jaccard": pa.array(np.asarray(sims, dtype=np.float64)),
             }
         )
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
-    res = j.map_batches(verify, batch_format="pyarrow").to_pandas()
+    res = cand.map_batches(
+        verify, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
     if len(res) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
