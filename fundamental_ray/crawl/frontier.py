@@ -348,19 +348,32 @@ class CrawlJob:
             if not live and deferred.num_rows == 0:
                 break
             self.round += 1
-            pend = self._phase_a(live, deferred)
+            pend = self._phase_a(live, deferred, launch_after=prev)
             deferred = pend["new_deferred"]
             if prev is not None:
                 self._collect_commit(prev)
             prev = pend
         if prev is not None:
+            self._launch_details(prev)  # final round: no next round launched it
             self._collect_commit(prev)
         return dict(self.counters)
 
-    def _phase_a(self, live: list[ChainState], deferred: pa.Table) -> dict:
-        """List fetch+extract → dedup claim → politeness → robots → LAUNCH
-        detail fetch tasks (no barrier) → stop-condition fold → state
-        snapshot. Everything the next round depends on happens here."""
+    def _phase_a(
+        self, live: list[ChainState], deferred: pa.Table, launch_after: dict | None = None
+    ) -> dict:
+        """List fetch+extract → dedup claim → politeness → robots →
+        stop-condition fold → state snapshot. Everything the next round
+        depends on happens here.
+
+        ``launch_after`` is the PREVIOUS round's pend dict: its (bulk)
+        detail fetch tasks are launched only after THIS round's list tasks
+        and claim pulls are already in the scheduler queue. Submission
+        order is the only priority lever Ray tasks have, and the list →
+        claim → schedule path is the per-round critical path — without the
+        reorder, a round's ~1-2 s of list parsing queues behind the
+        previous round's ~10 s of detail extraction and the list phase
+        stops scaling with cores (measured 43 s → 48 s from 8 → 32 cpus
+        at 38,400 chains)."""
         cfg = self.cfg
         rdir = self._round_dir(self.round)
         os.makedirs(rdir, exist_ok=True)
@@ -434,6 +447,9 @@ class CrawlJob:
                     claim_futs.append(fut)
                     next_claim_refs[(cls, k)] = fut
             self._prev_claim_refs = next_claim_refs
+            # this round's critical-path tasks are queued — NOW release the
+            # previous round's bulk detail work behind them
+            self._launch_details(launch_after)
             t_dispatch = time.time()
             results = [r for r in ray.get(refs) if r is not None]
             t_extract = time.time()
@@ -482,9 +498,14 @@ class CrawlJob:
                 claim_ms=int((t_claim - t_fold) * 1000),
             )
 
+        if not live:
+            # deferred-only round: no list tasks to prioritize
+            self._launch_details(launch_after)
+
         # -- 3. politeness schedule over novel ∪ deferred ---------------
         t0 = time.time()
         pending = pa.concat_tables([deferred, novel_t], promote_options="default")
+        t_concat = time.time()
         scheduled, new_deferred = self._empty_requests(), self._empty_requests()
         if pending.num_rows:
             delays = {
@@ -533,7 +554,8 @@ class CrawlJob:
                 ).select(REQUEST_SCHEMA.names)
         delta["deferred"] = new_deferred.num_rows
         self._lineage("politeness", pending.num_rows, scheduled.num_rows, t0,
-                      deferred=new_deferred.num_rows)
+                      deferred=new_deferred.num_rows,
+                      concat_ms=int((t_concat - t0) * 1000))
 
         # -- 4. robots gate (vectorized: host-level lookup + numpy prefix
         # masks; only hosts that actually have rules cost per-row work) --
@@ -589,22 +611,12 @@ class CrawlJob:
             self._lineage("transient_retry", scheduled.num_rows + retry_rows.num_rows,
                           scheduled.num_rows, t0, retried=retry_rows.num_rows)
 
-        # -- 5a. LAUNCH fetch-join + extraction (collected next round) --
-        # request metadata travels as ONE arrow table in plasma (zero-copy
+        # -- 5a. detail fetch-join + extraction: NOT launched here — the
+        # NEXT round's _phase_a launches it right after its own list tasks
+        # and claim pulls are queued (run() launches the final round's).
+        # Request metadata travels as ONE arrow table in plasma (zero-copy
         # slices per chunk task); listing parts are written by the tasks
-        # themselves, so listing bytes never pass through the driver
-        refs: list = []
-        if scheduled.num_rows:
-            import shutil as _sh
-
-            parts_dir = os.path.join(rdir, "listings_parts")
-            _sh.rmtree(parts_dir, ignore_errors=True)  # re-run safety
-            os.makedirs(parts_dir, exist_ok=True)
-            refs = fetch_map_requests(
-                cfg.index_dir, scheduled, "detail",
-                extract_details_to_parts,
-                {"scraped_at": cfg.scraped_at, "parts_dir": parts_dir},
-            )
+        # themselves, so listing bytes never pass through the driver.
 
         # -- 6. stop-condition fold (reference control flow) ------------
         for c in live:
@@ -656,11 +668,31 @@ class CrawlJob:
 
         return {
             "round": self.round, "rdir": rdir, "page_visits": page_visits,
-            "new_deferred": new_deferred, "novel": novel_t, "refs": refs,
+            "new_deferred": new_deferred, "novel": novel_t, "refs": [],
+            "scheduled": scheduled, "detail_launched": False,
             "scheduled_rows": scheduled.num_rows, "delta": delta,
             "chains_json": [asdict(c) for c in self.chains.values()],
             "t_fetch_launch": time.time(),
         }
+
+    def _launch_details(self, pend: dict | None) -> None:
+        """Launch a round's detail fetch+extract tasks (idempotent)."""
+        if pend is None or pend["detail_launched"]:
+            return
+        pend["detail_launched"] = True
+        scheduled = pend.pop("scheduled")
+        if scheduled.num_rows:
+            import shutil as _sh
+
+            parts_dir = os.path.join(pend["rdir"], "listings_parts")
+            _sh.rmtree(parts_dir, ignore_errors=True)  # re-run safety
+            os.makedirs(parts_dir, exist_ok=True)
+            pend["refs"] = fetch_map_requests(
+                self.cfg.index_dir, scheduled, "detail",
+                extract_details_to_parts,
+                {"scraped_at": self.cfg.scraped_at, "parts_dir": parts_dir},
+            )
+        pend["t_fetch_launch"] = time.time()
 
     # ------------------------------------------------------------ commit
     def _collect_commit(self, pend: dict) -> None:

