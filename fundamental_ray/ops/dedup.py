@@ -629,3 +629,150 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
 """
+
+# ------------------------------------------- duplicate clusters (conn. comp.)
+# Connected components over the near-dup pair list — the step that turns
+# pairwise dedup output into per-document cluster assignments (keep the
+# canonical min-id doc per cluster, drop the rest). Algorithm: alternating
+# large-star / small-star rounds (Kiveris, Lattanzi, Mirrokni, Rastogi,
+# Vassilvitskii — "Connected Components in MapReduce and Beyond", SoCC'14):
+# every round is a per-node groupby, expressed here as the repo's standard
+# bucketized vectorized fold (hash-bucket the grouping node, one numpy
+# sort + segment-reduce per bucket) — no joins, no driver-side graph, and
+# per-round state is edge-sized and spills with the object store.
+CC_BUCKETS = 64
+
+
+def _cc_round(edges: ray.data.Dataset, large: bool, num_buckets: int) -> ray.data.Dataset:
+    """One star round. Edge invariant in AND out: rows (u, v) with u > v.
+
+    large  — group the *symmetrized* incidence list by node g and point
+             every neighbor bigger than g at m = min(N(g) ∪ {g}).
+    small  — group (u, v) rows by the larger endpoint g = u and point
+             every smaller neighbor AND g itself at m = min(N(g) ∪ {g}).
+
+    Both emit strictly (bigger, smaller) rows, so the invariant holds and
+    self-loops never appear. Duplicate edges collapse inside the bucket
+    that owns g — no extra global dedup shuffle per round.
+    """
+
+    def shape(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        if large:
+            g = np.concatenate([u, v])
+            o = np.concatenate([v, u])
+        else:
+            g, o = u, v
+        return pa.table(
+            {"g": g, "o": o, "bucket": (g % np.int64(num_buckets)).astype(np.int64)}
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.stack(
+            [df["g"].to_numpy(np.int64), df["o"].to_numpy(np.int64)], axis=1
+        )
+        pairs = np.unique(pairs, axis=0)  # sorts by (g, o) and dedupes
+        g, o = pairs[:, 0], pairs[:, 1]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        counts = np.diff(np.r_[starts, len(g)])
+        heads = g[starts]
+        m_seg = np.minimum(np.minimum.reduceat(o, starts), heads)
+        m = np.repeat(m_seg, counts)
+        if large:
+            mask = o > g
+            out_u, out_v = o[mask], m[mask]
+        else:
+            mask = o != m
+            out_u = np.concatenate([o[mask], heads])
+            out_v = np.concatenate([m[mask], m_seg])
+            keep = out_u != out_v  # g == m ⇒ the (g, m) row is a self-loop
+            out_u, out_v = out_u[keep], out_v[keep]
+        return pd.DataFrame({"u": out_u.astype(np.int64), "v": out_v.astype(np.int64)})
+
+    return (
+        edges.map_batches(shape, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _cc_checksum(edges: ray.data.Dataset) -> tuple[int, int]:
+    """(row count, order/partition-invariant wrapping checksum) — the
+    fixed-point test without collecting edges anywhere."""
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            chk = (u * np.uint64(6364136223846793005)
+                   + v * np.uint64(1442695040888963407)).sum()
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "chk": pa.array([int(chk)], pa.uint64())})
+
+    agg = edges.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(agg["n"].sum()), int(np.uint64(agg["chk"].to_numpy(np.uint64).sum()))
+
+
+def connected_components(
+    edges: ray.data.Dataset, num_buckets: int = CC_BUCKETS, max_rounds: int = 64
+) -> ray.data.Dataset:
+    """Cluster assignment (doc_id → cluster_id = component min) from an
+    undirected edge Dataset with columns (u, v), u != v. Alternates
+    large-star / small-star until the edge set reaches its fixed point
+    (O(log² n) rounds proven; ~4 observed on near-dup graphs, whose
+    components are small and dense). Returns a Dataset of
+    (doc_id, cluster_id) — corpus-sized, never collected here."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": np.maximum(u, v), "v": np.minimum(u, v)})
+
+    cur = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    n, chk = _cc_checksum(cur)
+    for _ in range(max_rounds):
+        cur = _cc_round(_cc_round(cur, True, num_buckets), False, num_buckets).materialize()
+        n2, chk2 = _cc_checksum(cur)
+        if (n2, chk2) == (n, chk):
+            break
+        n, chk = n2, chk2
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    # At the fixed point the edges form stars centered at each component's
+    # minimum: one (node, center) row per non-root node. Labels = those
+    # rows plus (center, center) roots, folded by min for robustness.
+    from ray.data.aggregate import Min
+
+    def labels(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": np.concatenate([u, v]), "cluster_id": np.concatenate([v, v])}
+        )
+
+    return (
+        cur.map_batches(labels, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+    )
+
+
+def duplicate_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Registered query: MinHash+LSH near-dup pairs → connected components
+    → (doc_id, cluster_id), sorted. Only documents that appear in at least
+    one verified pair are clustered (singletons are implicitly their own
+    cluster and are not emitted)."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": [], "cluster_id": []}).astype("int64")
+    edges = ray.data.from_pandas(pairs[["a", "b"]].rename(columns={"a": "u", "b": "v"}))
+    out = connected_components(edges).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "cluster_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -231,7 +231,13 @@ def winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
             out["winnow_digest"].append(hashlib.md5(joined.encode()).hexdigest())
         return pd.DataFrame(out).astype({"n_grams": "int64", "n_winnow": "int64"})
 
-    return _read_docs(sf_dir).map_batches(f, batch_format="pandas").to_pandas()
+    return (
+        _read_docs(sf_dir)
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 WINNOW_FINGERPRINTS_SQL = f"""

@@ -188,6 +188,36 @@ SELECT a, b, ROUND(jac, 6) AS jaccard FROM j WHERE ROUND(jac, 6) >= {threshold}
             0.5,
         ),
     )
+    def _cluster_sql(art: str) -> str:
+        """Connected components over the minhash near-dup pairs as a
+        DuckDB recursive CTE: transitive closure of the (symmetrized)
+        edge set, then cluster_id = min reachable node. Closure size is
+        sum of squared component sizes — fine at oracle scale, which is
+        exactly why the Ray side uses star rounds instead."""
+        pair_sql = _jaccard_select(
+            art,
+            f"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM read_parquet('{art}/mh_bands.parquet') x
+  JOIN read_parquet('{art}/mh_bands.parquet') y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id""",
+            0.5,
+        )
+        return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.n, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT n AS doc_id, LEAST(n, MIN(r))::BIGINT AS cluster_id
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+    register("dedup_duplicate_clusters", lambda sf: D.duplicate_clusters(sf, 0.5))
+    register_lazy_oracle(
+        "dedup_duplicate_clusters", lambda corpus, art: _cluster_sql(art)
+    )
     register("dedup_ngram_jaccard", lambda sf: D.ngram_jaccard_pairs(sf, 0.5))
     register_lazy_oracle(
         "dedup_ngram_jaccard",

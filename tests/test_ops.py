@@ -198,3 +198,57 @@ def test_minhash_estimates_jaccard():
         est = float(np.mean(minhash_signature(a) == minhash_signature(b)))
         errs.append(abs(est - true_j))
     assert np.mean(errs) < 0.12  # 64 perms → std ≈ sqrt(j(1-j)/64) ≈ 0.06
+
+
+def _union_find_labels(edges):
+    """Reference DSU — cluster label = component min."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in list(parent)}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Star-round CC vs a driver-side union-find reference on adversarial
+    graph shapes: a long chain (max propagation depth), disjoint cliques,
+    a reversed star (hub has the LARGEST id), and a dense random graph."""
+    rng = np.random.RandomState(7)
+    cases = {
+        "chain": [(i, i + 1) for i in range(50)],
+        "cliques": [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)],
+        "star_rev": [(100, i) for i in range(20)],
+        "random": [tuple(sorted(rng.randint(0, 200, 2))) for _ in range(300)],
+    }
+    for name, raw in cases.items():
+        raw = [(int(a), int(b)) for a, b in raw if a != b]
+        expected = _union_find_labels(raw)
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"u": [a for a, _ in raw], "v": [b for _, b in raw]})
+        )
+        got = D.connected_components(edges).to_pandas()
+        assert dict(zip(got["doc_id"], got["cluster_id"])) == expected, name
+
+
+def test_duplicate_clusters_consistent_with_pairs(ray_session):
+    """Registered query invariants at sf0.001: every verified near-dup
+    pair's endpoints land in the same cluster; every cluster_id is the
+    min doc_id of its cluster; only paired docs appear."""
+    pairs = D.minhash_lsh_pairs(SF, 0.5)
+    clusters = D.duplicate_clusters(SF, 0.5)
+    label = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert set(label) == set(pairs["a"]) | set(pairs["b"])
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert label[a] == label[b]
+    grp = clusters.groupby("cluster_id")["doc_id"].min()
+    assert (grp.index == grp.values).all()
