@@ -262,3 +262,303 @@ SELECT doc_id, n::BIGINT AS n_grams, len(wins)::BIGINT AS n_winnow,
        md5(array_to_string(list_sort(wins), ',')) AS winnow_digest
 FROM w
 """
+
+
+# --------------------------------------------------------------------------
+SAMPLE_MOD = 10000
+SAMPLE_RATES = {"en": 5000, "zh": 2500}  # per-10k keep thresholds
+SAMPLE_DEFAULT = 1000
+
+
+def sample_stratified(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive of a
+    pre-training pipeline: keep a per-language fraction of documents,
+    selected by a hash of the doc_id so the sample is stable across runs,
+    machines and partitionings (no RNG state, no coordination). Reads only
+    (doc_id, lang) — the text column never leaves storage. At 100 TB the
+    filter is embarrassingly parallel: each batch keeps its own rows, no
+    shuffle, no driver state."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % SAMPLE_MOD
+            for d in df["doc_id"]
+        ]
+        thr = df["lang"].map(SAMPLE_RATES).fillna(SAMPLE_DEFAULT).astype("int64")
+        keep = pd.Series(keys, index=df.index) < thr
+        return df.loc[keep, ["doc_id", "lang"]]
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "lang"])
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % {SAMPLE_MOD}
+      < CASE lang WHEN 'en' THEN {SAMPLE_RATES['en']}
+                  WHEN 'zh' THEN {SAMPLE_RATES['zh']}
+                  ELSE {SAMPLE_DEFAULT} END
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+TOPK_PER_LANG = 5
+
+
+def top_quality_per_lang(sf_dir: str, k: int = TOPK_PER_LANG) -> pd.DataFrame:
+    """Per-group top-k selection (here: the k longest-mean-token documents
+    per language — a stand-in for any quality signal): the canonical
+    'keep the best N per stratum' step. Scale shape: each batch emits only
+    its own per-language top-k (a combiner — output is ≤ k×langs rows per
+    batch regardless of batch size), then a tiny groupby over k×batches
+    rows finishes the selection. The full corpus never crosses the
+    shuffle; ties break on doc_id ascending, so the result is unique."""
+    from ..pipelines.analytics import r2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        toks = txt.str.findall(WORD_RE)
+        mean_tok = [
+            float(sum(len(t) for t in ts)) / len(ts) if ts else 0.0 for ts in toks
+        ]
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"], "score": r2(mean_tok, 4)}
+        )
+        out = out.sort_values(["lang", "score", "doc_id"], ascending=[True, False, True])
+        return out.groupby("lang", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        return g[["doc_id", "lang", "score"]]
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "score", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+TOP_QUALITY_PER_LANG_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         ROUND(CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0
+               ELSE list_sum(list_transform(regexp_extract_all(text, '\\S+'),
+                                            x -> length(x)))::DOUBLE
+                    / len(regexp_extract_all(text, '\\S+')) END, 4) AS score
+  FROM documents
+)
+SELECT doc_id, lang, score FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY lang
+                                 ORDER BY score DESC, doc_id) AS rn
+  FROM s
+) WHERE rn <= {TOPK_PER_LANG}
+ORDER BY lang, score DESC, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+DECON_N = 8  # word n-gram width of the contamination test
+DECON_MOD = 97  # benchmark slice: doc_id % DECON_MOD == 0
+
+
+def decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene step:
+    flag every corpus document sharing a word ``DECON_N``-gram with a
+    held-out benchmark set (here a deterministic slice of the corpus,
+    ``doc_id % DECON_MOD == 0``, standing in for the eval suites).
+
+    Scale shape: the benchmark n-gram set is built with a distributed
+    map_batches (each batch contributes only its own distinct grams), the
+    collected set is small by construction (eval suites are MBs against a
+    100-TB corpus) and is broadcast once via ``ray.put``; the corpus side
+    is an embarrassingly parallel per-batch membership count — no shuffle,
+    no driver pass over the corpus. Gram intersection per doc uses Python
+    set ops (C-speed) over the same ``WORD_RE`` tokens the quality ops
+    use."""
+    import ray
+
+    def grams_of(ts) -> set:
+        return {
+            " ".join(ts[i : i + DECON_N]) for i in range(len(ts) - DECON_N + 1)
+        }
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.loc[df["doc_id"] % DECON_MOD == 0, "text"].fillna("")
+        out = set()
+        for ts in sub.str.findall(WORD_RE):
+            out |= grams_of(ts)
+        return pd.DataFrame({"gram": sorted(out)})
+
+    bench_pdf = (
+        _read_docs(sf_dir)
+        .map_batches(bench_grams, batch_format="pandas")
+        .to_pandas()  # small: distinct benchmark grams only
+    )
+    ref = ray.put(set(bench_pdf["gram"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(ref)  # zero-copy plasma read, shared per node
+        hits = [
+            len(bench & grams_of(ts))
+            for ts in df["text"].fillna("").str.findall(WORD_RE)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_contaminated": pd.Series(hits, index=df.index, dtype="int64"),
+                "is_benchmark": (df["doc_id"] % DECON_MOD == 0),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(flag, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - {DECON_N} + 1, 0) + 1),
+           i -> array_to_string(w[i::INT : i::INT + {DECON_N} - 1], ' '))) AS grams
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} = 0
+), dg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), hits AS (
+  SELECT dg.doc_id, count(*) AS n FROM dg JOIN bench USING (gram)
+  GROUP BY dg.doc_id
+)
+SELECT g.doc_id,
+       coalesce(hits.n, 0)::BIGINT AS n_contaminated,
+       (g.doc_id % {DECON_MOD} = 0) AS is_benchmark
+FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+ORDER BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate words and duplicate word-bigrams per document (1 − distinct
+    / total). High values mark boilerplate/spam for the quality filter.
+    Embarrassingly parallel map_batches; set construction is C-speed."""
+    from ..pipelines.analytics import r2
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(WORD_RE)
+        dup_w, dup_b = [], []
+        for ts in toks:
+            n = len(ts)
+            dup_w.append(1 - len(set(ts)) / n if n else 0.0)
+            bigs = [" ".join(p) for p in zip(ts, ts[1:])]
+            dup_b.append(1 - len(set(bigs)) / len(bigs) if bigs else 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup_word_frac": r2(dup_w, 4),
+                "dup_bigram_frac": r2(dup_b, 4),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+REPETITION_SCORES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+), b AS (
+  SELECT doc_id, w,
+         list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                        i -> w[i::INT] || ' ' || w[i::INT + 1]) AS bg
+  FROM t
+)
+SELECT doc_id,
+       ROUND(CASE WHEN len(w) = 0 THEN 0
+             ELSE 1 - len(list_distinct(w))::DOUBLE / len(w) END, 4)
+         AS dup_word_frac,
+       ROUND(CASE WHEN len(bg) = 0 THEN 0
+             ELSE 1 - len(list_distinct(bg))::DOUBLE / len(bg) END, 4)
+         AS dup_bigram_frac
+FROM b
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def balance_langs(sf_dir: str) -> pd.DataFrame:
+    """Adaptive data mixing: rebalance the corpus so every language
+    contributes (in expectation) the size of the smallest language, by
+    deterministic hash sampling at a per-language rate computed FROM the
+    data. Two passes, both distributed: (1) a tiny groupby counts docs per
+    language; (2) the per-language keep thresholds (floor(min_n × MOD /
+    n_lang)) are broadcast into a shuffle-free per-batch hash filter —
+    the same stable md5-slot rule as ``sample_stratified``, so the output
+    is independent of partitioning and run count. At 100 TB pass 1 is a
+    combiner-style count (bytes per block cross the shuffle) and pass 2
+    never moves the text column."""
+
+    counts = (
+        _read_docs(sf_dir, columns=["lang"])
+        .groupby("lang")
+        .count()
+        .to_pandas()  # one row per language — tiny
+    )
+    n = dict(zip(counts["lang"], counts["count()"]))
+    mn = min(n.values())
+    thr = {lang: (mn * SAMPLE_MOD) // c for lang, c in n.items()}
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % SAMPLE_MOD
+            for d in df["doc_id"]
+        ]
+        t = df["lang"].map(thr).astype("int64")
+        keep = pd.Series(keys, index=df.index) < t
+        return df.loc[keep, ["doc_id", "lang"]]
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "lang"])
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+BALANCE_LANGS_SQL = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n) AS mn FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        % {SAMPLE_MOD}
+      < (m.mn * {SAMPLE_MOD}) // c.n
+ORDER BY d.doc_id
+"""

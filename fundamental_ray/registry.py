@@ -149,6 +149,13 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_lang_id", T.lang_id, T.LANG_ID_SQL)
     register("text_fingerprints", T.fingerprints, T.FINGERPRINTS_SQL)
     register("text_winnow_fingerprints", T.winnow_fingerprints, T.WINNOW_FINGERPRINTS_SQL)
+    register("text_sample_stratified", T.sample_stratified, T.SAMPLE_STRATIFIED_SQL)
+    register(
+        "text_top_quality_per_lang", T.top_quality_per_lang, T.TOP_QUALITY_PER_LANG_SQL
+    )
+    register("text_decontaminate", T.decontaminate, T.DECONTAMINATE_SQL)
+    register("text_repetition_scores", T.repetition_scores, T.REPETITION_SCORES_SQL)
+    register("text_balance_langs", T.balance_langs, T.BALANCE_LANGS_SQL)
     register("dedup_exact", D.exact_dedup, D.EXACT_DEDUP_SQL)
     register(
         "dedup_embedding_neardup",

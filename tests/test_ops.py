@@ -252,3 +252,112 @@ def test_duplicate_clusters_consistent_with_pairs(ray_session):
         assert label[a] == label[b]
     grp = clusters.groupby("cluster_id")["doc_id"].min()
     assert (grp.index == grp.values).all()
+
+
+def test_sample_stratified_deterministic_rates(ray_session):
+    """Hash sampling: stable across runs, respects per-lang keep rates
+    (binomial 3-sigma at sf0.001), and never reads a doc twice."""
+    from fundamental_ray.ops import text as T
+
+    s1 = T.sample_stratified(SF)
+    s2 = T.sample_stratified(SF)
+    pd.testing.assert_frame_equal(s1, s2)
+    assert s1["doc_id"].is_unique
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    for lang, grp in docs.groupby("lang"):
+        thr = T.SAMPLE_RATES.get(lang, T.SAMPLE_DEFAULT)
+        p = thr / T.SAMPLE_MOD
+        n = len(grp)
+        kept = (s1["lang"] == lang).sum()
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(kept - n * p) <= 3 * sigma + 1, (lang, kept, n * p)
+
+
+def test_top_quality_per_lang_matches_driver_topk(ray_session):
+    """Combiner top-k equals a single-frame pandas top-k on the same score."""
+    from fundamental_ray.ops import text as T
+    from fundamental_ray.pipelines.analytics import r2
+
+    got = T.top_quality_per_lang(SF, k=5)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    toks = docs["text"].fillna("").str.findall(T.WORD_RE)
+    docs["score"] = r2(
+        [float(sum(len(t) for t in ts)) / len(ts) if ts else 0.0 for ts in toks], 4
+    )
+    exp = (
+        docs.sort_values(["lang", "score", "doc_id"], ascending=[True, False, True])
+        .groupby("lang", sort=False)
+        .head(5)[["doc_id", "lang", "score"]]
+        .sort_values(["lang", "score", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.groupby("lang").size().le(5).all()
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    """Benchmark docs are fully self-contaminated; a non-benchmark doc's
+    count equals its distinct-gram overlap with the benchmark set."""
+    from fundamental_ray.ops import text as T
+
+    got = T.decontaminate(SF)
+    assert len(got) == 500
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def grams(t):
+        ts = T.WORD_RE.findall(t or "")
+        return {" ".join(ts[i : i + T.DECON_N]) for i in range(len(ts) - T.DECON_N + 1)}
+
+    bench = set()
+    for _, r in docs[docs["doc_id"] % T.DECON_MOD == 0].iterrows():
+        bench |= grams(r["text"])
+    exp = docs.assign(
+        n_contaminated=[len(bench & grams(t)) for t in docs["text"]],
+        is_benchmark=docs["doc_id"] % T.DECON_MOD == 0,
+    ).sort_values("doc_id")
+    g = got.set_index("doc_id")
+    e = exp.set_index("doc_id")
+    assert (g["n_contaminated"] == e["n_contaminated"]).all()
+    assert (g["is_benchmark"] == e["is_benchmark"]).all()
+    # every benchmark doc with >=N tokens overlaps itself
+    b = g[g["is_benchmark"]]
+    toks = e.loc[b.index.intersection(e.index)]
+    assert (b["n_contaminated"] > 0).sum() == sum(
+        1 for t in docs[docs["doc_id"] % T.DECON_MOD == 0]["text"]
+        if len(T.WORD_RE.findall(t or "")) >= T.DECON_N
+    )
+
+
+def test_repetition_scores_bounds_and_known_values(ray_session):
+    """Scores live in [0,1); a doc of all-identical words scores ~1; the
+    distributed result equals a single-frame recompute."""
+    from fundamental_ray.ops import text as T
+    from fundamental_ray.pipelines.analytics import r2
+
+    got = T.repetition_scores(SF)
+    assert ((got["dup_word_frac"] >= 0) & (got["dup_word_frac"] < 1)).all()
+    assert ((got["dup_bigram_frac"] >= 0) & (got["dup_bigram_frac"] < 1)).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ts_all = docs["text"].fillna("").map(T.WORD_RE.findall)
+    dup_w = [1 - len(set(ts)) / len(ts) if ts else 0.0 for ts in ts_all]
+    exp = pd.Series(r2(dup_w, 4), index=docs["doc_id"])
+    g = got.set_index("doc_id")["dup_word_frac"]
+    assert (g.loc[exp.index] == exp).all()
+
+
+def test_balance_langs_equalizes_strata(ray_session):
+    """Every language's kept count lands within binomial 3-sigma of the
+    smallest language's size; output deterministic across runs."""
+    from fundamental_ray.ops import text as T
+
+    b1 = T.balance_langs(SF)
+    b2 = T.balance_langs(SF)
+    pd.testing.assert_frame_equal(b1, b2)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    n = docs.groupby("lang").size()
+    mn = n.min()
+    kept = b1.groupby("lang").size()
+    for lang, total in n.items():
+        p = ((mn * T.SAMPLE_MOD) // total) / T.SAMPLE_MOD
+        sigma = (total * p * (1 - p)) ** 0.5
+        assert abs(kept.get(lang, 0) - total * p) <= 3 * sigma + 1, (lang, kept.get(lang, 0), total * p)
