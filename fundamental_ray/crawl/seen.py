@@ -197,22 +197,27 @@ class SeenShardActor:
         candidate URLs never transit the driver, no per-task RPC fan-out,
         and no per-actor scan of the candidate stream.
 
-        ``repush`` (an Arrow request table or None) carries this shard's
-        OWN novel rows from the previous round, straight from the previous
-        claim call's plasma output (the driver just hands the ObjectRef
-        back). Re-inserting them is an idempotent no-op on a healthy shard,
-        but closes the crash window where a shard dies AFTER returning a
-        round's novel rows and restarts BEFORE that round commits:
-        ``_recover`` replays only _COMMITTED rounds, so without the re-push
-        a later round could claim those in-flight URLs twice (duplicate
-        detail fetches + duplicate listing rows)."""
+        ``repush`` (a list of ObjectRefs of this shard's OWN novel-row
+        tables from every not-yet-committed earlier round, or None) is
+        resolved actor-side straight from plasma (the driver just hands the
+        ObjectRefs back). Re-inserting is an idempotent no-op on a healthy
+        shard, but closes the crash window where a shard dies AFTER
+        returning a round's novel rows and restarts BEFORE that round
+        commits: ``_recover`` replays only _COMMITTED rounds, so without
+        the re-push a later round could claim those in-flight URLs twice
+        (duplicate detail fetches + duplicate listing rows). With a
+        pipeline_depth-W driver up to W rounds are uncommitted at once, so
+        the re-push is a LIST — one table per uncommitted round."""
         import ray as _ray
 
-        if repush is not None:
-            for u in repush.column("url_norm").to_pylist():
-                if u not in self.exact:
-                    self.exact.add(u)
-                    self.filter.insert(u.encode("utf-8"))
+        if repush:
+            for t in _ray.get(list(repush)):
+                if t is None:
+                    continue
+                for u in t.column("url_norm").to_pylist():
+                    if u not in self.exact:
+                        self.exact.add(u)
+                        self.filter.insert(u.encode("utf-8"))
         route = shard_id + (num_shards if mode_class == "sold" else 0)
         tables = []
         for out in _ray.get(list(output_refs)):

@@ -567,9 +567,11 @@ def test_shard_crash_claim_repush_window(ray_session, tmp_path):
     assert redo is not None and redo.num_rows == 10
 
     crash_and_wait_restart()
-    # WITH the re-push (driver hands back the previous claim output) the
-    # restarted shard recognizes every URL as already claimed
-    fixed = ray.get(shard.claim_from_outputs.remote([ref], "active", 0, 1, novel1))
+    # WITH the re-push (driver hands back the uncommitted rounds' claim
+    # output refs) the restarted shard recognizes every URL as claimed
+    fixed = ray.get(
+        shard.claim_from_outputs.remote([ref], "active", 0, 1, [ray.put(novel1)])
+    )
     assert fixed is None or fixed.num_rows == 0
 
 
