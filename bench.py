@@ -139,6 +139,7 @@ def run_bench() -> dict:
         ("events_sessionize", lambda: A.events_sessionize(sf_dir)),
         ("dedup_minhash_lsh", lambda: D.minhash_lsh_pairs(sf_dir, 0.5)),
         ("text_quality_scores", lambda: T.quality_scores(sf_dir)),
+        ("text_decontaminate", lambda: T.decontaminate(sf_dir)),
         ("ann_brute_force_topk", lambda: N.brute_force_topk(sf_dir)),
     ]:
         t0 = time.time()
