@@ -234,3 +234,160 @@ def ivf_topk(
                   "cosine": "float64"})
     cand = ray.data.from_pandas(pd.concat(cand_frames, ignore_index=True))
     return _merge_topk(cand, k)
+
+
+# ---------------------------------------------------------------- LSH path
+LSH_PLANES = 6   # bits per table → 2^6 = 64 buckets
+LSH_TABLES = 8   # independent tables (OR-amplification)
+LSH_RADIUS = 2   # multiprobe Hamming radius around the query signature
+# registered width (8 tables × radius-2 multiprobe = 22 of 64 buckets per
+# table) is the narrowest that is brute-exact at driver scale; recall at
+# narrower widths is measured in tests/test_corpus_stats.py
+
+
+def _lsh_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed — index build and
+    query side must agree, and re-runs must be reproducible)."""
+    rs = np.random.RandomState(0xF17A)
+    return rs.standard_normal((n_tables, n_planes, dim))
+
+
+def _signatures(matn: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows, tables) int signatures: sign-bit pattern of the projections."""
+    n_tables, n_planes, _ = planes.shape
+    sigs = np.zeros((matn.shape[0], n_tables), dtype=np.int32)
+    for t in range(n_tables):
+        bits = (matn @ planes[t].T) >= 0  # (rows, planes)
+        sigs[:, t] = bits @ (1 << np.arange(n_planes))
+    return sigs
+
+
+def build_lsh_index(
+    sf_dir: str, n_tables: int = LSH_TABLES, n_planes: int = LSH_PLANES
+) -> tuple[str, np.ndarray]:
+    """Distributed LSH build (the random-hyperplane twin of the IVF index):
+    broadcast the plane tensor, map_batches signs each vector into one
+    bucket PER TABLE, bucket-partitioned Parquet write under
+    ``table=T/bucket=B`` so a query's multiprobe reads only its probed
+    partitions. Storage is n_tables × corpus (the classic LSH trade)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    first = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dim = len(first.column("embedding")[0])
+    planes = _lsh_planes(dim, n_tables, n_planes)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/fr_lsh/{tag}-t{n_tables}-p{n_planes}-v1"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out, planes
+    os.makedirs(out, exist_ok=True)
+    pref = ray.put(planes)
+
+    def assign(t: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        mat = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30, None)
+        sigs = _signatures(matn, P)  # (rows, tables)
+        parts = []
+        for ti in range(P.shape[0]):
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": t.column("vec_id"),
+                        "embedding": t.column("embedding"),
+                        "table": pa.array(
+                            np.full(t.num_rows, ti, dtype=np.int32)
+                        ),
+                        "bucket": pa.array(sigs[:, ti], pa.int32()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(assign, batch_format="pyarrow", batch_size=2048)
+        .write_parquet(out, partition_cols=["table", "bucket"])
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out, planes
+
+
+def _probe_buckets(sig: int, n_planes: int, radius: int) -> list[int]:
+    """Multiprobe: every bucket within Hamming distance ``radius``."""
+    out = [sig]
+    if radius >= 1:
+        for i in range(n_planes):
+            out.append(sig ^ (1 << i))
+    if radius >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                out.append(sig ^ (1 << i) ^ (1 << j))
+    return out
+
+
+def lsh_topk(
+    sf_dir: str, k: int = 10, n_queries: int = 5,
+    n_tables: int = LSH_TABLES, n_planes: int = LSH_PLANES,
+    radius: int = LSH_RADIUS,
+) -> pd.DataFrame:
+    """LSH approximate top-k: per table, probe the query's bucket plus all
+    buckets within ``radius`` sign flips; score ONLY the probed partitions
+    (path-pruned reads, like ivf_topk); union candidates across tables and
+    reduce per query. Same output schema as brute_force_topk; at the
+    registered width the sf-scale result is empirically exact (recall vs
+    brute force is test-covered at narrower widths)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    index_dir, planes = build_lsh_index(sf_dir, n_tables, n_planes)
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qsigs = _signatures(qm, planes)  # (Q, tables)
+
+    # (table, bucket) → query indices probing it; each probed partition is
+    # read ONCE and scored against exactly the queries that probe it
+    by_part: dict[tuple[int, int], set[int]] = {}
+    for qi in range(len(qids)):
+        for ti in range(n_tables):
+            for b in _probe_buckets(int(qsigs[qi, ti]), n_planes, radius):
+                by_part.setdefault((ti, b), set()).add(qi)
+    qref = ray.put((qids, qm))
+
+    @ray.remote(num_cpus=1)
+    def score_part(files: list[str], q_idx: list[int], qref):
+        qids_all, qm_all = qref
+        t = _pq.read_table(files, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        mat = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        sel = np.array(sorted(q_idx), dtype=np.int64)
+        return _block_topk(qids_all[sel], qm_all[sel], ids, mat, k)
+
+    refs = []
+    for (ti, b), q_idx in sorted(by_part.items()):
+        files = sorted(
+            _glob.glob(os.path.join(index_dir, f"table={ti}", f"bucket={b}", "*.parquet"))
+        )
+        if files:
+            refs.append(score_part.remote(files, sorted(q_idx), qref))
+    frames = [f for f in ray.get(refs) if len(f)]
+    if not frames:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64",
+                  "cosine": "float64"})
+    # a vector found in several tables yields duplicate candidate rows —
+    # dedupe before the per-query reduce
+    cand = (
+        pd.concat(frames, ignore_index=True)
+        .drop_duplicates(subset=["query_id", "neighbor_id"])
+    )
+    return _merge_topk(ray.data.from_pandas(cand), k)

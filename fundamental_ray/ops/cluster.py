@@ -1,0 +1,166 @@
+"""Distributed k-means over the embeddings table — the iterative-algorithm
+member of the LLM-data-pipeline family (corpus clustering for data mixing /
+curriculum bucketing).
+
+Scale shape (classic mergeable-statistics Lloyd): every iteration is ONE
+streaming ``map_batches`` pass that folds per-batch partial (cluster →
+count, per-dimension sum) statistics; only those k × dim partials leave the
+workers (k·dim·n_blocks values — constant in corpus size per block), the
+driver reduces them to the next centroid table and re-broadcasts it with
+``ray.put``. The corpus itself never crosses an exchange and is never
+materialized.
+
+Determinism contract (what makes this oracle-checkable in SQL, which
+iterative algorithms usually are not):
+- init: centroids = the embeddings of ``vec_id 0..k-1``, rounded;
+- assignment: argmin squared-Euclidean distance, ties → lowest cluster id;
+- update: per-dimension mean of members, ROUNDED half-away-from-zero to 6
+  decimals — the rounding quantizes away cross-engine float-summation-order
+  ulps each iteration, so numpy and the (unrolled CTE) DuckDB oracle track
+  bit-identical centroid tables;
+- a cluster with zero members drops out (never resurrected).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..pipelines.analytics import r2
+
+KMEANS_K = 10
+KMEANS_ITERS = 3
+CENT_DECIMALS = 6
+
+
+def _read_emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _init_centroids(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster_ids, centroid matrix): the first k vec_ids' vectors."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    t = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.less(pads.field("vec_id"), k),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    return t["vec_id"].to_numpy(np.int64), r2(mat, CENT_DECIMALS)
+
+
+def _partials(df: pd.DataFrame, cref) -> pd.DataFrame:
+    """Per-batch combiner: assign rows to nearest centroid, emit one row
+    per non-empty cluster with (count, s0..s{dim-1}) partial sums."""
+    cids, C = ray.get(cref)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    d2 = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)  # first min → lowest cluster id (cids sorted)
+    out_rows = []
+    for ci in np.unique(a):
+        members = mat[a == ci]
+        row = {"cluster": int(cids[ci]), "cnt": np.int64(len(members))}
+        s = members.sum(axis=0)
+        for j in range(mat.shape[1]):
+            row[f"s{j}"] = s[j]
+        out_rows.append(row)
+    return pd.DataFrame(out_rows)
+
+
+def _assign(df: pd.DataFrame, cref) -> pd.DataFrame:
+    cids, C = ray.get(cref)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    d2 = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].astype("int64"),
+         "cluster": cids[a].astype("int64")}
+    )
+
+
+def kmeans_clusters(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> pd.DataFrame:
+    """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
+    under the determinism contract above."""
+    # contract: a_i assigns under c_{i-1}; c_i updates from a_i for
+    # i < iters; the OUTPUT is a_iters — i.e. iters-1 update rounds then a
+    # final assignment pass (mirrors the SQL unrolling exactly)
+    cids, C = _init_centroids(sf_dir, k)
+    emb = _read_emb(sf_dir)
+    for _ in range(iters - 1):
+        cref = ray.put((cids, C))
+        part = emb.map_batches(
+            _partials, fn_kwargs={"cref": cref}, batch_format="pandas"
+        ).to_pandas()  # k × n_blocks rows — constant-bounded, documented
+        agg = part.groupby("cluster", sort=True).sum()
+        cids = agg.index.to_numpy(np.int64)
+        sums = agg[[f"s{j}" for j in range(C.shape[1])]].to_numpy()
+        C = r2(sums / agg["cnt"].to_numpy()[:, None], CENT_DECIMALS)
+    cref = ray.put((cids, C))
+    return (
+        emb.map_batches(_assign, fn_kwargs={"cref": cref}, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def kmeans_clusters_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The unrolled-CTE DuckDB mirror: c0 → (a1, c1) → … → final
+    assignment. Centroid rounding per iteration keeps both engines on
+    bit-identical centroid tables (see module docstring)."""
+    d = CENT_DECIMALS
+    ctes = [
+        # per-(vec, dim) exploded view used by every update step
+        """u0 AS (
+  SELECT vec_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS dim_idx
+  FROM embeddings
+), u AS (
+  SELECT vec_id, dim_idx, embedding[dim_idx]::DOUBLE AS val FROM u0
+)""",
+        f"""c0 AS (
+  SELECT vec_id AS cluster,
+         list(ROUND(val, {d}) ORDER BY dim_idx) AS centroid
+  FROM u WHERE vec_id < {k} GROUP BY vec_id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid),
+                      c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+)""")
+        if i < iters:
+            ctes.append(f"""c{i} AS (
+  SELECT cluster, list(ROUND(avg_val, {d}) ORDER BY dim_idx) AS centroid
+  FROM (
+    SELECT a.cluster, u.dim_idx, SUM(u.val) / COUNT(*) AS avg_val
+    FROM a{i} a JOIN u USING (vec_id)
+    GROUP BY a.cluster, u.dim_idx
+  ) GROUP BY cluster
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster FROM a{iters} ORDER BY vec_id"
+    )
+
+
+KMEANS_CLUSTERS_SQL = kmeans_clusters_sql()

@@ -1,0 +1,358 @@
+"""Corpus-level statistics operators for training-data pipelines: vocabulary
+document-frequency top-k, Gopher-style quality-rule filtering, fixed-stride
+token-window chunking, and per-document TF-IDF top terms.
+
+These extend the text family (ops/text.py — the reference's per-record
+string processing of funda_spider.py / pipelines.py lifted to corpus scale,
+SURVEY.md §2.10) with the CROSS-document statistics a pre-training data
+pipeline needs. Scale shapes:
+
+- ``vocab_topk``: per-batch partial (term → df, tf) fold inside
+  ``map_batches`` (the combiner), then ONE small ``groupby('term').sum``
+  exchange of at most vocab × n_blocks rows — never a row per token.
+- ``gopher_filter``: embarrassingly parallel vectorized map_batches.
+- ``chunk_windows``: pure fan-out map_batches (rows out > rows in); no
+  shuffle at all — chunk rows stream straight to the consumer.
+- ``tfidf_topterms``: two passes — distributed DF aggregation (same
+  combiner as vocab_topk, WITHOUT the top-k cut), broadcast of the
+  (vocab-sized) DF table via ``ray.put`` once, then a per-batch scoring
+  pass. Assumes the vocabulary fits in a worker's heap (true for natural
+  language at any corpus size: vocab grows ~ Heaps' law, sublinearly; a
+  100-TB web corpus's useful vocab is ~10^7 terms ≈ a few hundred MB as a
+  hash map — the classic broadcast-small-side trade).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .text import WORD_RE
+
+# ---------------------------------------------------------------- helpers
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
+    )
+
+
+def _partial_term_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: (term, partial document frequency, partial term
+    frequency). Documents are never split across batches, so per-batch df
+    partials sum to the exact corpus df."""
+    toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+    tf: dict[str, int] = {}
+    dfreq: dict[str, int] = {}
+    for ts in toks:
+        seen_doc = set()
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+            seen_doc.add(t)
+        for t in seen_doc:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    terms = sorted(tf)
+    return pd.DataFrame(
+        {
+            "term": terms,
+            "df_part": np.array([dfreq[t] for t in terms], dtype=np.int64),
+            "tf_part": np.array([tf[t] for t in terms], dtype=np.int64),
+        }
+    )
+
+
+def _corpus_term_stats(sf_dir: str) -> ray.data.Dataset:
+    """Distributed (term, df, tf) over the whole corpus: combiner inside
+    map_batches, one groupby-sum exchange over vocab-sized partials."""
+    from ray.data.aggregate import Sum
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(_partial_term_counts, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"), Sum("tf_part", alias_name="tf"))
+    )
+
+
+# ------------------------------------------------------------- vocab_topk
+VOCAB_TOPK = 20  # synthetic corpus vocab is ~31 terms; 20 keeps the cut real
+
+
+def vocab_topk(sf_dir: str, k: int = VOCAB_TOPK) -> pd.DataFrame:
+    """Top-k vocabulary terms by document frequency (ties → term asc).
+    The whole-corpus token stream never crosses an exchange: only the
+    per-block vocab partials do."""
+    out = (
+        _corpus_term_stats(sf_dir)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype("int64")
+    out["tf"] = out["tf"].astype("int64")
+    return out[["term", "df", "tf"]]
+
+
+VOCAB_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT term, doc_id, count(*) AS tf_doc FROM toks GROUP BY term, doc_id
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf_doc)::BIGINT AS tf
+FROM per_doc GROUP BY term
+ORDER BY df DESC, term LIMIT {VOCAB_TOPK}
+"""
+
+
+# ---------------------------------------------------------- gopher_filter
+# Gopher-style quality rules (Rae et al. 2021, table A1 adapted to this
+# corpus's single-line synthetic text): doc length in words, mean word
+# length band, and a minimum distinct-word diversity.
+G_MIN_WORDS, G_MAX_WORDS = 20, 90
+G_MIN_MWL, G_MAX_MWL = 3.0, 10.0
+G_MIN_DISTINCT_RATIO = 0.2  # distinct words / words
+
+
+def gopher_filter(sf_dir: str) -> pd.DataFrame:
+    """Per-document quality-rule flags + the conjunction, for EVERY doc
+    (the downstream filter is `WHERE passes` — kept as flags so the
+    rejected set is auditable, which is how production pipelines ship)."""
+    from ..pipelines.analytics import r2
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        n_words = toks.map(len).to_numpy(dtype=np.int64)
+        mwl = np.array(
+            [float(np.mean([len(t) for t in ts])) if ts else 0.0 for ts in toks]
+        )
+        distinct_ratio = np.array(
+            [len(set(ts)) / len(ts) if ts else 0.0 for ts in toks]
+        )
+        rule_wc = (n_words >= G_MIN_WORDS) & (n_words <= G_MAX_WORDS)
+        rule_mwl = (mwl >= G_MIN_MWL) & (mwl <= G_MAX_MWL)
+        rule_div = distinct_ratio >= G_MIN_DISTINCT_RATIO
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": n_words,
+                "mean_word_len": r2(mwl, 4),
+                "distinct_ratio": r2(distinct_ratio, 4),
+                "rule_wordcount": rule_wc,
+                "rule_mean_word_len": rule_mwl,
+                "rule_diversity": rule_div,
+                "passes": rule_wc & rule_mwl & rule_div,
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+GOPHER_FILTER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                   / len(toks) END AS mwl,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS dr
+  FROM t
+)
+SELECT doc_id, n_words,
+       ROUND(mwl, 4) AS mean_word_len,
+       ROUND(dr, 4) AS distinct_ratio,
+       (n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS}) AS rule_wordcount,
+       (mwl >= {G_MIN_MWL} AND mwl <= {G_MAX_MWL}) AS rule_mean_word_len,
+       (dr >= {G_MIN_DISTINCT_RATIO}) AS rule_diversity,
+       ((n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS})
+        AND mwl >= {G_MIN_MWL} AND mwl <= {G_MAX_MWL}
+        AND dr >= {G_MIN_DISTINCT_RATIO}) AS passes
+FROM m ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------- chunk_windows
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_windows(
+    sf_dir: str, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> pd.DataFrame:
+    """Fixed-stride token windows (the training-sample packing primitive):
+    each document fans out to ⌈n_tok / stride⌉ overlapping chunks of up to
+    ``chunk`` tokens. Pure map-side fan-out — no shuffle; at 100 TB the
+    chunk rows stream block-by-block to the sink. Chunk text is the
+    space-joined token slice (tokenization canonicalizes whitespace)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "chunk_idx": [], "start_tok": [], "n_tok": [],
+               "chunk_text": []}
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            ts = WORD_RE.findall(text)
+            n = len(ts)
+            start, idx = 0, 0
+            while start < n:
+                piece = ts[start : start + chunk]
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(idx)
+                out["start_tok"].append(start)
+                out["n_tok"].append(len(piece))
+                out["chunk_text"].append(" ".join(piece))
+                start += stride
+                idx += 1
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "chunk_idx": pd.Series(out["chunk_idx"], dtype="int64"),
+                "start_tok": pd.Series(out["start_tok"], dtype="int64"),
+                "n_tok": pd.Series(out["n_tok"], dtype="int64"),
+                "chunk_text": pd.Series(out["chunk_text"], dtype="object"),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
+CHUNK_WINDOWS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       (s // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       s::BIGINT AS start_tok,
+       (LEAST(s + {CHUNK_TOKENS}, len(toks)) - s)::BIGINT AS n_tok,
+       array_to_string(toks[s + 1 : LEAST(s + {CHUNK_TOKENS}, len(toks))], ' ')
+         AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --------------------------------------------------------- tfidf_topterms
+TFIDF_TOP = 3
+
+
+def tfidf_topterms(sf_dir: str, k: int = TFIDF_TOP) -> pd.DataFrame:
+    """Per-document top-k terms by TF-IDF (idf = ln(N/df), reported
+    rounded to 4 dp). The RANKING key is the integer total order
+    (tf desc, df asc, term asc) — consistent with tf·idf up to cross-term
+    float ties, and chosen over sorting the float score itself because
+    libm ``ln`` is not ulp-reproducible across engines (a 1-ulp
+    difference between numpy and the SQL oracle could swap two
+    near-equal scores). Pass 1 computes the corpus DF table distributed
+    and broadcasts it ONCE (``ray.put``); pass 2 scores each document's
+    terms against the broadcast map inside map_batches — the corpus
+    crosses no exchange."""
+    from ..pipelines.analytics import r2
+
+    n_docs = _read_docs(sf_dir, columns=["doc_id"]).count()
+
+    # distributed DF: same combiner as vocab_topk, df only
+    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        dfreq: dict[str, int] = {}
+        for ts in toks:
+            for t in set(ts):
+                dfreq[t] = dfreq.get(t, 0) + 1
+        terms = sorted(dfreq)
+        return pd.DataFrame(
+            {"term": terms,
+             "df_part": np.array([dfreq[t] for t in terms], dtype=np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        _read_docs(sf_dir)
+        .map_batches(partial_df, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        out = {"doc_id": [], "term": [], "rank": [], "tfidf": []}
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            ts = [t for t in WORD_RE.findall(text.lower())]
+            if not ts:
+                continue
+            tf: dict[str, int] = {}
+            for t in ts:
+                tf[t] = tf.get(t, 0) + 1
+            scored = sorted(
+                ((-cnt, dfm[t], t) for t, cnt in tf.items())
+            )[:k]
+            for r, (neg_tf, dft, t) in enumerate(scored, 1):
+                out["doc_id"].append(doc_id)
+                out["term"].append(t)
+                out["rank"].append(r)
+                out["tfidf"].append(float(-neg_tf) * np.log(n_docs / dft))
+        res = pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "term": pd.Series(out["term"], dtype="object"),
+                "rank": pd.Series(out["rank"], dtype="int64"),
+                "tfidf": r2(np.array(out["tfidf"], dtype=np.float64), 4),
+            }
+        )
+        return res
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+TFIDF_TOPTERMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(n.n_docs / dft.df) AS tfidf_raw,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dft.df ASC, tf.term
+         ) AS rank
+  FROM tf JOIN dft USING (term), n
+)
+SELECT doc_id, term, rank::BIGINT AS rank, ROUND(tfidf_raw, 4) AS tfidf
+FROM scored WHERE rank <= {TFIDF_TOP}
+ORDER BY doc_id, rank
+"""

