@@ -53,6 +53,8 @@ def run_bench() -> dict:
         CrawlConfig, CrawlJob, chains_from_corpus,
     )
     from fundamental_ray.ops import ann as N
+    from fundamental_ray.ops import cluster as K
+    from fundamental_ray.ops import corpus_stats as CS
     from fundamental_ray.ops import dedup as D
     from fundamental_ray.ops import text as T
     from fundamental_ray.pipelines import analytics as A
@@ -140,6 +142,8 @@ def run_bench() -> dict:
         ("dedup_minhash_lsh", lambda: D.minhash_lsh_pairs(sf_dir, 0.5)),
         ("text_quality_scores", lambda: T.quality_scores(sf_dir)),
         ("text_decontaminate", lambda: T.decontaminate(sf_dir)),
+        ("text_vocab_topk", lambda: CS.vocab_topk(sf_dir)),
+        ("cluster_kmeans", lambda: K.kmeans_clusters(sf_dir)),
         ("ann_brute_force_topk", lambda: N.brute_force_topk(sf_dir)),
     ]:
         t0 = time.time()

@@ -243,20 +243,18 @@ def _fetch_map_requests_task(paths, table, lo, n, chunk_id, fn, fn_kwargs):
     return fn(t, reqs, chunk_id, **fn_kwargs)
 
 
-def fetch_map_requests(
+def plan_map_requests(
     index_dir: str,
     requests: pa.Table,  # needs url_norm + url_crc columns
     kind: str,
-    fn,
-    fn_kwargs: dict | None = None,
     max_urls_per_task: int = 512,
-) -> list:
-    """Scaled variant of fetch_map_tasks for big request sets: the request
-    table is put into the object store ONCE (arrow, zero-copy reads) and
-    each chunk task slices its contiguous (bucket, url_norm)-sorted range —
-    the driver never builds per-URL python structures or pickles big dicts.
-    ``fn(pages_batch, request_slice, chunk_id, **kwargs)`` runs in the task
-    (chunk_id = stable ordinal for deterministic part naming)."""
+):
+    """Driver-side planning half of :func:`fetch_map_requests`: sort the
+    request table (bucket, url_norm), ``ray.put`` it ONCE, and return
+    ``(table_ref, chunks)`` where each chunk is the ``(paths, lo, n)``
+    slice spec of one task — WITHOUT submitting anything. The frontier
+    uses this to window its detail-task submissions (see
+    ``CrawlJob._pump_details``)."""
     import glob as _glob
 
     import numpy as np
@@ -283,7 +281,7 @@ def fetch_map_requests(
     cuts = np.flatnonzero(np.diff(sorted_buckets)) + 1
     starts = np.concatenate(([0], cuts))
     ends = np.concatenate((cuts, [len(order)]))
-    refs = []
+    chunks = []
     for s0, s1 in zip(starts, ends):
         b = int(sorted_buckets[s0])
         d = os.path.join(index_dir, f"kind={kind}", f"bucket={b}")
@@ -293,10 +291,34 @@ def fetch_map_requests(
         if not paths:
             continue
         for lo in range(int(s0), int(s1), max_urls_per_task):
-            n = min(max_urls_per_task, int(s1) - lo)
-            refs.append(
-                _fetch_map_requests_task.remote(
-                    paths, table_ref, lo, n, len(refs), fn, fn_kwargs or {}
-                )
-            )
-    return refs
+            chunks.append((paths, lo, min(max_urls_per_task, int(s1) - lo)))
+    return table_ref, chunks
+
+
+def submit_map_request_chunk(table_ref, chunk, chunk_id: int, fn, fn_kwargs):
+    """Submit ONE planned chunk (see plan_map_requests)."""
+    paths, lo, n = chunk
+    return _fetch_map_requests_task.remote(
+        paths, table_ref, lo, n, chunk_id, fn, fn_kwargs or {}
+    )
+
+
+def fetch_map_requests(
+    index_dir: str,
+    requests: pa.Table,  # needs url_norm + url_crc columns
+    kind: str,
+    fn,
+    fn_kwargs: dict | None = None,
+    max_urls_per_task: int = 512,
+) -> list:
+    """Scaled variant of fetch_map_tasks for big request sets: the request
+    table is put into the object store ONCE (arrow, zero-copy reads) and
+    each chunk task slices its contiguous (bucket, url_norm)-sorted range —
+    the driver never builds per-URL python structures or pickles big dicts.
+    ``fn(pages_batch, request_slice, chunk_id, **kwargs)`` runs in the task
+    (chunk_id = stable ordinal for deterministic part naming)."""
+    table_ref, chunks = plan_map_requests(index_dir, requests, kind, max_urls_per_task)
+    return [
+        submit_map_request_chunk(table_ref, c, i, fn, fn_kwargs)
+        for i, c in enumerate(chunks)
+    ]

@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 from dataclasses import asdict, dataclass, field
 
 import numpy as np
@@ -49,7 +50,9 @@ from ..extraction.listing import LISTING_SCHEMA, extract_listing_row
 from ..extraction.listpage import extract_listing_urls, extract_next_page, search_params_of
 from ..extraction.selectolite import Selector
 from .canonicalize import canonicalize_url, host_of
-from .fetchstore import fetch_map_requests, fetch_map_tasks
+from .fetchstore import (
+    fetch_map_tasks, plan_map_requests, submit_map_request_chunk,
+)
 from .politeness import schedule_round, schedule_round_local
 from .robots import RobotsTable
 from .seen import StatusPartitionedSeen
@@ -355,8 +358,6 @@ class CrawlJob:
         replays at most pipeline_depth+1 idempotent rounds."""
         if deferred is None:
             deferred = self._empty_requests()
-        from collections import deque
-
         depth = max(1, self.cfg.pipeline_depth)
         pending: deque = deque()  # oldest-first; all but the newest have
         # their detail tasks launched (by the next round's _phase_a)
@@ -697,7 +698,18 @@ class CrawlJob:
         }
 
     def _launch_details(self, pend: dict | None) -> None:
-        """Launch a round's detail fetch+extract tasks (idempotent)."""
+        """Launch a round's detail fetch+extract tasks (idempotent).
+
+        Submission is EAGER (all chunks at once). Two throttled variants
+        were A/B'd at 38,400 chains / 32 cpus and rejected: a zero-cpu
+        pacing actor and a driver-side window pumped from inside the
+        driver's waits (FIFO chunk queue, 2×ncpu in flight). Both cut the
+        measured list-extract wait, but the wall got WORSE or stayed flat
+        (eager 78.7/81.5 s vs windowed 91.4/83.8 s interleaved) because at
+        this point the run is work-bound: the cores a list task waits for
+        are doing useful detail extraction, and any window starves them
+        during the driver's serial sections. See BASELINE.md round-3
+        negative results."""
         if pend is None or pend["detail_launched"]:
             return
         pend["detail_launched"] = True
@@ -708,11 +720,18 @@ class CrawlJob:
             parts_dir = os.path.join(pend["rdir"], "listings_parts")
             _sh.rmtree(parts_dir, ignore_errors=True)  # re-run safety
             os.makedirs(parts_dir, exist_ok=True)
-            pend["refs"] = fetch_map_requests(
-                self.cfg.index_dir, scheduled, "detail",
-                extract_details_to_parts,
-                {"scraped_at": self.cfg.scraped_at, "parts_dir": parts_dir},
+            table_ref, chunks = plan_map_requests(
+                self.cfg.index_dir, scheduled, "detail"
             )
+            fn_kwargs = {
+                "scraped_at": self.cfg.scraped_at, "parts_dir": parts_dir,
+            }
+            pend["refs"] = [
+                submit_map_request_chunk(
+                    table_ref, c, i, extract_details_to_parts, fn_kwargs
+                )
+                for i, c in enumerate(chunks)
+            ]
         pend["t_fetch_launch"] = time.time()
 
     # ------------------------------------------------------------ commit
