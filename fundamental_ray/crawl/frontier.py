@@ -720,8 +720,20 @@ class CrawlJob:
             parts_dir = os.path.join(pend["rdir"], "listings_parts")
             _sh.rmtree(parts_dir, ignore_errors=True)  # re-run safety
             os.makedirs(parts_dir, exist_ok=True)
+            # adaptive chunk size: big rounds want FEWER, larger tasks
+            # (each task pays a bucket-dataset open + one isin-filtered
+            # read; interleaved A/B at 38,400 chains / 32 cpus: 1536-row
+            # chunks beat 512 in every pair, 59.6 vs 72.7 s best — and
+            # 3072 ≈ 1536, so the curve is flat past ~1.5k); small rounds
+            # keep 512 so every core still gets work (2400-chain rounds
+            # schedule ~16k rows → 32 tasks).
+            ncpu_ = int(ray.cluster_resources().get("CPU", 8))
+            chunk_rows = int(os.environ.get("FR_DETAIL_CHUNK", "0")) or min(
+                2048, max(512, scheduled.num_rows // (4 * ncpu_))
+            )
             table_ref, chunks = plan_map_requests(
-                self.cfg.index_dir, scheduled, "detail"
+                self.cfg.index_dir, scheduled, "detail",
+                max_urls_per_task=chunk_rows,
             )
             fn_kwargs = {
                 "scraped_at": self.cfg.scraped_at, "parts_dir": parts_dir,
