@@ -356,3 +356,112 @@ SELECT doc_id, term, rank::BIGINT AS rank, ROUND(tfidf_raw, 4) AS tfidf
 FROM scored WHERE rank <= {TFIDF_TOP}
 ORDER BY doc_id, rank
 """
+
+
+# -------------------------------------------------- vocab_heavy_hitters
+# the SKETCH twin of vocab_topk (the ivf_topk : brute_force_topk
+# relationship): when the vocabulary does NOT fit in a worker's heap —
+# adversarial corpora, n-gram vocabularies — exact per-batch (term → tf)
+# maps are unusable. Misra-Gries summaries are constant-size and
+# mergeable: any term with global frequency > N_batch/capacity survives
+# its batch's summary (pigeonhole), so the union of per-batch summaries
+# has full recall on global heavy hitters, and a second exact counting
+# pass over the candidate set alone makes the final counts exact.
+MG_CAPACITY = 64
+
+
+def _misra_gries(terms_iter, capacity: int) -> dict[str, int]:
+    """Classic Misra-Gries: at most ``capacity`` counters; decrement all
+    when full. Surviving counts are lower bounds within N/capacity."""
+    counters: dict[str, int] = {}
+    for t in terms_iter:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < capacity:
+            counters[t] = 1
+        else:
+            dead = [k for k in counters if counters[k] == 1]
+            for k in counters:
+                counters[k] -= 1
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+def vocab_heavy_hitters(
+    sf_dir: str, k: int = VOCAB_TOPK, capacity: int = MG_CAPACITY
+) -> pd.DataFrame:
+    """Top-k terms by TOTAL frequency via the two-pass sketch: (1)
+    per-batch Misra-Gries summaries (≤ capacity rows leave each batch —
+    constant, vocab-independent), merged by a small groupby; (2) exact
+    recount of ONLY the candidate terms (broadcast set, per-batch
+    vectorized isin count, groupby sum), then top-k with deterministic
+    ties (tf desc, term asc). Exact whenever the true k-th frequency
+    exceeds N/capacity — test-asserted at this corpus, same
+    empirically-exact-at-registered-width contract as ann_ivf/ann_lsh.
+    Also emits df for each winner (computed in the same second pass)."""
+    from ray.data.aggregate import Sum
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        mg = _misra_gries((t for ts in toks for t in ts), capacity)
+        terms = sorted(mg)
+        return pd.DataFrame(
+            {"term": terms,
+             "lb": np.array([mg[t] for t in terms], dtype=np.int64)}
+        )
+
+    cand_tbl = (
+        _read_docs(sf_dir)
+        .map_batches(pass1, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("lb", alias_name="lb"))
+        .to_pandas()
+    )
+    cand_ref = ray.put(set(cand_tbl["term"]))
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        tf: dict[str, int] = {}
+        dfreq: dict[str, int] = {}
+        for ts in toks:
+            seen_doc = set()
+            for t in ts:
+                if t in cand:
+                    tf[t] = tf.get(t, 0) + 1
+                    seen_doc.add(t)
+            for t in seen_doc:
+                dfreq[t] = dfreq.get(t, 0) + 1
+        terms = sorted(tf)
+        return pd.DataFrame(
+            {"term": terms,
+             "tf_part": np.array([tf[t] for t in terms], dtype=np.int64),
+             "df_part": np.array([dfreq[t] for t in terms], dtype=np.int64)}
+        )
+
+    out = (
+        _read_docs(sf_dir)
+        .map_batches(pass2, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("tf_part", alias_name="tf"), Sum("df_part", alias_name="df"))
+        .sort(["tf", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["tf"] = out["tf"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    return out[["term", "tf", "df"]]
+
+
+VOCAB_HEAVY_HITTERS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT term, doc_id, count(*) AS tf_doc FROM toks GROUP BY term, doc_id
+)
+SELECT term, sum(tf_doc)::BIGINT AS tf, count(*)::BIGINT AS df
+FROM per_doc GROUP BY term
+ORDER BY tf DESC, term LIMIT {VOCAB_TOPK}
+"""

@@ -160,7 +160,14 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     from .ops import cluster as K
     from .ops import corpus_stats as CS
 
+    from .ops import index as IX
+
     register("text_vocab_topk", CS.vocab_topk, CS.VOCAB_TOPK_SQL)
+    register(
+        "text_vocab_heavy_hitters", CS.vocab_heavy_hitters,
+        CS.VOCAB_HEAVY_HITTERS_SQL,
+    )
+    register("index_search_and", IX.search_and, IX.SEARCH_AND_SQL)
     register("text_gopher_filter", CS.gopher_filter, CS.GOPHER_FILTER_SQL)
     register("text_chunk_windows", CS.chunk_windows, CS.CHUNK_WINDOWS_SQL)
     register("text_tfidf_topterms", CS.tfidf_topterms, CS.TFIDF_TOPTERMS_SQL)

@@ -122,3 +122,51 @@ def test_lsh_narrow_width_recall(ray_session):
         & set(zip(b10["query_id"], b10["neighbor_id"]))
     )
     assert hit / len(b10) >= 0.9
+
+
+def test_heavy_hitters_matches_exact(ray_session):
+    from fundamental_ray.ops.corpus_stats import _misra_gries
+
+    got = CS.vocab_heavy_hitters(SF)
+    _eq(got, _oracle(CS.VOCAB_HEAVY_HITTERS_SQL))
+    # the MG kernel itself: lower bounds within n/capacity of true counts
+    stream = ["a"] * 50 + ["b"] * 30 + list("cdefghij") * 2 + ["a"] * 20
+    mg = _misra_gries(iter(stream), 4)
+    assert len(mg) <= 4
+    true = {"a": 70, "b": 30}
+    for t, lb in mg.items():
+        assert lb <= stream.count(t)
+        assert stream.count(t) - lb <= len(stream) / 4
+    assert "a" in mg  # freq 70 > n/4 = 24 must survive
+
+
+def test_heavy_hitters_constrained_capacity_recall(ray_session):
+    """Even at a tight sketch capacity the heavy tail survives: candidates
+    recovered by pass 1 must include every term whose true tf > N/cap."""
+    import duckdb
+
+    got = CS.vocab_heavy_hitters(SF, capacity=8)
+    truth = _oracle(CS.VOCAB_HEAVY_HITTERS_SQL)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    n_tokens = con.sql(
+        r"SELECT sum(len(regexp_extract_all(lower(text),'\S+'))) FROM documents"
+    ).fetchone()[0]
+    guaranteed = truth[truth["tf"] > n_tokens / 8]["term"]
+    assert set(guaranteed) <= set(got["term"])
+
+
+def test_inverted_index_search(ray_session):
+    from fundamental_ray.ops import index as IX
+
+    got = IX.search_and(SF)
+    want = _oracle(IX.SEARCH_AND_SQL)
+    _eq(got, want)
+    assert 0 < len(got) < 500  # discriminates
+    # 2-term variant agrees with SQL too (different bucket routing)
+    got2 = IX.search_and(SF, terms=("vector", "customer"))
+    want2 = _oracle(IX.search_and_sql(("vector", "customer")))
+    _eq(got2, want2)
+    # absent term → empty result, not an error
+    got3 = IX.search_and(SF, terms=("window", "zzzznotaterm"))
+    assert len(got3) == 0
