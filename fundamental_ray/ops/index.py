@@ -121,3 +121,144 @@ def search_and_sql(terms=SEARCH_TERMS) -> str:
 
 
 SEARCH_AND_SQL = search_and_sql()
+
+
+# ------------------------------------------------------------------ BM25
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+BM25_QUERY = ("window", "merge", "scan")
+
+
+def bm25_topk(
+    sf_dir: str, terms=BM25_QUERY, k: int = BM25_TOPK,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> pd.DataFrame:
+    """Ranked (disjunctive) retrieval: BM25 score of every document
+    against the query terms, top-k.
+
+    Scale shape: corpus stats (N, avgdl) and per-term df come from ONE
+    distributed aggregation pass (constant-size result), broadcast via
+    ``ray.put``; scoring is a second streaming ``map_batches`` pass that
+    emits ONLY each block's top-k candidates (per-block combiner), merged
+    by a tiny driver-side reduce — the classic scatter-gather ranked
+    retrieval plan. The inverted index is not needed for full-corpus
+    scoring (that path is for selective point lookups — search_and).
+
+    Determinism: ranking key is (round(score, 6) desc, doc_id asc) and the
+    emitted score is rounded half-away to 6 dp — the same
+    cross-engine-reproducibility contract as cluster_kmeans (raw float
+    ordering would be ulp-sensitive vs the SQL oracle)."""
+    import numpy as np
+
+    from ..pipelines.analytics import r2
+
+    terms = [t.lower() for t in terms]
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        n_docs = len(df)
+        total_len = int(toks.map(len).sum())
+        row = {"n_docs_part": np.int64(n_docs),
+               "total_len_part": np.int64(total_len)}
+        for t in terms:
+            row[f"df_{t}"] = np.int64(sum(t in set(ts) for ts in toks))
+        return pd.DataFrame([row])
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n_docs = int(agg["n_docs_part"])
+    avgdl = float(agg["total_len_part"]) / max(n_docs, 1)
+    idf = {
+        t: float(np.log((n_docs - int(agg[f"df_{t}"]) + 0.5)
+                        / (int(agg[f"df_{t}"]) + 0.5) + 1.0))
+        for t in terms
+    }
+    sref = ray.put((terms, idf, avgdl))
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        terms_, idf_, avgdl_ = ray.get(sref)
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        dl = toks.map(len).to_numpy(dtype=np.float64)
+        score = np.zeros(len(df))
+        for t in terms_:
+            tf = toks.map(lambda ts, t=t: ts.count(t)).to_numpy(dtype=np.float64)
+            score += idf_[t] * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl / avgdl_)
+            )
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "score": r2(score, 6)}
+        )
+        out = out[out["score"] > 0]
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k)  # per-block combiner: ≤ k rows leave each block
+
+    cand = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(score_block, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:  # nothing scored > 0 (e.g. absent-term query)
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    out = (
+        cand.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = pd.Series(range(1, len(out) + 1), dtype="int64")
+    return out[["rank", "doc_id", "score"]]
+
+
+def bm25_topk_sql(
+    terms=BM25_QUERY, k: int = BM25_TOPK,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> str:
+    terms = [t.lower() for t in terms]
+    per_term = " + ".join(
+        f"""(ln((s.n_docs - d.df_{t} + 0.5) / (d.df_{t} + 0.5) + 1.0)
+   * (t.tf_{t} * ({k1} + 1))
+   / (t.tf_{t} + {k1} * (1 - {b} + {b} * t.dl / s.avgdl)))"""
+        for t in terms
+    )
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (tf_{t} > 0)::BIGINT AS df_{t}" for t in terms
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+        FROM documents)
+), s AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM t
+), d AS (
+  SELECT {df_cols} FROM t
+), scored AS (
+  SELECT t.doc_id, ROUND({per_term}, 6) AS score
+  FROM t, s, d
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+       doc_id, score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+BM25_TOPK_SQL = bm25_topk_sql()

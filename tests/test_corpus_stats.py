@@ -170,3 +170,15 @@ def test_inverted_index_search(ray_session):
     # absent term → empty result, not an error
     got3 = IX.search_and(SF, terms=("window", "zzzznotaterm"))
     assert len(got3) == 0
+
+
+def test_bm25_topk_matches_oracle(ray_session):
+    from fundamental_ray.ops import index as IX
+
+    got = IX.bm25_topk(SF)
+    want = _oracle(IX.BM25_TOPK_SQL)
+    _eq(got, want)
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    assert got["score"].is_monotonic_decreasing
+    # absent-term query scores nothing
+    assert len(IX.bm25_topk(SF, terms=("zzzznotaterm",))) == 0
