@@ -58,6 +58,7 @@ def run_bench() -> dict:
     from fundamental_ray.ops import dedup as D
     from fundamental_ray.ops import text as T
     from fundamental_ray.pipelines import analytics as A
+    from fundamental_ray.pipelines import clean as CL
     from fundamental_ray.pipelines.extract import extract_listings_dataset
     from fundamental_ray.synth.corpus import make_chains
     from fundamental_ray.synth.materialize import (
@@ -144,6 +145,7 @@ def run_bench() -> dict:
         ("text_decontaminate", lambda: T.decontaminate(sf_dir)),
         ("text_vocab_topk", lambda: CS.vocab_topk(sf_dir)),
         ("cluster_kmeans", lambda: K.kmeans_clusters(sf_dir)),
+        ("pipeline_clean_corpus", lambda: CL.clean_corpus(sf_dir)),
         ("ann_brute_force_topk", lambda: N.brute_force_topk(sf_dir)),
     ]:
         t0 = time.time()

@@ -242,6 +242,15 @@ FROM reach GROUP BY n ORDER BY doc_id
     register_lazy_oracle(
         "dedup_duplicate_clusters", lambda corpus, art: _cluster_sql(art)
     )
+
+    # flagship composite: quality → exact dedup → near-dup drop → decon
+    from .pipelines import clean as CL
+
+    register("pipeline_clean_corpus", CL.clean_corpus)
+    register_lazy_oracle(
+        "pipeline_clean_corpus",
+        lambda corpus, art: CL.clean_corpus_sql(_cluster_sql(art)),
+    )
     register("dedup_ngram_jaccard", lambda sf: D.ngram_jaccard_pairs(sf, 0.5))
     register_lazy_oracle(
         "dedup_ngram_jaccard",

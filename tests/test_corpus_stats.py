@@ -182,3 +182,27 @@ def test_bm25_topk_matches_oracle(ray_session):
     assert got["score"].is_monotonic_decreasing
     # absent-term query scores nothing
     assert len(IX.bm25_topk(SF, terms=("zzzznotaterm",))) == 0
+
+
+def test_clean_corpus_pipeline(ray_session):
+    """Composite cleaning pipeline: flags agree with the standalone
+    registered ops, and the conjunction is consistent."""
+    from fundamental_ray.ops import dedup as D
+    from fundamental_ray.pipelines import clean as CL
+
+    got = CL.clean_corpus(SF)
+    assert len(got) == 500
+    # conjunction consistency
+    conj = (got["rule_quality"] & got["rule_exact_keep"]
+            & got["rule_neardup_keep"] & got["rule_decontaminated"])
+    assert (got["kept"] == conj).all()
+    # quality flag == gopher_filter's conjunction
+    goph = CS.gopher_filter(SF)
+    assert (got.set_index("doc_id")["rule_quality"]
+            == goph.set_index("doc_id")["passes"]).all()
+    # near-dup losers == duplicate_clusters non-representatives
+    cl = D.duplicate_clusters(SF, 0.5)
+    losers = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    assert set(got.loc[~got["rule_neardup_keep"], "doc_id"]) == losers
+    # discriminates: some docs dropped, some kept
+    assert 0 < got["kept"].sum() < len(got)
