@@ -262,3 +262,144 @@ ORDER BY score DESC, doc_id LIMIT {k}
 
 
 BM25_TOPK_SQL = bm25_topk_sql()
+
+
+# -------------------------------------------------------- phrase search
+PHRASE_QUERY = ("window", "merge")
+
+
+def build_positional_index(
+    sf_dir: str, num_buckets: int = INDEX_BUCKETS
+) -> str:
+    """Positional posting store: (term, doc_id, positions list<int32>),
+    bucket-partitioned by crc32(term) — the phrase-capable sibling of
+    build_inverted_index (postings carry occurrence positions, so the
+    index is O(total tokens) rather than O(distinct pairs): the standard
+    positional-index storage trade)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/fr_posidx/{tag}-b{num_buckets}-v1"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def postings(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        terms, docs, positions = [], [], []
+        for doc_id, ts in zip(df["doc_id"], toks):
+            pos: dict[str, list[int]] = {}
+            for i, t in enumerate(ts):
+                pos.setdefault(t, []).append(i)
+            for t, ps in pos.items():
+                terms.append(t)
+                docs.append(int(doc_id))
+                positions.append(ps)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "positions": pa.array(positions, pa.list_(pa.int32())),
+                "bucket": pa.array(
+                    [zlib.crc32(t.encode("utf-8")) % num_buckets for t in terms],
+                    pa.int32(),
+                ),
+            }
+        )
+
+    (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(postings, batch_format="pandas")
+        .write_parquet(out, partition_cols=["bucket"])
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def phrase_search(sf_dir: str, phrase=PHRASE_QUERY) -> pd.DataFrame:
+    """Exact-phrase retrieval via the positional index: doc_ids where the
+    query terms occur at CONSECUTIVE token positions, plus the match
+    count. Reads only the query terms' bucket partitions; the adjacency
+    join (pos(t_{i+1}) ∩ (pos(t_i)+1)) runs where the postings live."""
+    import glob as _glob
+
+    import numpy as np
+
+    index_dir = build_positional_index(sf_dir)
+    phrase = [t.lower() for t in phrase]
+    by_bucket: dict[int, list[str]] = {}
+    for t in set(phrase):
+        by_bucket.setdefault(
+            zlib.crc32(t.encode("utf-8")) % INDEX_BUCKETS, []
+        ).append(t)
+
+    @ray.remote(num_cpus=1)
+    def read_positions(files: list[str], wanted: list[str]):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files, columns=["term", "doc_id", "positions"])
+        t = t.filter(pc.is_in(t.column("term"), value_set=pa.array(wanted)))
+        out: dict[str, dict[int, np.ndarray]] = {}
+        for term, doc, ps in zip(
+            t.column("term").to_pylist(),
+            t.column("doc_id").to_pylist(),
+            t.column("positions").to_pylist(),
+        ):
+            out.setdefault(term, {})[doc] = np.asarray(ps, dtype=np.int64)
+        return out
+
+    refs = []
+    for b, wanted in sorted(by_bucket.items()):
+        files = sorted(
+            _glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+        )
+        if files:
+            refs.append(read_positions.remote(files, sorted(wanted)))
+    pos: dict[str, dict[int, "np.ndarray"]] = {}
+    for part in ray.get(refs):
+        for term, m in part.items():
+            pos.setdefault(term, {}).update(m)
+    if any(t not in pos for t in phrase):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_matches": pd.Series([], dtype="int64")}
+        )
+    docs = set(pos[phrase[0]])
+    for t in phrase[1:]:
+        docs &= set(pos[t])
+    rows = []
+    for d in sorted(docs):
+        starts = pos[phrase[0]][d]
+        for off, t in enumerate(phrase[1:], 1):
+            nxt = pos[t][d]
+            starts = starts[np.isin(starts + off, nxt)]
+            if len(starts) == 0:
+                break
+        if len(starts):
+            rows.append((d, len(starts)))
+    return pd.DataFrame(
+        {"doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+         "n_matches": pd.Series([r[1] for r in rows], dtype="int64")}
+    )
+
+
+def phrase_search_sql(phrase=PHRASE_QUERY) -> str:
+    conds = " AND ".join(
+        f"w[i + {off}] = '{t.lower()}'" for off, t in enumerate(phrase)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(w) - {len(phrase) - 1} + 1),
+             i -> {conds}))::BIGINT AS n_matches
+  FROM t
+)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id
+"""
+
+
+PHRASE_SEARCH_SQL = phrase_search_sql()

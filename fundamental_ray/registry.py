@@ -169,6 +169,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     )
     register("index_search_and", IX.search_and, IX.SEARCH_AND_SQL)
     register("index_bm25_topk", IX.bm25_topk, IX.BM25_TOPK_SQL)
+    register("index_phrase_search", IX.phrase_search, IX.PHRASE_SEARCH_SQL)
     register("text_gopher_filter", CS.gopher_filter, CS.GOPHER_FILTER_SQL)
     register("text_chunk_windows", CS.chunk_windows, CS.CHUNK_WINDOWS_SQL)
     register("text_tfidf_topterms", CS.tfidf_topterms, CS.TFIDF_TOPTERMS_SQL)

@@ -206,3 +206,15 @@ def test_clean_corpus_pipeline(ray_session):
     assert set(got.loc[~got["rule_neardup_keep"], "doc_id"]) == losers
     # discriminates: some docs dropped, some kept
     assert 0 < got["kept"].sum() < len(got)
+
+
+def test_phrase_search_matches_oracle(ray_session):
+    from fundamental_ray.ops import index as IX
+
+    got = IX.phrase_search(SF)
+    _eq(got, _oracle(IX.PHRASE_SEARCH_SQL))
+    assert 0 < len(got) < 500
+    # 3-word phrase and absent phrase both behave
+    got3 = IX.phrase_search(SF, phrase=("window", "merge", "scan"))
+    _eq(got3, _oracle(IX.phrase_search_sql(("window", "merge", "scan"))))
+    assert len(IX.phrase_search(SF, phrase=("window", "zzzznot"))) == 0
