@@ -253,8 +253,9 @@ def plan_map_requests(
     request table (bucket, url_norm), ``ray.put`` it ONCE, and return
     ``(table_ref, chunks)`` where each chunk is the ``(paths, lo, n)``
     slice spec of one task — WITHOUT submitting anything. The frontier
-    uses this to window its detail-task submissions (see
-    ``CrawlJob._pump_details``)."""
+    plans chunks with this (adaptive chunk size) and submits them eagerly
+    in ``CrawlJob._launch_details``; the plan/submit split also lets
+    callers choose their own submission policy."""
     import glob as _glob
 
     import numpy as np
@@ -316,7 +317,9 @@ def fetch_map_requests(
     each chunk task slices its contiguous (bucket, url_norm)-sorted range —
     the driver never builds per-URL python structures or pickles big dicts.
     ``fn(pages_batch, request_slice, chunk_id, **kwargs)`` runs in the task
-    (chunk_id = stable ordinal for deterministic part naming)."""
+    (chunk_id = stable ordinal for deterministic part naming). Convenience
+    wrapper over plan_map_requests + submit_map_request_chunk (the
+    frontier calls those directly to pick an adaptive chunk size)."""
     table_ref, chunks = plan_map_requests(index_dir, requests, kind, max_urls_per_task)
     return [
         submit_map_request_chunk(table_ref, c, i, fn, fn_kwargs)

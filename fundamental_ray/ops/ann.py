@@ -322,6 +322,8 @@ def build_lsh_index(
 
 def _probe_buckets(sig: int, n_planes: int, radius: int) -> list[int]:
     """Multiprobe: every bucket within Hamming distance ``radius``."""
+    if not 0 <= radius <= 2:
+        raise ValueError(f"multiprobe radius must be 0-2, got {radius}")
     out = [sig]
     if radius >= 1:
         for i in range(n_planes):

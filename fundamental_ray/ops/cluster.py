@@ -16,8 +16,14 @@ iterative algorithms usually are not):
 - assignment: argmin squared-Euclidean distance, ties → lowest cluster id;
 - update: per-dimension mean of members, ROUNDED half-away-from-zero to 6
   decimals — the rounding quantizes away cross-engine float-summation-order
-  ulps each iteration, so numpy and the (unrolled CTE) DuckDB oracle track
-  bit-identical centroid tables;
+  ulps in the centroid VALUES each iteration, so numpy and the (unrolled
+  CTE) DuckDB oracle track identical centroid tables. The per-vector
+  distance comparison itself still happens in raw float64 on both sides,
+  so a vector within ~1 ulp of equidistant between two centroids could in
+  principle order differently across engines — quantization bounds the
+  drift but the assignment tie-break is probabilistic-exact, the same
+  contract as the registered ANN widths (empirically exact at driver
+  scale, asserted by the oracle);
 - a cluster with zero members drops out (never resurrected).
 """
 

@@ -118,6 +118,26 @@ G_MIN_MWL, G_MAX_MWL = 3.0, 10.0
 G_MIN_DISTINCT_RATIO = 0.2  # distinct words / words
 
 
+def gopher_metrics(toks: pd.Series):
+    """(n_words, mean word length, distinct ratio) for a Series of token
+    lists — the shared kernel of gopher_filter and pipelines/clean.py."""
+    n_words = toks.map(len).to_numpy(dtype=np.int64)
+    mwl = np.array(
+        [float(np.mean([len(t) for t in ts])) if ts else 0.0 for ts in toks]
+    )
+    dr = np.array([len(set(ts)) / len(ts) if ts else 0.0 for ts in toks])
+    return n_words, mwl, dr
+
+
+def gopher_rules(n_words, mwl, dr):
+    """The rule conjunction over gopher_metrics outputs."""
+    return (
+        (n_words >= G_MIN_WORDS) & (n_words <= G_MAX_WORDS)
+        & (mwl >= G_MIN_MWL) & (mwl <= G_MAX_MWL)
+        & (dr >= G_MIN_DISTINCT_RATIO)
+    )
+
+
 def gopher_filter(sf_dir: str) -> pd.DataFrame:
     """Per-document quality-rule flags + the conjunction, for EVERY doc
     (the downstream filter is `WHERE passes` — kept as flags so the
@@ -126,13 +146,7 @@ def gopher_filter(sf_dir: str) -> pd.DataFrame:
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
-        n_words = toks.map(len).to_numpy(dtype=np.int64)
-        mwl = np.array(
-            [float(np.mean([len(t) for t in ts])) if ts else 0.0 for ts in toks]
-        )
-        distinct_ratio = np.array(
-            [len(set(ts)) / len(ts) if ts else 0.0 for ts in toks]
-        )
+        n_words, mwl, distinct_ratio = gopher_metrics(toks)
         rule_wc = (n_words >= G_MIN_WORDS) & (n_words <= G_MAX_WORDS)
         rule_mwl = (mwl >= G_MIN_MWL) & (mwl <= G_MAX_MWL)
         rule_div = distinct_ratio >= G_MIN_DISTINCT_RATIO

@@ -29,6 +29,23 @@ import ray.data
 
 from .text import WORD_RE
 
+
+def _sql_safe_terms(terms, allow_dup: bool = False):
+    """The *_sql builders interpolate terms into SQL literals and column
+    aliases — restrict to identifier-safe tokens so engine and oracle can
+    never diverge on exotic input (quotes, dashes, duplicates). Phrases
+    may legitimately repeat a word (``allow_dup``); set queries may not
+    (a duplicate would double-count in Python but alias-collide in SQL)."""
+    import re as _re
+
+    out = [t.lower() for t in terms]
+    for t in out:
+        if not _re.fullmatch(r"[a-z0-9_]+", t):
+            raise ValueError(f"query term {t!r} is not SQL-identifier-safe")
+    if not allow_dup and len(set(out)) != len(out):
+        raise ValueError("duplicate query terms")
+    return out
+
 INDEX_BUCKETS = 16
 # registered query terms: mid-frequency at the synthetic corpus (the
 # 3-way AND keeps ~272 of 500 docs at sf0.01 — discriminates, not vacuous)
@@ -114,8 +131,8 @@ def search_and(sf_dir: str, terms=SEARCH_TERMS) -> pd.DataFrame:
 
 def search_and_sql(terms=SEARCH_TERMS) -> str:
     conds = " AND ".join(
-        f"list_contains(regexp_extract_all(lower(text), '\\S+'), '{t.lower()}')"
-        for t in terms
+        f"list_contains(regexp_extract_all(lower(text), '\\S+'), '{t}')"
+        for t in _sql_safe_terms(terms)
     )
     return f"SELECT doc_id FROM documents WHERE {conds} ORDER BY doc_id"
 
@@ -226,7 +243,7 @@ def bm25_topk_sql(
     terms=BM25_QUERY, k: int = BM25_TOPK,
     k1: float = BM25_K1, b: float = BM25_B,
 ) -> str:
-    terms = [t.lower() for t in terms]
+    terms = _sql_safe_terms(terms)
     per_term = " + ".join(
         f"""(ln((s.n_docs - d.df_{t} + 0.5) / (d.df_{t} + 0.5) + 1.0)
    * (t.tf_{t} * ({k1} + 1))
@@ -387,7 +404,8 @@ def phrase_search(sf_dir: str, phrase=PHRASE_QUERY) -> pd.DataFrame:
 
 def phrase_search_sql(phrase=PHRASE_QUERY) -> str:
     conds = " AND ".join(
-        f"w[i + {off}] = '{t.lower()}'" for off, t in enumerate(phrase)
+        f"w[i + {off}] = '{t}'"
+        for off, t in enumerate(_sql_safe_terms(phrase, allow_dup=True))
     )
     return rf"""
 WITH t AS (

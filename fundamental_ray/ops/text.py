@@ -371,6 +371,12 @@ DECON_N = 8  # word n-gram width of the contamination test
 DECON_MOD = 97  # benchmark slice: doc_id % DECON_MOD == 0
 
 
+def grams_of(ts, n: int = DECON_N) -> set:
+    """Distinct word n-grams of a token list (shared by decontaminate and
+    pipelines/clean.py's composite)."""
+    return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+
 def decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination — the standard pre-training hygiene step:
     flag every corpus document sharing a word ``DECON_N``-gram with a
@@ -387,17 +393,14 @@ def decontaminate(sf_dir: str) -> pd.DataFrame:
     use."""
     import ray
 
-    def grams_of(ts) -> set:
-        return {
-            " ".join(ts[i : i + DECON_N]) for i in range(len(ts) - DECON_N + 1)
-        }
-
     def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.loc[df["doc_id"] % DECON_MOD == 0, "text"].fillna("")
         out = set()
         for ts in sub.str.findall(WORD_RE):
             out |= grams_of(ts)
-        return pd.DataFrame({"gram": sorted(out)})
+        # explicit object dtype: an empty batch would otherwise emit a
+        # float64 'gram' column → cross-block schema mismatch warning
+        return pd.DataFrame({"gram": pd.Series(sorted(out), dtype="object")})
 
     bench_pdf = (
         _read_docs(sf_dir)

@@ -38,13 +38,10 @@ import ray.data
 
 from ..ops.corpus_stats import (
     G_MAX_MWL, G_MAX_WORDS, G_MIN_DISTINCT_RATIO, G_MIN_MWL, G_MIN_WORDS,
+    gopher_metrics, gopher_rules,
 )
 from ..ops.dedup import duplicate_clusters, exact_dedup
-from ..ops.text import DECON_MOD, DECON_N, WORD_RE
-
-
-def _grams_of(ts, n: int) -> set:
-    return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+from ..ops.text import DECON_MOD, DECON_N, WORD_RE, grams_of
 
 
 def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
@@ -66,8 +63,10 @@ def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
         sub = df.loc[df["doc_id"] % DECON_MOD == 0, "text"].fillna("")
         out = set()
         for ts in sub.str.findall(WORD_RE):
-            out |= _grams_of(ts, DECON_N)
-        return pd.DataFrame({"gram": sorted(out)})
+            out |= grams_of(ts, DECON_N)
+        # explicit object dtype: an empty batch would otherwise emit a
+        # float64 'gram' column and produce a cross-block schema mismatch
+        return pd.DataFrame({"gram": pd.Series(sorted(out), dtype="object")})
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -83,16 +82,8 @@ def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
         txt = df["text"].fillna("")
         toks_cs = txt.str.findall(WORD_RE)  # case-sensitive (grams, dedup)
         toks = txt.str.lower().str.findall(WORD_RE)  # lowercase (quality)
-        n_words = toks.map(len).to_numpy(dtype=np.int64)
-        mwl = np.array(
-            [float(np.mean([len(t) for t in ts])) if ts else 0.0 for ts in toks]
-        )
-        dr = np.array([len(set(ts)) / len(ts) if ts else 0.0 for ts in toks])
-        rule_quality = (
-            (n_words >= G_MIN_WORDS) & (n_words <= G_MAX_WORDS)
-            & (mwl >= G_MIN_MWL) & (mwl <= G_MAX_MWL)
-            & (dr >= G_MIN_DISTINCT_RATIO)
-        )
+        n_words, mwl, dr = gopher_metrics(toks)
+        rule_quality = gopher_rules(n_words, mwl, dr)
         hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in txt]
         ids = df["doc_id"].to_numpy(dtype=np.int64)
         rule_exact = np.array(
@@ -101,7 +92,7 @@ def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
         rule_neardup = np.array([i not in losers for i in ids])
         is_bench = ids % DECON_MOD == 0
         overlap = np.array(
-            [len(bgrams & _grams_of(ts, DECON_N)) for ts in toks_cs],
+            [len(bgrams & grams_of(ts, DECON_N)) for ts in toks_cs],
             dtype=np.int64,
         )
         rule_decon = (~is_bench) & (overlap == 0)

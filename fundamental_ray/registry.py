@@ -281,7 +281,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("ann_ivf_topk", lambda sf: N.ivf_topk(sf, n_probe=14), N.brute_force_topk_sql())
     # same hard-oracle pattern for the LSH path: the registered multiprobe
     # width is empirically exact at driver scale; narrower widths are
-    # recall-tested in tests/test_ops.py
+    # recall-tested in tests/test_corpus_stats.py
     register("ann_lsh_topk", N.lsh_topk, N.brute_force_topk_sql())
     register("multimodal_media_features", M.media_features)
     register_lazy_oracle(

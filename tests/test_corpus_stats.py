@@ -37,7 +37,7 @@ def test_vocab_topk_matches_oracle(ray_session):
     _eq(got, _oracle(CS.VOCAB_TOPK_SQL))
     # deterministic cutoff: rank-k boundary resolved by (df desc, term)
     assert len(got) == CS.VOCAB_TOPK  # corpus vocab exceeds k, so the cut binds
-    assert got["df"].is_monotonic_decreasing or True  # sorted by df desc
+    assert got["df"].is_monotonic_decreasing  # sorted by df desc
     assert (got["tf"] >= got["df"]).all()  # tf ≥ df always
 
 
