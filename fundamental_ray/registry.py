@@ -113,6 +113,11 @@ def _populate() -> None:
     register("agg_minmax_profile", A.minmax_profile, A.MINMAX_PROFILE_SQL)
     register("agg_distinct_pairs", A.distinct_pairs, A.DISTINCT_PAIRS_SQL)
     register("window_prev_order", A.window_prev_order, A.WINDOW_PREV_ORDER_SQL)
+
+    from .ops import joins as J
+
+    register("join_asof_prior_view", J.asof_prior_view, J.ASOF_PRIOR_VIEW_SQL)
+    register("join_range_click_window", J.range_click_window, J.RANGE_CLICK_WINDOW_SQL)
     register("merge_latest_wins", A.latest_wins_merge, A.LATEST_WINS_MERGE_SQL)
     register("events_sessionize", A.events_sessionize, A.EVENTS_SESSIONIZE_SQL)
     register("events_tumbling_window", A.events_tumbling_window, A.EVENTS_TUMBLING_SQL)
