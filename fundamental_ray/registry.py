@@ -118,6 +118,11 @@ def _populate() -> None:
 
     register("join_asof_prior_view", J.asof_prior_view, J.ASOF_PRIOR_VIEW_SQL)
     register("join_range_click_window", J.range_click_window, J.RANGE_CLICK_WINDOW_SQL)
+
+    from .ops import sketch as SK
+
+    register("sketch_distinct_users_daily", SK.distinct_users_daily, SK.DISTINCT_USERS_DAILY_SQL)
+    register("join_bloom_semi_urgent", SK.bloom_semi_join_urgent, SK.BLOOM_SEMI_JOIN_SQL)
     register("merge_latest_wins", A.latest_wins_merge, A.LATEST_WINS_MERGE_SQL)
     register("events_sessionize", A.events_sessionize, A.EVENTS_SESSIONIZE_SQL)
     register("events_tumbling_window", A.events_tumbling_window, A.EVENTS_TUMBLING_SQL)
