@@ -214,6 +214,130 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------- quantile sketch
+
+QUANTILE_CAP = 65536  # raw values kept exactly below this; centroids above
+
+
+class QuantileSketch:
+    """Mergeable quantile summary over float64 values.
+
+    Exact mode keeps the raw sorted multiset (order-independent, bit-exact
+    quantiles — the sf-scale regime, and what the DuckDB oracle checks).
+    Past QUANTILE_CAP values it compresses to weighted centroids by
+    averaging adjacent pairs (uniform 1-D cluster merge), bounding memory
+    at CAP × 16 bytes per sketch while rank error stays ~n/CAP-scaled —
+    the 100-TB regime, where a group holds 10^9+ values but the exchange
+    still moves fixed-size summaries. Quantile queries interpolate on the
+    weighted cumulative rank, reducing to numpy's linear interpolation
+    (DuckDB ``quantile_cont`` semantics) when all weights are 1.
+    """
+
+    __slots__ = ("vals", "wts")
+
+    def __init__(self) -> None:
+        self.vals = np.empty(0, dtype=np.float64)
+        self.wts = np.empty(0, dtype=np.int64)
+
+    @property
+    def exact(self) -> bool:
+        return bool((self.wts == 1).all())
+
+    @classmethod
+    def from_values(cls, values: np.ndarray) -> "QuantileSketch":
+        s = cls()
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        s.vals, s.wts = v, np.ones(len(v), dtype=np.int64)
+        s._compress()
+        return s
+
+    def serialize(self) -> tuple[bytes, bytes]:
+        return self.vals.tobytes(), self.wts.tobytes()
+
+    @classmethod
+    def deserialize(cls, vals: bytes, wts: bytes) -> "QuantileSketch":
+        s = cls()
+        s.vals = np.frombuffer(vals, dtype=np.float64).copy()
+        s.wts = np.frombuffer(wts, dtype=np.int64).copy()
+        return s
+
+    def merge(self, other: "QuantileSketch") -> None:
+        v = np.concatenate([self.vals, other.vals])
+        w = np.concatenate([self.wts, other.wts])
+        order = np.argsort(v, kind="stable")
+        self.vals, self.wts = v[order], w[order]
+        self._compress()
+
+    def _compress(self) -> None:
+        while len(self.vals) > QUANTILE_CAP:
+            n = len(self.vals) & ~1  # even prefix; odd tail carried through
+            pv, pw = self.vals[:n].reshape(-1, 2), self.wts[:n].reshape(-1, 2)
+            w = pw.sum(axis=1)
+            v = (pv * pw).sum(axis=1) / w
+            self.vals = np.concatenate([v, self.vals[n:]])
+            self.wts = np.concatenate([w, self.wts[n:]])
+
+    def quantile(self, q: float) -> float:
+        if self.exact:
+            return float(np.percentile(self.vals, q * 100.0, method="linear"))
+        # weighted midpoint-rank interpolation over centroid means
+        cum = np.cumsum(self.wts) - self.wts / 2.0
+        total = float(self.wts.sum())
+        return float(np.interp(q * total, cum, self.vals))
+
+
+def sketch_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """p50/p90/p99 of lineitem extendedprice per returnflag via mergeable
+    QuantileSketch partials — exact at sf (per-flag cardinality below
+    QUANTILE_CAP), bounded centroid summaries at 100-TB cardinalities."""
+    from ..pipelines.analytics import r2
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for f, g in df.groupby("l_returnflag", sort=True):
+            vals, wts = QuantileSketch.from_values(
+                g["l_extendedprice"].to_numpy()
+            ).serialize()
+            rows.append({"l_returnflag": f, "vals": vals, "wts": wts})
+        return pd.DataFrame(rows, columns=["l_returnflag", "vals", "wts"])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = QuantileSketch()
+        for vals, wts in zip(g["vals"], g["wts"]):
+            acc.merge(QuantileSketch.deserialize(bytes(vals), bytes(wts)))
+        return pd.DataFrame(
+            [
+                {
+                    "l_returnflag": g["l_returnflag"].iloc[0],
+                    "p50": float(r2(acc.quantile(0.5))),
+                    "p90": float(r2(acc.quantile(0.9))),
+                    "p99": float(r2(acc.quantile(0.99))),
+                }
+            ]
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+SKETCH_QUANTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------- bloom semi-join
 
 BLOOM_K = 7

@@ -55,6 +55,58 @@ def test_serialize_roundtrip_both_modes():
         assert back.estimate() == sk.estimate()
 
 
+def test_quantile_sketch_exact_mode_equals_percentile():
+    rng = np.random.default_rng(3)
+    v = rng.lognormal(10, 1, 30_000)
+    sk = S.QuantileSketch.from_values(v[:12_000])
+    sk.merge(S.QuantileSketch.from_values(v[12_000:]))
+    assert sk.exact
+    for q in (0.5, 0.9, 0.99):
+        assert sk.quantile(q) == np.percentile(v, q * 100, method="linear")
+
+
+def test_quantile_sketch_compressed_rank_error():
+    rng = np.random.default_rng(4)
+    big = rng.lognormal(10, 1, 500_000)
+    sk = S.QuantileSketch()
+    for i in range(0, len(big), 50_000):
+        sk.merge(S.QuantileSketch.from_values(big[i : i + 50_000]))
+    assert not sk.exact and len(sk.vals) <= S.QUANTILE_CAP
+    sv = np.sort(big)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        rank = np.searchsorted(sv, sk.quantile(q)) / len(sv)
+        assert abs(rank - q) < 0.005
+
+
+def test_sketch_quantiles_price_matches_pandas(ray_session):
+    from fundamental_ray.pipelines.analytics import r2
+
+    got = (
+        S.sketch_quantiles_price(SF)
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    rows = []
+    for f, g in li.groupby("l_returnflag"):
+        v = g["l_extendedprice"].to_numpy()
+        rows.append(
+            {
+                "l_returnflag": f,
+                **{
+                    f"p{int(q*100)}": float(
+                        r2(np.percentile(v, q * 100, method="linear"))
+                    )
+                    for q in (0.5, 0.9, 0.99)
+                },
+            }
+        )
+    exp = pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_bloom_no_false_negatives_low_fp():
     rng = np.random.default_rng(15)
     keys = rng.integers(0, 10**12, 20_000, dtype=np.int64)
