@@ -617,6 +617,86 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+FUNNEL_WINDOW_HOURS = 6
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users counted
+    at stage k+1 only for events STRICTLY AFTER their first stage-k event
+    and within FUNNEL_WINDOW_HOURS of it (the time bound is what makes the
+    funnel discriminate — unbounded, every long-lived user converts).
+    One user-hash exchange; each bucket computes its users' first-view /
+    first-click-after / first-purchase-after with grouped mins (no per-user
+    Python loop), emits a 3-int partial, and the driver sums <= 256
+    partials — funnel width never transits an exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["view", "click", "purchase"]),
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = pd.Timedelta(hours=FUNNEL_WINDOW_HOURS)
+
+        def first_after(stage: str, prev: pd.DataFrame, col: str) -> pd.DataFrame:
+            ev = g.loc[g.event_type == stage].merge(prev, on="user_id")
+            hit = ev.loc[(ev.ts > ev[col]) & (ev.ts <= ev[col] + w)]
+            return hit.groupby("user_id", as_index=False)["ts"].min()
+
+        v = (
+            g.loc[g.event_type == "view"]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "vt"})
+        )
+        c = first_after("click", v, "vt").rename(columns={"ts": "ct"})
+        p = first_after("purchase", c, "ct")
+        return pd.DataFrame(
+            [{"n_view": len(v), "n_view_click": len(c), "n_full_funnel": len(p)}]
+        )
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame([parts.sum().astype("int64")]).reset_index(drop=True)
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t
+    AND e.ts <= v.t + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t
+    AND e.ts <= c.t + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+       (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
+       (SELECT COUNT(*) FROM p)::BIGINT AS n_full_funnel
+"""
+
+
+# --------------------------------------------------------------------------
 def scalar_string_funcs(sf_dir: str) -> pd.DataFrame:
     """§2.10 string family (M16/M18 analogues): lower/replace/substr/length
     as vectorized pyarrow kernels."""
