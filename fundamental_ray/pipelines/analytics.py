@@ -697,6 +697,61 @@ SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
 
 
 # --------------------------------------------------------------------------
+PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def events_pivot_dow(sf_dir: str) -> pd.DataFrame:
+    """Pivot/crosstab: event counts by (day-of-week x event type). Per-batch
+    partial counts (the combiner), ONE tiny groupby-sum exchange of at most
+    7 x types x blocks rows, then the 7x5 reshape on the driver — the wide
+    axis never crosses a shuffle as rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        # pyarrow day_of_week: 0=Monday; SQL dayofweek: 0=Sunday
+        dow = (pc.day_of_week(t["ts"]).to_numpy() + 1) % 7
+        df = pd.DataFrame(
+            {"dow": dow, "event_type": t["event_type"].to_numpy(zero_copy_only=False)}
+        )
+        out = df.value_counts(["dow", "event_type"]).rename("n").reset_index()
+        out["dow"] = out["dow"].astype("int64")
+        return out
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "event_type"])
+        .sum("n")
+        .to_pandas()  # <= 7 x types rows
+    )
+    wide = (
+        counts.pivot(index="dow", columns="event_type", values="sum(n)")
+        .fillna(0)
+        .astype("int64")
+    )
+    return pd.DataFrame(
+        {
+            "dow": wide.index.to_numpy(),
+            **{f"n_{t}": wide.get(t, 0) for t in PIVOT_TYPES},
+        }
+    ).reset_index(drop=True)
+
+
+EVENTS_PIVOT_DOW_SQL = """
+SELECT dayofweek(ts) AS dow,
+       COUNT(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+       COUNT(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       COUNT(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       COUNT(*) FILTER (event_type = 'error')::BIGINT AS n_error
+FROM events GROUP BY 1
+"""
+
+
 def scalar_string_funcs(sf_dir: str) -> pd.DataFrame:
     """§2.10 string family (M16/M18 analogues): lower/replace/substr/length
     as vectorized pyarrow kernels."""
