@@ -752,6 +752,49 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+def window_ntile_orders(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) ranking window: quartile of order value within each
+    priority class (tie-broken on orderkey for determinism). Distributed
+    as a partition-key groupby; each group sorts once and assigns buckets
+    by NTILE's size rule (first n%k buckets get the extra row) — a
+    per-partition vectorized pass, no global sort. Partition cardinality
+    bounds group size; at 100 TB a hot partition would salt on a second
+    key and merge ranks by offset (same shape as the district medians)."""
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        n, k = len(g), 4
+        sizes = np.full(k, n // k, dtype=np.int64)
+        sizes[: n % k] += 1
+        bounds = np.cumsum(sizes)
+        g["quartile"] = (
+            np.searchsorted(bounds, np.arange(n), side="right") + 1
+        ).astype("int64")
+        return g[["o_orderkey", "o_orderpriority", "quartile"]]
+
+    return (
+        ds.groupby("o_orderpriority")
+        .map_groups(ntile, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+       )::BIGINT AS quartile
+FROM orders
+"""
+
+
 def scalar_string_funcs(sf_dir: str) -> pd.DataFrame:
     """§2.10 string family (M16/M18 analogues): lower/replace/substr/length
     as vectorized pyarrow kernels."""

@@ -129,6 +129,7 @@ def _populate() -> None:
     register("events_tumbling_window", A.events_tumbling_window, A.EVENTS_TUMBLING_SQL)
     register("events_funnel", A.events_funnel, A.EVENTS_FUNNEL_SQL)
     register("events_pivot_dow", A.events_pivot_dow, A.EVENTS_PIVOT_DOW_SQL)
+    register("window_ntile_orders", A.window_ntile_orders, A.WINDOW_NTILE_SQL)
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)
