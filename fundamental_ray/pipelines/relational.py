@@ -1,0 +1,325 @@
+"""Relational / windowed extensions beyond the reference's own surface:
+rollup aggregates, frame-based moving windows, cohort retention, salted
+skew-safe aggregation, and the native hash-shuffle equi-join.
+
+Same conventions as pipelines/analytics.py: every float that crosses the
+oracle hash is either integer-exact (cents, counts, week indexes) or
+rounded half-away on BOTH sides; heavy work stays in Ray Data and only
+final aggregate-sized frames reach the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from .analytics import _read, r2
+
+# --------------------------------------------------------------------------
+# ROLLUP: hierarchical aggregates derived from ONE finest-level groupby.
+# Scale shape: the only exchange is the finest groupby (map-side combined);
+# the (ALL, *) and (ALL, ALL) levels are aggregates OF those aggregates,
+# computed on the driver over a bounded-cardinality table (|returnflag| ×
+# |linestatus| ≤ 9 rows) — a second shuffle would move nothing but these.
+# Measures are integer-exact (quantities are integral doubles, prices are
+# summed as BIGINT cents) so re-aggregation order cannot drift a ulp.
+
+
+def agg_rollup(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "cents": cents,
+            }
+        )
+
+    fine = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("cents", alias_name="sum_price_cents"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    levels = [fine.rename(columns={"l_returnflag": "returnflag", "l_linestatus": "linestatus"})]
+    mid = (
+        fine.groupby("l_returnflag", as_index=False)[["sum_qty", "sum_price_cents", "n"]]
+        .sum()
+        .rename(columns={"l_returnflag": "returnflag"})
+    )
+    mid["linestatus"] = "ALL"
+    levels.append(mid)
+    top = fine[["sum_qty", "sum_price_cents", "n"]].sum().to_frame().T
+    top["returnflag"] = "ALL"
+    top["linestatus"] = "ALL"
+    levels.append(top)
+    out = pd.concat(levels, ignore_index=True)[
+        ["returnflag", "linestatus", "sum_qty", "sum_price_cents", "n"]
+    ]
+    for c in ("sum_qty", "sum_price_cents", "n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+AGG_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))::BIGINT AS sum_price_cents,
+       COUNT(*)::BIGINT AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Frame-based moving window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+# the bucketized per-key fold (window_prev_order's shape) extended to a
+# sliding frame. Keys hash into 256 buckets; each bucket task sorts once
+# and rolls ALL its keys vectorized. Float stability: the rolling mean is
+# computed over integer CENTS (exact under any summation order) and the
+# single division + rounding is mirrored in the SQL.
+
+
+def window_moving_avg(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": cents,
+                "bucket": pc.cast(pc.bit_wise_and(t["o_custkey"], 255), pa.int32()),
+            }
+        )
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        grp = g.groupby("o_custkey", sort=False)["cents"]
+        s = grp.rolling(3, min_periods=1).sum().to_numpy()
+        c = grp.rolling(3, min_periods=1).count().to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "ma3": r2(s / (c * 100.0), 6),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+WINDOW_MOVING_AVG_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) OVER w
+             / (COUNT(*) OVER w * 100.0), 6) AS ma3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-activity week; each later week
+# counts how many of that cohort were active. Scale shape: users hash into
+# 256 buckets and each bucket resolves its OWN users' cohorts and distinct
+# activity weeks fully locally (a user never spans buckets, so per-bucket
+# cell counts sum to exact global distinct-user counts); only the tiny
+# (cohort × offset) partials cross the final exchange. No join, no
+# distinct over the raw event stream.
+# Week arithmetic is pure int64 days-since-epoch (Monday-start, matching
+# DuckDB date_trunc('week')): week = (days + 3) // 7.
+
+
+def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "bucket": pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32()),
+            }
+        )
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].to_numpy().astype("datetime64[D]").view("int64")
+        week = (days + 3) // 7
+        df = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "week": week}
+        ).drop_duplicates()
+        df["cohort"] = df.groupby("user_id")["week"].transform("min")
+        out = (
+            df.groupby(["cohort", "week"], sort=False).size().rename("n_users").reset_index()
+        )
+        return out
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cohort_bucket, batch_format="pandas")
+        .groupby(["cohort", "week"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    monday = (parts["cohort"].to_numpy() * 7 - 3).astype("datetime64[D]")
+    out = pd.DataFrame(
+        {
+            "cohort_week": np.datetime_as_string(monday, unit="D"),
+            "week_offset": (parts["week"] - parts["cohort"]).astype("int64"),
+            "n_users": parts["n_users"].astype("int64"),
+        }
+    )
+    return out
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH w AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), c AS (
+  SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id
+), a AS (
+  SELECT DISTINCT w.user_id, c.cohort, w.wk
+  FROM w JOIN c USING (user_id)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       ((wk::DATE - cohort::DATE) // 7)::BIGINT AS week_offset,
+       COUNT(*)::BIGINT AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Salted two-stage aggregation over a skewed key: event_type has a handful
+# of distinct values over the whole stream, so a naive groupby funnels each
+# key's entire volume through one reducer. Stage 1 groups by (key, salt)
+# — 64 salts fan each hot key across reducers — and emits constant-size
+# partials; stage 2 merges the ≤ |keys|×64 partials (driver-side: that
+# table is bounded and the merge is the trivial sum/max fold). The stage-2
+# sum is rounded, absorbing partial-order float drift.
+
+
+def agg_skew_salted(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "salt": pc.cast(pc.bit_wise_and(t["event_id"], 63), pa.int32()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(salt, batch_format="pyarrow")
+        .groupby(["event_type", "salt"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sv"),
+            Max("value", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), total_value=("sv", "sum"), max_value=("mx", "max"))
+        .astype({"n": "int64"})
+    )
+    out["total_value"] = r2(out["total_value"])
+    out["max_value"] = r2(out["max_value"])
+    return out
+
+
+AGG_SKEW_SALTED_SQL = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Native hash-shuffle equi-join (ray.data.Dataset.join): both sides
+# hash-partition on the key and partitions join independently — the
+# distributed join primitive the broadcast/anti/as-of variants deliberately
+# avoid. Used where BOTH sides are large (orders ⋈ customer); the join
+# output never materializes — it flows straight into the revenue groupby.
+
+
+def join_hash_segments(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+            }
+        )
+
+    joined = orders.map_batches(to_cents, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .astype({"n_orders": "int64", "revenue_cents": "int64"})
+    )
+    return out
+
+
+JOIN_HASH_SEGMENTS_SQL = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))::BIGINT AS revenue_cents
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""

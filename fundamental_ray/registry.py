@@ -130,6 +130,17 @@ def _populate() -> None:
     register("events_funnel", A.events_funnel, A.EVENTS_FUNNEL_SQL)
     register("events_pivot_dow", A.events_pivot_dow, A.EVENTS_PIVOT_DOW_SQL)
     register("window_ntile_orders", A.window_ntile_orders, A.WINDOW_NTILE_SQL)
+    from .ops import graph as GR
+    from .pipelines import relational as R
+
+    register("agg_rollup", R.agg_rollup, R.AGG_ROLLUP_SQL)
+    register("window_moving_avg", R.window_moving_avg, R.WINDOW_MOVING_AVG_SQL)
+    register(
+        "events_cohort_retention", R.events_cohort_retention, R.EVENTS_COHORT_RETENTION_SQL
+    )
+    register("agg_skew_salted", R.agg_skew_salted, R.AGG_SKEW_SALTED_SQL)
+    register("join_hash_segments", R.join_hash_segments, R.JOIN_HASH_SEGMENTS_SQL)
+    register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)

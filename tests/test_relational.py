@@ -1,0 +1,102 @@
+"""Relational extensions (pipelines/relational.py) + PageRank (ops/graph.py):
+each op checked against its own DuckDB oracle at sf0.001 (the driver's
+comparison, locally) plus semantic invariants the SQL can't state.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from fundamental_ray.ops import graph as G
+from fundamental_ray.pipelines import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _assert_matches(got: pd.DataFrame, sql: str):
+    exp = _oracle(sql)
+    cols = list(got.columns)
+    a = got.sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rollup_matches_and_is_consistent(ray_session):
+    got = R.agg_rollup(SF)
+    _assert_matches(got, R.AGG_ROLLUP_SQL)
+    top = got[(got.returnflag == "ALL") & (got.linestatus == "ALL")]
+    fine = got[(got.returnflag != "ALL") & (got.linestatus != "ALL")]
+    assert top["n"].iloc[0] == fine["n"].sum()
+    assert top["sum_price_cents"].iloc[0] == fine["sum_price_cents"].sum()
+
+
+def test_moving_avg_matches_and_frames(ray_session):
+    got = R.window_moving_avg(SF)
+    _assert_matches(got, R.WINDOW_MOVING_AVG_SQL)
+    # a customer's FIRST order (by date, orderkey) has frame size 1 →
+    # ma3 equals its own price
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    first = (
+        orders.sort_values(["o_orderdate", "o_orderkey"])
+        .groupby("o_custkey")
+        .first()
+        .reset_index()
+    )
+    m = got.merge(first, on=["o_custkey", "o_orderkey"])
+    assert len(m) == orders["o_custkey"].nunique()
+    cents = np.round(m["o_totalprice"] * 100.0)
+    assert np.allclose(m["ma3"], cents / 100.0, atol=1e-6)
+
+
+def test_cohort_retention_matches(ray_session):
+    got = R.events_cohort_retention(SF)
+    _assert_matches(got, R.EVENTS_COHORT_RETENTION_SQL)
+    # offset-0 cell of a cohort counts every user of that cohort (each
+    # user is active in their own first week by definition)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    days = ev["ts"].to_numpy().astype("datetime64[D]").view("int64")
+    week = (days + 3) // 7
+    cohort = pd.DataFrame({"u": ev["user_id"], "w": week}).groupby("u")["w"].min()
+    sizes = cohort.value_counts()
+    zero = got[got.week_offset == 0].set_index("cohort_week")["n_users"]
+    monday = (sizes.index.to_numpy() * 7 - 3).astype("datetime64[D]")
+    for wk, n in zip(np.datetime_as_string(monday, unit="D"), sizes.to_numpy()):
+        assert zero[wk] == n
+
+
+def test_skew_salted_matches(ray_session):
+    got = R.agg_skew_salted(SF)
+    _assert_matches(got, R.AGG_SKEW_SALTED_SQL)
+
+
+def test_hash_join_matches(ray_session):
+    got = R.join_hash_segments(SF)
+    _assert_matches(got, R.JOIN_HASH_SEGMENTS_SQL)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert got["n_orders"].sum() == len(orders)  # every order joins
+
+
+def test_pagerank_matches_and_sums_to_one(ray_session):
+    got = G.pagerank(SF)
+    exp = _oracle(G.PAGERANK_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp[["node", "rank"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # rank mass is conserved (symmetric graph, no dangling nodes)
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-6)
+    # suppliers (high in-degree side of the bipartite graph) outrank parts
+    sup = got[got.node >= G.SUPPLIER_OFFSET]["rank"].mean()
+    part = got[got.node < G.SUPPLIER_OFFSET]["rank"].mean()
+    assert sup > part
