@@ -479,3 +479,88 @@ SELECT term, sum(tf_doc)::BIGINT AS tf, count(*)::BIGINT AS df
 FROM per_doc GROUP BY term
 ORDER BY tf DESC, term LIMIT {VOCAB_TOPK}
 """
+
+
+# ----------------------------------------------------- unigram_logprob
+# Unigram language-model scoring: per-document mean log-probability under
+# the corpus's own unigram distribution — the cheap LM-based quality
+# signal (CCNet-style) between heuristic rules (gopher_filter) and a real
+# model. Two passes, same shape as tfidf_topterms: distributed (term → tf)
+# aggregation (combiner inside map_batches; vocab-sized partials cross the
+# one exchange), ONE ray.put broadcast of {term: tf}, then a per-batch
+# scoring pass — the corpus itself crosses no exchange.
+# Float contract: the reported score is ROUND(mean(ln(tf/N)), 6); ln values
+# are O(−5..−13) and per-doc token counts are O(100), so cross-engine libm
+# ulps and summation-order drift sit ~9 orders below the rounding quantum.
+
+
+def unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.analytics import r2
+
+    def partial_tf(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        tf: dict[str, int] = {}
+        for ts in toks:
+            for t in ts:
+                tf[t] = tf.get(t, 0) + 1
+        terms = sorted(tf)
+        return pd.DataFrame(
+            {"term": terms,
+             "tf_part": np.array([tf[t] for t in terms], dtype=np.int64)}
+        )
+
+    tf_tbl = (
+        _read_docs(sf_dir)
+        .map_batches(partial_tf, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("tf_part", alias_name="tf"))
+        .to_pandas()  # vocab-sized (Heaps' law — see module docstring)
+    )
+    n_total = float(tf_tbl["tf"].sum())
+    lp = dict(
+        zip(tf_tbl["term"], np.log(tf_tbl["tf"].to_numpy(np.float64) / n_total))
+    )
+    lp_ref = ray.put(lp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lp_ref)
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        n_tokens = toks.str.len().to_numpy(np.int64)
+        # vectorized: explode to one token row, dict-map, per-doc mean
+        ex = toks.explode().dropna()
+        means = ex.map(table).groupby(level=0).mean()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tokens,
+                "logprob": r2(means.reindex(df.index).to_numpy(np.float64), 6),
+            }
+        )
+        return out[out["n_tokens"] > 0]
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS tf FROM toks GROUP BY term
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM toks
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       ROUND(AVG(ln(tf.tf / (SELECT n FROM nn))), 6) AS logprob
+FROM toks t JOIN tf USING (term)
+GROUP BY t.doc_id
+"""

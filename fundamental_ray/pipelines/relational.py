@@ -323,3 +323,257 @@ SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
 FROM orders JOIN customer ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# Sliding (hopping) event-time windows: 30-minute windows every 15 minutes,
+# so each event lands in exactly 2 windows. Pure map-side FAN-OUT (an
+# event row becomes w/step rows with derived window_start keys) followed by
+# one groupby — the streaming "hopping window" that tumbling windows can't
+# express. Window arithmetic is integer microseconds; no float in the key.
+
+SLIDE_STEP_US = 15 * 60 * 1_000_000
+SLIDE_WINDOWS_PER_EVENT = 2  # window size = 2 × step
+
+
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64())
+        slot = pc.floor(pc.divide(pc.cast(us, pa.float64()), SLIDE_STEP_US))
+        slot = pc.cast(slot, pa.int64())
+        outs = []
+        for j in range(SLIDE_WINDOWS_PER_EVENT):
+            start = pc.multiply(pc.subtract(slot, j), SLIDE_STEP_US)
+            outs.append(
+                pa.table(
+                    {
+                        "window_start": pc.cast(
+                            start, pa.timestamp("us")
+                        ),
+                        "value": t["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    out = (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_value"] = r2(out["total_value"])
+    return out
+
+
+EVENTS_SLIDING_WINDOW_SQL = """
+WITH e AS (
+  SELECT value, time_bucket(INTERVAL 15 MINUTE, ts) AS b FROM events
+), w AS (
+  SELECT value, b - to_minutes(15 * j) AS window_start
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) t
+)
+SELECT window_start, COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM w GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (per-user bigram counts): the sequence-model
+# data-prep primitive (what page did users go to next?). Same bucketized
+# per-key ordered fold as sessionize — one exchange moves event rows, the
+# second moves only |types|² × buckets partial counts.
+
+
+def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        prev = g["event_type"].shift()
+        pairs = pd.DataFrame(
+            {"from_type": prev[same_user], "to_type": g["event_type"][same_user]}
+        )
+        out = (
+            pairs.groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_TRANSITION_MATRIX_SQL = """
+WITH s AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*)::BIGINT AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Distributed set algebra over derived sets: the INTERSECT / EXCEPT of the
+# click-user and purchase-user sets, labeled per user. Both operand sets
+# are user-scale (too big to broadcast at 100 TB), but membership of a user
+# is decidable from that user's OWN rows — so ONE exchange (bucket by user)
+# resolves intersect and both differences simultaneously; a literal
+# INTERSECT + 2×EXCEPT plan would pay three distinct-shuffles over the same
+# stream.
+
+
+def set_ops_user_membership(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
+        )
+
+    def membership(g: pd.DataFrame) -> pd.DataFrame:
+        has = (
+            g.assign(one=True)
+            .pivot_table(index="user_id", columns="event_type", values="one", aggfunc="any")
+            .reindex(columns=["click", "purchase"], fill_value=False)
+            .fillna(False)
+        )
+        setop = np.where(
+            has["click"] & has["purchase"],
+            "intersect",
+            np.where(has["click"], "click_only", "purchase_only"),
+        )
+        return pd.DataFrame(
+            {"user_id": has.index.to_numpy(np.int64), "setop": setop}
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(membership, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+SET_OPS_USER_MEMBERSHIP_SQL = """
+WITH m AS (
+  SELECT user_id,
+         bool_or(event_type = 'click') AS has_click,
+         bool_or(event_type = 'purchase') AS has_purchase
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN has_click AND has_purchase THEN 'intersect'
+            WHEN has_click THEN 'click_only'
+            ELSE 'purchase_only' END AS setop
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Native FULL OUTER join of two independently-aggregated daily series:
+# order revenue by order date vs shipped revenue by ship date. Ship dates
+# lag order dates by up to ~4 months, so the calendar genuinely exercises
+# all three match cases (order-only head, matched middle, ship-only tail).
+# Each side pre-aggregates (map-side shrink to day-cardinality) BEFORE the
+# join — the join moves day rows, never raw fact rows.
+
+
+def join_full_outer_daily(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def daily(ds, date_col, price_col, cents_name, n_name):
+        def proj(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            day = pc.strftime(t[date_col], format="%Y-%m-%d")
+            cents = pc.cast(pc.round(pc.multiply(t[price_col], 100.0)), pa.int64())
+            return pa.table({"day": day, "cents": cents})
+
+        return (
+            ds.map_batches(proj, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(Sum("cents", alias_name=cents_name), Count(alias_name=n_name))
+        )
+
+    o = daily(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]),
+        "o_orderdate", "o_totalprice", "order_cents", "n_orders",
+    )
+    l = daily(
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice"]),
+        "l_shipdate", "l_extendedprice", "ship_cents", "n_ships",
+    )
+    joined = o.join(
+        l,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("day",),
+        left_suffix="_o",
+        right_suffix="_l",
+    ).to_pandas()
+    day_cols = [c for c in joined.columns if c.startswith("day")]
+    day = joined[day_cols[0]]
+    for c in day_cols[1:]:
+        day = day.fillna(joined[c])
+    out = pd.DataFrame({"day": day})
+    for c in ("order_cents", "n_orders", "ship_cents", "n_ships"):
+        out[c] = joined[c].fillna(0).astype("int64")
+    return out
+
+
+JOIN_FULL_OUTER_DAILY_SQL = """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS order_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+         SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS ship_cents,
+         COUNT(*) AS n_ships
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(o.day, l.day) AS day,
+       COALESCE(order_cents, 0)::BIGINT AS order_cents,
+       COALESCE(n_orders, 0)::BIGINT AS n_orders,
+       COALESCE(ship_cents, 0)::BIGINT AS ship_cents,
+       COALESCE(n_ships, 0)::BIGINT AS n_ships
+FROM o FULL OUTER JOIN l ON o.day = l.day
+"""

@@ -140,6 +140,22 @@ def _populate() -> None:
     )
     register("agg_skew_salted", R.agg_skew_salted, R.AGG_SKEW_SALTED_SQL)
     register("join_hash_segments", R.join_hash_segments, R.JOIN_HASH_SEGMENTS_SQL)
+    register(
+        "join_full_outer_daily", R.join_full_outer_daily, R.JOIN_FULL_OUTER_DAILY_SQL
+    )
+    register(
+        "events_sliding_window", R.events_sliding_window, R.EVENTS_SLIDING_WINDOW_SQL
+    )
+    register(
+        "events_transition_matrix",
+        R.events_transition_matrix,
+        R.EVENTS_TRANSITION_MATRIX_SQL,
+    )
+    register(
+        "set_ops_user_membership",
+        R.set_ops_user_membership,
+        R.SET_OPS_USER_MEMBERSHIP_SQL,
+    )
     register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
@@ -198,6 +214,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_gopher_filter", CS.gopher_filter, CS.GOPHER_FILTER_SQL)
     register("text_chunk_windows", CS.chunk_windows, CS.CHUNK_WINDOWS_SQL)
     register("text_tfidf_topterms", CS.tfidf_topterms, CS.TFIDF_TOPTERMS_SQL)
+    register("text_unigram_logprob", CS.unigram_logprob, CS.UNIGRAM_LOGPROB_SQL)
     register("cluster_kmeans", K.kmeans_clusters, K.KMEANS_CLUSTERS_SQL)
     register("dedup_exact", D.exact_dedup, D.EXACT_DEDUP_SQL)
     register(

@@ -100,3 +100,52 @@ def test_pagerank_matches_and_sums_to_one(ray_session):
     sup = got[got.node >= G.SUPPLIER_OFFSET]["rank"].mean()
     part = got[got.node < G.SUPPLIER_OFFSET]["rank"].mean()
     assert sup > part
+
+
+def test_sliding_window_matches_and_double_counts(ray_session):
+    got = R.events_sliding_window(SF)
+    _assert_matches(got, R.EVENTS_SLIDING_WINDOW_SQL)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    # every event lands in exactly windows-per-event windows
+    assert got["n_events"].sum() == len(ev) * R.SLIDE_WINDOWS_PER_EVENT
+
+
+def test_transition_matrix_matches(ray_session):
+    got = R.events_transition_matrix(SF)
+    _assert_matches(got, R.EVENTS_TRANSITION_MATRIX_SQL)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    # sum of transitions = events - users (one chain start per user)
+    assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+def test_set_ops_membership_matches(ray_session):
+    got = R.set_ops_user_membership(SF)
+    _assert_matches(got, R.SET_OPS_USER_MEMBERSHIP_SQL)
+    assert set(got["setop"]).issubset({"intersect", "click_only", "purchase_only"})
+
+
+def test_full_outer_daily_matches_all_cases(ray_session):
+    got = R.join_full_outer_daily(SF)
+    _assert_matches(got, R.JOIN_FULL_OUTER_DAILY_SQL)
+    # the calendar must exercise all three match cases
+    assert (got["n_orders"] == 0).any()          # ship-only days
+    assert (got["n_ships"] == 0).any()           # order-only days
+    assert ((got["n_orders"] > 0) & (got["n_ships"] > 0)).any()
+
+
+def test_unigram_logprob_matches(ray_session):
+    from fundamental_ray.ops import corpus_stats as CS
+
+    got = CS.unigram_logprob(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(CS.UNIGRAM_LOGPROB_SQL).fetchdf()
+    cols = list(got.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        exp[cols].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert (got["logprob"] < 0).all()
