@@ -56,6 +56,7 @@ def run_bench() -> dict:
     from fundamental_ray.ops import cluster as K
     from fundamental_ray.ops import corpus_stats as CS
     from fundamental_ray.ops import dedup as D
+    from fundamental_ray.ops import graph as GR
     from fundamental_ray.ops import joins as JN
     from fundamental_ray.ops import sketch as SK
     from fundamental_ray.ops import text as T
@@ -151,6 +152,7 @@ def run_bench() -> dict:
         ("ann_brute_force_topk", lambda: N.brute_force_topk(sf_dir)),
         ("sketch_quantiles_price", lambda: SK.sketch_quantiles_price(sf_dir)),
         ("join_asof_prior_view", lambda: JN.asof_prior_view(sf_dir)),
+        ("graph_pagerank", lambda: GR.pagerank(sf_dir)),
     ]:
         t0 = time.time()
         fn()
