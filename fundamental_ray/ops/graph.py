@@ -3,24 +3,20 @@ graph-iteration member of the LLM-data-pipeline family (link-authority
 scoring of a crawled web graph; at 100 TB this is the "rank the frontier by
 authority" step the reference's priority queue would consume).
 
-Scale shape (rank-push as bucket-aligned cogroups): the edge list and the
-rank vector are both Ray Datasets, never driver-resident. Nodes hash into
-``_B`` buckets on the SAME key both tables carry, so joining rank[src] onto
-the out-edges of src is a union + ``groupby(bucket).map_groups`` cogroup —
-no hash-join actor pools, just the sort-based exchange every other op in
-this repo rides. Every iteration is exactly two exchanges of edge-bounded
-rows:
-
-    (edges ∪ ranks) groupby src-bucket → map rank onto edges, emit
-        per-bucket PARTIAL contribution sums per dst  (map-side combine:
-        ≤ distinct-dst rows leave each bucket, not edge-count rows)
-    → groupby dst-bucket → merge partials, damp, round
-
-The degree is folded into the edge rows at build time (edges are bucketed
-by src, so a src's whole adjacency is bucket-local and deg needs no join).
-The edge list is materialized once into the object store (distributed,
-spillable) because every iteration consumes it — a lazy DAG would re-run
-the distinct shuffle per iteration.
+Scale shape (rank-push over a bucket-partitioned edge index — the
+fetch-index pattern applied to graphs): the edge list pays its shuffle
+ONCE, at build time — deduped, degree-annotated (edges are bucketed by
+src, so a src's whole adjacency is bucket-local and deg needs no join) and
+written as bucket-partitioned parquet. After that, iterations never touch
+an edge-scale exchange again: the rank vector (a node-scale Dataset) is
+grouped by its bucket, each bucket task point-reads ITS edge partition
+from the index, maps rank[src] onto the adjacency vectorized, and emits
+per-dst PARTIAL contribution sums (map-side combine: ≤ distinct-dst rows
+leave each bucket); a second node-scale groupby merges partials, damps and
+rounds. Per iteration the exchanges move O(nodes + partials) rows — the
+edge list, the overwhelmingly largest table, stays on (distributed) disk
+and is only ever read bucket-locally. A naive re-shuffle-edges-per-round
+union cogroup was 4× slower at sf0.1 (40 s → see bench history).
 
 Determinism contract (what makes an iterative float algorithm
 oracle-checkable, same convention as ops/cluster.py kmeans):
@@ -56,11 +52,21 @@ SUPPLIER_OFFSET = 10_000_000  # node id space: parts as-is, suppliers offset
 _B = 64  # node-hash bucket count (tasks per exchange; raise with cluster)
 
 
-def _edges_deg(sf_dir: str) -> ray.data.Dataset:
-    """Distinct symmetric edges with out-degree attached:
-    (bucket, src, dst, deg). One exchange; dedup and degree both happen
-    bucket-locally because bucketing is by src."""
+def build_edge_index(sf_dir: str, num_buckets: int = _B) -> str:
+    """Bucket-partitioned (src, dst, deg) edge store — distinct symmetric
+    edges with out-degree attached; idempotent per (corpus, params) like
+    build_inverted_index. Dedup and degree happen bucket-locally because
+    the partition key is hash(src)."""
+    import os
+
     import pyarrow as pa
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/fr_pagerank_edges/{tag}-b{num_buckets}-v1"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
@@ -73,7 +79,7 @@ def _edges_deg(sf_dir: str) -> ray.data.Dataset:
         ).combine_chunks()
         src = pa.concat_arrays([p, s])
         dst = pa.concat_arrays([s, p])
-        bucket = pc.cast(pc.bit_wise_and(src, _B - 1), pa.int32())
+        bucket = pc.cast(pc.bit_wise_and(src, num_buckets - 1), pa.int32())
         return pa.table({"bucket": bucket, "src": src, "dst": dst})
 
     def dedup_and_degree(g: pd.DataFrame) -> pd.DataFrame:
@@ -81,99 +87,142 @@ def _edges_deg(sf_dir: str) -> ray.data.Dataset:
         g = g.assign(deg=g.groupby("src")["src"].transform("size").astype("int64"))
         return g
 
-    return (
+    (
         ds.map_batches(both_directions, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(dedup_and_degree, batch_format="pandas")
-        .materialize()
+        .write_parquet(out, partition_cols=["bucket"])
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def _bucket_edge_files(edge_dir: str, bucket: int) -> list[str]:
+    import glob
+
+    return sorted(glob.glob(f"{edge_dir}/bucket={bucket}/*.parquet"))
+
+
+def _read_bucket_edges(edge_dir: str, bucket: int) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    files = _bucket_edge_files(edge_dir, bucket)
+    return pq.read_table(files, columns=["src", "dst", "deg"]).to_pandas()
+
+
+def _push_slices(e: pd.DataFrame, rank) -> tuple:
+    """Per-dst-bucket partial contribution tables for one src bucket.
+    ``rank`` is either the uniform init scalar or this bucket's
+    node-indexed rank Series. Map-side combine: one row per distinct dst."""
+    import pyarrow as pa
+
+    if isinstance(rank, float):
+        c = rank / e["deg"].to_numpy()
+    else:
+        c = e["src"].map(rank).to_numpy() / e["deg"].to_numpy()
+    part = (
+        pd.DataFrame({"dst": e["dst"].to_numpy(), "c": c})
+        .groupby("dst", sort=False)["c"]
+        .sum()
+        .reset_index()
+    )
+    part["b"] = part["dst"].to_numpy() & (_B - 1)
+    by_b = dict(tuple(part.groupby("b", sort=False)))
+    out = []
+    for b in range(_B):
+        sub = by_b.get(b)
+        if sub is None:
+            out.append(pa.table({"dst": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.float64())}))
+        else:
+            out.append(pa.table({"dst": sub["dst"].to_numpy(np.int64),
+                                 "c": sub["c"].to_numpy(np.float64)}))
+    return tuple(out)
+
+
+def _merge_rank(slices, base: float, d: float) -> pd.Series:
+    """Damped, rounded rank for one dst bucket from its addressed partials."""
+    import pyarrow as pa
+
+    df = pa.concat_tables(slices).to_pandas()
+    s = df.groupby("dst", sort=False)["c"].sum()
+    return pd.Series(
+        r2(base + d * s.to_numpy(), RANK_DECIMALS),
+        index=s.index.to_numpy(np.int64),
+    )
+
+
+import ray as _ray
+
+
+@_ray.remote(num_cpus=1)
+def _pr_node_count(edge_dir: str, bucket: int) -> int:
+    return int(_read_bucket_edges(edge_dir, bucket)["src"].nunique())
+
+
+@_ray.remote(num_cpus=1)
+def _pr_push_init(edge_dir: str, bucket: int, init: float):
+    return _push_slices(_read_bucket_edges(edge_dir, bucket), init)
+
+
+@_ray.remote(num_cpus=1)
+def _pr_merge_push(edge_dir: str, bucket: int, base: float, d: float, *slices):
+    rank = _merge_rank(slices, base, d)
+    return _push_slices(_read_bucket_edges(edge_dir, bucket), rank)
+
+
+@_ray.remote(num_cpus=1)
+def _pr_merge_final(base: float, d: float, *slices):
+    import pyarrow as pa
+
+    rank = _merge_rank(slices, base, d)
+    return pa.table(
+        {"node": rank.index.to_numpy(np.int64), "rank": rank.to_numpy(np.float64)}
     )
 
 
 def pagerank(
     sf_dir: str, iters: int = PAGERANK_ITERS, d: float = PAGERANK_D
 ) -> pd.DataFrame:
-    """(node, rank) after ``iters`` rank-push rounds under the contract."""
-    edges = _edges_deg(sf_dir)
+    """(node, rank) after ``iters`` rank-push rounds under the contract.
 
-    def bucket_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        nodes = g["src"].drop_duplicates()
-        return pd.DataFrame(
-            {"bucket": g["bucket"].iloc[0], "node": nodes.astype("int64")}
-        )
+    The iteration loop is the frontier claim-path pattern (crawl/frontier.py):
+    each src-bucket task emits its partial contribution sums PRE-ROUTED into
+    one plasma slice per dst bucket (``num_returns=_B``), and each dst-bucket
+    task of the next round consumes exactly its addressed slices — a
+    task-level all-to-all with zero driver transit and no per-round sort
+    (Dataset ``groupby`` exchanges pay sample+sort latency per round on a
+    vector that never needs ordering; measured 2-4× slower here). The driver
+    holds only ObjectRefs (``_B²`` per round), never data."""
+    import ray
 
-    nodes = edges.groupby("bucket").map_groups(
-        bucket_nodes, batch_format="pandas"
-    ).materialize()
-    n = nodes.count()
+    edge_dir = build_edge_index(sf_dir)
+    buckets = [b for b in range(_B) if _bucket_edge_files(edge_dir, b)]
+
+    n = sum(ray.get([_pr_node_count.remote(edge_dir, b) for b in buckets]))
     base = (1.0 - d) / n
     init = float(r2(1.0 / n, RANK_DECIMALS))
 
-    # union-cogroup schema: kind 0 = edge row, kind 1 = rank row (in `src`)
-    def edges_tagged(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": df["bucket"],
-                "kind": np.int8(0),
-                "src": df["src"],
-                "dst": df["dst"],
-                "deg": df["deg"],
-                "rank": np.nan,
-            }
-        )
+    opts = {"num_returns": _B}
+    # slices[i][b] = partial table produced by bucket `buckets[i]`,
+    # addressed to dst bucket b
+    slices = [
+        _pr_push_init.options(**opts).remote(edge_dir, b, init) for b in buckets
+    ]
+    for _ in range(iters - 1):
+        slices = [
+            _pr_merge_push.options(**opts).remote(
+                edge_dir, b, base, d, *[s[b] for s in slices]
+            )
+            for b in buckets
+        ]
+    finals = [
+        _pr_merge_final.remote(base, d, *[s[b] for s in slices]) for b in buckets
+    ]
+    import pyarrow as pa
 
-    def ranks_tagged(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": df["bucket"],
-                "kind": np.int8(1),
-                "src": df["node"],
-                "dst": np.int64(-1),
-                "deg": np.int64(0),
-                "rank": df["rank"],
-            }
-        )
-
-    edges_u = edges.map_batches(edges_tagged, batch_format="pandas").materialize()
-    ranks = nodes.map_batches(
-        lambda df: pd.DataFrame(
-            {"bucket": df["bucket"], "node": df["node"], "rank": init}
-        ),
-        batch_format="pandas",
-    )
-
-    def push(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.loc[g["kind"] == 1].set_index("src")["rank"]
-        e = g.loc[g["kind"] == 0]
-        c = e["src"].map(r).to_numpy() / e["deg"].to_numpy()
-        part = (
-            pd.DataFrame({"dst": e["dst"].to_numpy(), "c": c})
-            .groupby("dst", sort=False)["c"]
-            .sum()
-            .reset_index()
-        )
-        part["bucket"] = (part["dst"] & (_B - 1)).astype("int32")
-        return part[["bucket", "dst", "c"]]
-
-    def merge_damp(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("dst", sort=False)["c"].sum()
-        return pd.DataFrame(
-            {
-                "bucket": g["bucket"].iloc[0],
-                "node": s.index.to_numpy(np.int64),
-                "rank": r2(base + d * s.to_numpy(), RANK_DECIMALS),
-            }
-        )
-
-    for _ in range(iters):
-        u = edges_u.union(ranks.map_batches(ranks_tagged, batch_format="pandas"))
-        ranks = (
-            u.groupby("bucket")
-            .map_groups(push, batch_format="pandas")
-            .groupby("bucket")
-            .map_groups(merge_damp, batch_format="pandas")
-        )
-
-    out = ranks.to_pandas()[["node", "rank"]]
+    out = pa.concat_tables(ray.get(finals)).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
