@@ -577,3 +577,155 @@ SELECT COALESCE(o.day, l.day) AS day,
        COALESCE(n_ships, 0)::BIGINT AS n_ships
 FROM o FULL OUTER JOIN l ON o.day = l.day
 """
+
+
+# --------------------------------------------------------------------------
+# Winsorized aggregate: clip each order's price to its status group's
+# [P05, P95] band, then average — the outlier-robust statistic a price
+# pipeline reports. Two passes: (1) per-group exact percentiles via
+# map_groups (groups are low-cardinality; the guarded per-group
+# materialization pattern of exact_median), broadcast the tiny band table
+# into (2) a streaming clip+partial-sum pass. Determinism: the thresholds
+# are rounded to cents on BOTH sides before clipping (part of the op
+# contract — np.percentile(method='linear') and DuckDB quantile_cont agree
+# at 2 dp, not at raw ulps), and the clipped values are exact cents ints,
+# so the final mean is order-insensitive up to the one mirrored division.
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def agg_winsorized_prices(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def bands(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].to_numpy()
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderstatus": g["o_orderstatus"].iloc[0],
+                    "lo": float(r2(np.percentile(v, WINSOR_LO * 100, method="linear"))),
+                    "hi": float(r2(np.percentile(v, WINSOR_HI * 100, method="linear"))),
+                }
+            ]
+        )
+
+    band_tbl = (
+        ds.groupby("o_orderstatus").map_groups(bands, batch_format="pandas").to_pandas()
+    )
+    band_ref = ray.put(
+        {
+            r.o_orderstatus: (round(r.lo * 100), round(r.hi * 100))
+            for r in band_tbl.itertuples()
+        }
+    )
+
+    def clip_partial(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(band_ref)
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        lo = df["o_orderstatus"].map(lambda s: table[s][0]).to_numpy(np.int64)
+        hi = df["o_orderstatus"].map(lambda s: table[s][1]).to_numpy(np.int64)
+        clipped = np.minimum(np.maximum(cents, lo), hi)
+        out = pd.DataFrame({"o_orderstatus": df["o_orderstatus"], "c": clipped})
+        return (
+            out.groupby("o_orderstatus", sort=False)
+            .agg(sum_c=("c", "sum"), n=("c", "size"))
+            .reset_index()
+        )
+
+    parts = (
+        ds.map_batches(clip_partial, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("sum_c", alias_name="sum_c"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = band_tbl.merge(parts, on="o_orderstatus")
+    out["avg_winsorized"] = r2(
+        out["sum_c"].to_numpy(np.float64) / (out["n"].to_numpy(np.float64) * 100.0), 6
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["o_orderstatus", "lo", "hi", "n", "avg_winsorized"]]
+
+
+AGG_WINSORIZED_SQL = f"""
+WITH b AS (
+  SELECT o_orderstatus,
+         ROUND(quantile_cont(o_totalprice, {WINSOR_LO}), 2) AS lo,
+         ROUND(quantile_cont(o_totalprice, {WINSOR_HI}), 2) AS hi
+  FROM orders GROUP BY o_orderstatus
+), c AS (
+  SELECT o.o_orderstatus, b.lo, b.hi,
+         LEAST(GREATEST(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT),
+                        CAST(ROUND(b.lo * 100.0) AS BIGINT)),
+               CAST(ROUND(b.hi * 100.0) AS BIGINT)) AS cents
+  FROM orders o JOIN b USING (o_orderstatus)
+)
+SELECT o_orderstatus, lo, hi, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(cents)::DOUBLE / (COUNT(*)::DOUBLE * 100.0), 6) AS avg_winsorized
+FROM c GROUP BY o_orderstatus, lo, hi
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average: each event's value weighted by the whole seconds
+# until the user's next event (the "state held for duration" semantic —
+# last event of a user carries no weight). Same bucketized ordered fold as
+# sessionize; weights are integer seconds so the denominator is exact and
+# the numerator's float summation drift sits far below the 6-dp rounding.
+
+
+def events_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
+        )
+
+    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # second-BOUNDARY count, matching SQL date_diff('second', …):
+        # floor each timestamp to seconds first, then subtract
+        sec = g["ts"].to_numpy().astype("datetime64[us]").view("int64") // 1_000_000
+        next_sec = np.roll(sec, -1)
+        same = g["user_id"].eq(g["user_id"].shift(-1)).to_numpy()
+        dt = np.where(same, next_sec - sec, 0)
+        num = g["value"].to_numpy() * dt
+        agg = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "num": num, "den": dt})
+        out = (
+            agg.groupby("user_id", sort=False)[["num", "den"]].sum().reset_index()
+        )
+        out = out[out["den"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "tw_avg": r2(out["num"] / out["den"], 6),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(twa_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+EVENTS_TIME_WEIGHTED_AVG_SQL = """
+WITH s AS (
+  SELECT user_id, value,
+         date_diff('second', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         ) AS dt
+  FROM events
+)
+SELECT user_id, ROUND(SUM(value * dt) / SUM(dt), 6) AS tw_avg
+FROM s WHERE dt IS NOT NULL
+GROUP BY user_id HAVING SUM(dt) > 0
+"""

@@ -157,6 +157,18 @@ def _populate() -> None:
         R.SET_OPS_USER_MEMBERSHIP_SQL,
     )
     register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
+    register(
+        "agg_winsorized_prices", R.agg_winsorized_prices, R.AGG_WINSORIZED_SQL
+    )
+    register(
+        "events_time_weighted_avg",
+        R.events_time_weighted_avg,
+        R.EVENTS_TIME_WEIGHTED_AVG_SQL,
+    )
+
+    from .ops import model as ML
+
+    register("model_logreg_quality", ML.logreg_train, ML.LOGREG_TRAIN_SQL)
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)

@@ -149,3 +149,46 @@ def test_unigram_logprob_matches(ray_session):
         check_dtype=False,
     )
     assert (got["logprob"] < 0).all()
+
+
+def test_winsorized_prices_matches(ray_session):
+    got = R.agg_winsorized_prices(SF)
+    _assert_matches(got, R.AGG_WINSORIZED_SQL)
+    # winsorized mean sits inside the clip band
+    assert ((got["avg_winsorized"] >= got["lo"]) & (got["avg_winsorized"] <= got["hi"])).all()
+
+
+def test_time_weighted_avg_matches(ray_session):
+    got = R.events_time_weighted_avg(SF)
+    _assert_matches(got, R.EVENTS_TIME_WEIGHTED_AVG_SQL)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    assert got["tw_avg"].between(ev["value"].min(), ev["value"].max()).all()
+
+
+def test_logreg_train_matches_and_learns(ray_session):
+    from fundamental_ray.ops import model as M
+
+    got = M.logreg_train(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(M.LOGREG_TRAIN_SQL).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.sort_values("feature").reset_index(drop=True),
+        exp[["feature", "value"]].sort_values("feature").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # the classifier must beat the majority-class baseline on its labels
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    n = len(docs)
+    n_correct = float(got.set_index("feature").loc["n_correct", "value"])
+    labels = con.execute(
+        """WITH t AS (SELECT regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+m AS (SELECT len(toks)::BIGINT AS w,
+       CASE WHEN len(toks)=0 THEN 0.0 ELSE list_sum(list_transform(toks, x->length(x)))::DOUBLE/len(toks) END AS mwl,
+       CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_distinct(toks))::DOUBLE/len(toks) END AS dr FROM t)
+SELECT count(*) FILTER (w BETWEEN 20 AND 90 AND mwl BETWEEN 3.0 AND 10.0 AND dr >= 0.2) AS pos, count(*) AS n FROM m"""
+    ).fetchone()
+    majority = max(labels[0], labels[1] - labels[0])
+    assert n_correct >= majority
