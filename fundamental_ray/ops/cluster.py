@@ -170,3 +170,77 @@ def kmeans_clusters_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
 
 
 KMEANS_CLUSTERS_SQL = kmeans_clusters_sql()
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids: the vector-column aggregation (mean
+# pooling per class) a labeled-embedding corpus needs for classifier
+# priors / cluster seeds. Scale shape: each batch folds its vectors into
+# per-label (dim → sum, count) partials, so only label × dim × n_blocks
+# scalars cross the ONE map-side-combined groupby; the embedding matrix
+# never leaves the workers. Elements are cast float32 → float64 before
+# summing (exactly what the SQL side's ::DOUBLE does), and the final mean
+# is rounded half-away to 6 dp, far above either engine's summation-order
+# drift (O(1)-magnitude values, corpus-bounded counts).
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lab, g in df.groupby("label", sort=False):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "label": np.int32(lab),
+                        "dim": np.arange(m.shape[1], dtype=np.int64),
+                        "s": m.sum(axis=0),
+                        "n": np.int64(len(g)),
+                    }
+                )
+            )
+        if not out:  # dtype-stable empty frame
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int32"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "label": agg["label"].astype("int32"),
+            "dim": agg["dim"].astype("int64"),
+            "n": agg["n"].astype("int64"),
+            "centroid": r2(agg["s"] / agg["n"], 6),
+        }
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH u0 AS (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS dim_idx
+  FROM embeddings
+), u AS (
+  SELECT label, dim_idx, embedding[dim_idx]::DOUBLE AS val FROM u0
+)
+SELECT label, (dim_idx - 1)::BIGINT AS dim, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(val) / COUNT(*), 6) AS centroid
+FROM u GROUP BY label, dim_idx
+"""

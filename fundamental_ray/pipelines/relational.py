@@ -729,3 +729,114 @@ SELECT user_id, ROUND(SUM(value * dt) / SUM(dt), 6) AS tw_avg
 FROM s WHERE dt IS NOT NULL
 GROUP BY user_id HAVING SUM(dt) > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Z-score outlier detection: flag events whose value sits ≥ 2 population
+# standard deviations from the user's own mean — the per-entity anomaly
+# pass of a metrics pipeline. Both the sufficient statistics (n, Σv, Σv²)
+# and the flagged events are resolved BUCKET-LOCALLY (user_id & 255), so
+# the corpus crosses exactly one exchange and no per-user table is ever
+# broadcast or driver-resident (users are unbounded at scale; buckets are
+# not). The variance formula (ss/n − mean²), guard (max(·,0)), division
+# association and 6-dp half-away rounding are mirrored verbatim in SQL.
+
+ZSCORE_THRESHOLD = 2.0
+
+
+def events_zscore_outliers(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
+        )
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        stats = (
+            pd.DataFrame({"user_id": g["user_id"], "v": v, "vv": v * v})
+            .groupby("user_id", sort=False)
+            .agg(n=("v", "size"), sv=("v", "sum"), svv=("vv", "sum"))
+        )
+        mean = stats["sv"] / stats["n"]
+        sd = np.sqrt(np.maximum(stats["svv"] / stats["n"] - mean * mean, 0.0))
+        mean_r = g["user_id"].map(mean).to_numpy(np.float64)
+        sd_r = g["user_id"].map(sd).to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = r2((v - mean_r) / sd_r, 6)
+        keep = (sd_r > 0) & (np.abs(z) >= ZSCORE_THRESHOLD)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[keep],
+                "user_id": g["user_id"].to_numpy()[keep],
+                "z": z[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(flag_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+EVENTS_ZSCORE_SQL = f"""
+WITH s AS (
+  SELECT user_id, COUNT(*)::DOUBLE AS n, SUM(value) AS sv,
+         SUM(value * value) AS svv
+  FROM events GROUP BY user_id
+), p AS (
+  SELECT user_id, sv / n AS mean,
+         sqrt(GREATEST(svv / n - (sv / n) * (sv / n), 0.0)) AS sd
+  FROM s
+)
+SELECT e.event_id, e.user_id,
+       ROUND((e.value - p.mean) / p.sd, 6) AS z
+FROM events e JOIN p USING (user_id)
+WHERE p.sd > 0
+  AND ABS(ROUND((e.value - p.mean) / p.sd, 6)) >= {ZSCORE_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouped mode: the most frequent order priority per order status with a
+# deterministic lexicographic tie-break — two-stage (the only exchange is
+# the map-side-combined (status, priority) count groupby; the argmax runs
+# on the driver over a |statuses| × |priorities| ≤ dozens table).
+
+
+def agg_grouped_mode(sf_dir: str) -> pd.DataFrame:
+    counts = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(
+            ["o_orderstatus", "n", "o_orderpriority"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+    )
+    out = counts.groupby("o_orderstatus", sort=True).head(1).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out.rename(columns={"o_orderpriority": "mode_priority"})[
+        ["o_orderstatus", "mode_priority", "n"]
+    ]
+
+
+AGG_GROUPED_MODE_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY COUNT(*) DESC, o_orderpriority
+         ) AS r
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE r = 1
+"""

@@ -169,6 +169,16 @@ def _populate() -> None:
     from .ops import model as ML
 
     register("model_logreg_quality", ML.logreg_train, ML.LOGREG_TRAIN_SQL)
+
+    from .ops import cluster as CLU
+    from .ops import pack as PK
+
+    register("text_pack_sequences", PK.pack_sequences, PK.PACK_SEQUENCES_SQL)
+    register("embed_label_centroids", CLU.label_centroids, CLU.LABEL_CENTROIDS_SQL)
+    register(
+        "events_zscore_outliers", R.events_zscore_outliers, R.EVENTS_ZSCORE_SQL
+    )
+    register("agg_grouped_mode", R.agg_grouped_mode, R.AGG_GROUPED_MODE_SQL)
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)

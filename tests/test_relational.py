@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 def _oracle(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "events"):
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -192,3 +192,50 @@ SELECT count(*) FILTER (w BETWEEN 20 AND 90 AND mwl BETWEEN 3.0 AND 10.0 AND dr 
     ).fetchone()
     majority = max(labels[0], labels[1] - labels[0])
     assert n_correct >= majority
+
+
+def test_pack_sequences_matches_and_is_contiguous(ray_session):
+    from fundamental_ray.ops import pack as P
+
+    got = P.pack_sequences(SF)
+    _assert_matches(got, P.PACK_SEQUENCES_SQL)
+    # per-lang streams are gapless: walking docs in doc_id order, each doc's
+    # prefix (seq_id*B + offset) equals the running token total of its lang
+    for _, g in got.groupby("lang"):
+        g = g.sort_values("doc_id")
+        prefix = g["seq_id"] * P.PACK_SEQ_TOKENS + g["seq_offset"]
+        expect = g["n_tok"].cumsum() - g["n_tok"]
+        assert (prefix.to_numpy() == expect.to_numpy()).all()
+    # exercises multiple buckets and multiple sequences at sf0.001
+    assert (got["doc_id"] // P.PACK_BUCKET_SPAN).nunique() > 1
+    assert got["seq_id"].max() > 0
+
+
+def test_label_centroids_matches(ray_session):
+    from fundamental_ray.ops import cluster as C
+
+    got = C.label_centroids(SF)
+    _assert_matches(got, C.LABEL_CENTROIDS_SQL)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    dims = len(emb["embedding"].iloc[0])
+    assert len(got) == emb["label"].nunique() * dims
+    # spot-check one (label, dim) against a direct numpy mean
+    lab = int(emb["label"].iloc[0])
+    m = np.stack(emb.loc[emb["label"] == lab, "embedding"].to_numpy()).astype(np.float64)
+    want = np.round(m[:, 0].mean(), 6)
+    have = got[(got["label"] == lab) & (got["dim"] == 0)]["centroid"].iloc[0]
+    assert abs(have - want) < 1e-9
+
+
+def test_zscore_outliers_matches(ray_session):
+    got = R.events_zscore_outliers(SF)
+    _assert_matches(got, R.EVENTS_ZSCORE_SQL)
+    assert len(got) > 0
+    assert (got["z"].abs() >= R.ZSCORE_THRESHOLD).all()
+
+
+def test_grouped_mode_matches(ray_session):
+    got = R.agg_grouped_mode(SF)
+    _assert_matches(got, R.AGG_GROUPED_MODE_SQL)
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderstatus"])
+    assert len(got) == orders["o_orderstatus"].nunique()
