@@ -393,3 +393,76 @@ def lsh_topk(
         .drop_duplicates(subset=["query_id", "neighbor_id"])
     )
     return _merge_topk(ray.data.from_pandas(cand), k)
+
+
+# --------------------------------------------------------------------------
+# k-NN label classification: predict each query vector's label by majority
+# vote over its k nearest neighbors — the retrieval-based classifier a
+# labeled embedding store supports for free. Scale shape: the neighbor
+# search is the streamed-corpus brute pass above (per-block top-k, corpus
+# never driver-resident); the vote then touches only q × k candidate rows,
+# and the voters' labels are fetched with a point-filtered read of exactly
+# those vec_ids (never a labels broadcast — labels are corpus-sized).
+# Determinism: neighbor set inherits the brute tie-break (cos desc, vec_id
+# asc); the vote breaks ties by (votes desc, label asc).
+
+KNN_K = 5
+KNN_QUERIES = 10
+
+
+def knn_classify(sf_dir: str, k: int = KNN_K, n_queries: int = KNN_QUERIES) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    topk = brute_force_topk(sf_dir, k=k, n_queries=n_queries)
+
+    wanted = sorted(set(topk["neighbor_id"]) | set(topk["query_id"]))
+    labels = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "label"],
+            filter=pc.is_in(
+                pads.field("vec_id"), value_set=pa.array(wanted, pa.int64())
+            ),
+        )
+        .to_pandas()
+        .set_index("vec_id")["label"]
+    )
+
+    topk["label"] = topk["neighbor_id"].map(labels)
+    votes = (
+        topk.groupby(["query_id", "label"], as_index=False)
+        .size()
+        .rename(columns={"size": "votes"})
+        .sort_values(["query_id", "votes", "label"], ascending=[True, False, True])
+    )
+    out = votes.groupby("query_id", sort=True).head(1).reset_index(drop=True)
+    out["true_label"] = out["query_id"].map(labels).astype("int32")
+    out["votes"] = out["votes"].astype("int64")
+    return out.rename(columns={"label": "predicted_label"})[
+        ["query_id", "predicted_label", "votes", "true_label"]
+    ]
+
+
+def knn_classify_sql(k: int = KNN_K, n_queries: int = KNN_QUERIES) -> str:
+    return f"""
+WITH topk AS ({brute_force_topk_sql(k=k, n_queries=n_queries)}),
+v AS (
+  SELECT t.query_id, e.label, COUNT(*)::BIGINT AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+), r AS (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rk
+  FROM v
+)
+SELECT r.query_id, r.label AS predicted_label, r.votes,
+       q.label AS true_label
+FROM r JOIN embeddings q ON q.vec_id = r.query_id
+WHERE r.rk = 1
+"""
+
+
+KNN_CLASSIFY_SQL = knn_classify_sql()

@@ -840,3 +840,189 @@ SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
   FROM orders GROUP BY o_orderstatus, o_orderpriority
 ) WHERE r = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Debounce filter: keep an event only if ≥ DEBOUNCE_SECONDS have passed
+# since the same user's previous event (gap semantics — LAG-based, so each
+# event compares to its immediate predecessor, not the last kept one).
+# The streaming rate-limit/dedup stage of an event ingest. Same bucketized
+# ordered fold as sessionize: one exchange, integer-second boundary
+# arithmetic (date_diff semantics), all-integer output.
+
+DEBOUNCE_SECONDS = 3600
+
+
+def events_debounce(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
+        )
+
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        sec = g["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        prev = np.roll(sec, 1)
+        same = g["user_id"].eq(g["user_id"].shift(1)).to_numpy()
+        keep = ~same | ((sec - prev) > DEBOUNCE_SECONDS)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[keep],
+                "user_id": g["user_id"].to_numpy()[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+EVENTS_DEBOUNCE_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS dt
+  FROM events
+)
+SELECT event_id, user_id FROM s
+WHERE dt IS NULL OR dt > {DEBOUNCE_SECONDS}
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-depth decile histogram with EXACT global quantile edges — distributed
+# order statistics without a global sort. The classic two-phase rank
+# lookup over a value-bucketed histogram:
+#   1. ONE combinable exchange builds the (value_bucket, cents) → count
+#      histogram (duplicates collapse map-side; distinct prices are
+#      value-domain-bounded, not row-bounded).
+#   2. Per-value-bucket totals (O(buckets) rows) give the driver exclusive
+#      prefix counts; each needed global rank (floor/ceil of the nine
+#      decile positions + min/max) is then resolved INSIDE the one value
+#      bucket that contains it — a local sorted cumsum lookup.
+#   3. Edges interpolate exactly like quantile_cont / np.percentile
+#      (v_lo + frac·(v_hi − v_lo), frac = (n−1)q − ⌊(n−1)q⌋), are rounded
+#      to 2 dp on both sides, and the per-decile row counts come from a
+#      second pass over the (materialized, distinct-value-sized) histogram
+#      — the raw table is read exactly once.
+
+N_DECILES = 10
+DECILE_VSPAN = 5_000_000  # cents per value bucket
+
+
+def agg_equidepth_deciles(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        vc = pd.Series(c).value_counts()
+        cents = vc.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {"vb": cents // DECILE_VSPAN, "cents": cents, "cnt": vc.to_numpy(np.int64)}
+        )
+
+    hist = (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby(["vb", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # distinct-value-sized; reused for ranks AND counts
+    )
+
+    totals = (
+        hist.groupby("vb").aggregate(Sum("cnt", alias_name="t")).to_pandas()
+        .sort_values("vb")
+    )
+    totals["base"] = totals["t"].cumsum() - totals["t"]
+    n = int(totals["t"].sum())
+    h = [(n - 1) * d / N_DECILES for d in range(1, N_DECILES)]
+    ranks = sorted({0, n - 1} | {int(np.floor(x)) for x in h} | {int(np.ceil(x)) for x in h})
+    base_of = dict(zip(totals["vb"].astype(int), totals["base"].astype(int)))
+    rank_ref = ray.put((ranks, base_of))
+
+    def rank_lookup(g: pd.DataFrame) -> pd.DataFrame:
+        rks, bases = ray.get(rank_ref)
+        g = g.sort_values("cents")
+        base = bases[int(g["vb"].iloc[0])]
+        cum = g["cnt"].cumsum().to_numpy()
+        local = [r - base for r in rks if 0 <= r - base < cum[-1]]
+        if not local:
+            return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                                 "cents": pd.Series([], dtype="int64")})
+        idx = np.searchsorted(cum, np.array(local, dtype=np.int64), side="right")
+        return pd.DataFrame(
+            {"rank": np.array(local, dtype=np.int64) + base,
+             "cents": g["cents"].to_numpy()[idx]}
+        )
+
+    at_rank = (
+        hist.groupby("vb").map_groups(rank_lookup, batch_format="pandas")
+        .to_pandas().set_index("rank")["cents"]
+    )
+    edges = []
+    for x in h:
+        lo, hi = int(np.floor(x)), int(np.ceil(x))
+        v = float(at_rank[lo]) + (x - lo) * (float(at_rank[hi]) - float(at_rank[lo]))
+        edges.append(float(r2(v / 100.0, 2)))
+    emin = float(r2(at_rank[0] / 100.0, 2))
+    emax = float(r2(at_rank[n - 1] / 100.0, 2))
+    edges_arr = np.array(edges, dtype=np.float64)
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(edges_arr, df["cents"].to_numpy(np.float64) / 100.0, side="left")
+        out = pd.DataFrame({"bucket": b.astype(np.int64), "n": df["cnt"].to_numpy(np.int64)})
+        return out.groupby("bucket", as_index=False).sum()
+
+    counts = (
+        hist.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("bucket").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    bounds = [emin] + edges + [emax]
+    out = counts.sort_values("bucket").reset_index(drop=True)
+    out["lo"] = [bounds[int(b)] for b in out["bucket"]]
+    out["hi"] = [bounds[int(b) + 1] for b in out["bucket"]]
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["bucket", "lo", "hi", "n"]]
+
+
+def _equidepth_sql() -> str:
+    edge_selects = "\n  UNION ALL ".join(
+        f"SELECT {d} AS d, ROUND(quantile_cont(cents, {d / N_DECILES}) / 100.0, 2) AS edge FROM c"
+        for d in range(1, N_DECILES)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders
+), e AS (
+  {edge_selects}
+), mm AS (
+  SELECT ROUND(MIN(cents) / 100.0, 2) AS mn, ROUND(MAX(cents) / 100.0, 2) AS mx FROM c
+), b AS (
+  SELECT cents,
+         (SELECT COUNT(*) FROM e WHERE e.edge < c.cents::DOUBLE / 100.0) AS bucket
+  FROM c
+)
+SELECT b.bucket::BIGINT AS bucket,
+       COALESCE(el.edge, (SELECT mn FROM mm)) AS lo,
+       COALESCE(eh.edge, (SELECT mx FROM mm)) AS hi,
+       COUNT(*)::BIGINT AS n
+FROM b
+LEFT JOIN e el ON el.d = b.bucket
+LEFT JOIN e eh ON eh.d = b.bucket + 1
+GROUP BY b.bucket, lo, hi
+"""
+
+
+AGG_EQUIDEPTH_SQL = _equidepth_sql()

@@ -179,6 +179,10 @@ def _populate() -> None:
         "events_zscore_outliers", R.events_zscore_outliers, R.EVENTS_ZSCORE_SQL
     )
     register("agg_grouped_mode", R.agg_grouped_mode, R.AGG_GROUPED_MODE_SQL)
+    register("events_debounce", R.events_debounce, R.EVENTS_DEBOUNCE_SQL)
+    register(
+        "agg_equidepth_deciles", R.agg_equidepth_deciles, R.AGG_EQUIDEPTH_SQL
+    )
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)
@@ -347,6 +351,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     # width is empirically exact at driver scale; narrower widths are
     # recall-tested in tests/test_corpus_stats.py
     register("ann_lsh_topk", N.lsh_topk, N.brute_force_topk_sql())
+    register("embed_knn_classify", N.knn_classify, N.KNN_CLASSIFY_SQL)
     register("multimodal_media_features", M.media_features)
     register_lazy_oracle(
         "multimodal_media_features",

@@ -239,3 +239,49 @@ def test_grouped_mode_matches(ray_session):
     _assert_matches(got, R.AGG_GROUPED_MODE_SQL)
     orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderstatus"])
     assert len(got) == orders["o_orderstatus"].nunique()
+
+
+def test_events_debounce_matches_and_drops(ray_session):
+    got = R.events_debounce(SF)
+    _assert_matches(got, R.EVENTS_DEBOUNCE_SQL)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+    assert 0 < len(got) < len(ev)  # threshold actually discriminates
+    # every user keeps at least their first event
+    assert got["user_id"].nunique() == ev["user_id"].nunique()
+
+
+def test_equidepth_deciles_matches(ray_session):
+    got = R.agg_equidepth_deciles(SF)
+    _assert_matches(got, R.AGG_EQUIDEPTH_SQL)
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    assert got["n"].sum() == len(orders)
+    assert len(got) == R.N_DECILES
+    # equi-depth: every bucket within ±1 of n/10 around interpolated edges
+    assert (got["n"] - len(orders) / R.N_DECILES).abs().max() <= 1
+    # edges are monotone
+    assert (got.sort_values("bucket")["hi"].to_numpy()
+            >= got.sort_values("bucket")["lo"].to_numpy()).all()
+
+
+def test_knn_classify_matches(ray_session):
+    from fundamental_ray.ops import ann as N
+
+    got = N.knn_classify(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    exp = con.execute(N.KNN_CLASSIFY_SQL).fetchdf()
+    cols = list(got.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values("query_id").reset_index(drop=True),
+        exp[cols].sort_values("query_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) == N.KNN_QUERIES
+    # vote counts are bounded by k; labels come from the corpus domain
+    # (the synthetic embeddings are near-isotropic, so ACCURACY is not a
+    # meaningful invariant here — the oracle equality above is the check)
+    assert got["votes"].between(1, N.KNN_K).all()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label"])
+    assert got["predicted_label"].isin(emb["label"].unique()).all()
