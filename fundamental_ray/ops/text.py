@@ -565,3 +565,74 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
       < (m.mn * {SAMPLE_MOD}) // c.n
 ORDER BY d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+WSAMPLE_K = 100
+WSAMPLE_U_DENOM = 4294967297.0  # 2^32 + 1 → u ∈ (0, 1]
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): each document gets priority ln(u)/w with
+    u = hash-uniform(doc_id) and w = n_chars, and the global top-k by
+    priority IS a w-weighted sample — with the RNG replaced by the same
+    md5 uniform the stratified sampler uses, so the draw is reproducible
+    across runs, machines and partitionings. The quality-weighted
+    selection step of a data-mixing pipeline.
+
+    Scale shape: pure combiner — every block emits only its local top-k
+    (k × n_blocks rows cross to the driver; the corpus never shuffles and
+    only (doc_id, lang, n_chars) is ever read). Keys are rounded to 9 dp
+    with a doc_id tie-break so the boundary is cross-engine stable (both
+    engines evaluate ln via the same libm; rounding quantizes the
+    remaining division ulps)."""
+    import numpy as np
+
+    from ..pipelines.analytics import r2
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                for d in df["doc_id"]
+            ],
+            dtype=np.float64,
+        )
+        u = (h + 1.0) / WSAMPLE_U_DENOM
+        w = np.maximum(df["n_chars"].to_numpy(np.float64), 1.0)
+        key = r2(np.log(u) / w, 9)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df["lang"],
+                "n_chars": df["n_chars"].astype("int64"),
+                "key": key,
+            }
+        )
+        return out.sort_values(["key", "doc_id"], ascending=[False, True]).head(k)
+
+    cand = (
+        _read_docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k × n_blocks rows
+    )
+    return (
+        cand.sort_values(["key", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(
+           ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               + 1)::DOUBLE / {WSAMPLE_U_DENOM})
+           / GREATEST(n_chars, 1)::DOUBLE, 9) AS key
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, key FROM k
+QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) <= {WSAMPLE_K}
+"""

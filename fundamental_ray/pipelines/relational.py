@@ -1026,3 +1026,147 @@ GROUP BY b.bucket, lo, hi
 
 
 AGG_EQUIDEPTH_SQL = _equidepth_sql()
+
+
+# --------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix from ONE streaming pass of
+# sufficient statistics: each batch folds (n, Σx, Σx², Σxy for every
+# column pair) into a single partial row — 15 scalars per block — and the
+# driver reduces blocks and applies the closed form. The corpus is read
+# once, nothing shuffles. The formula ((nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²
+# −(Σy)²))), association order and 6-dp rounding are mirrored in SQL
+# (NOT SQL's corr(): its streaming covariance is a different summation).
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def agg_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    cols = CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": np.float64(len(df))}
+        v = {c: df[c].to_numpy(np.float64) for c in cols}
+        for c in cols:
+            row[f"s_{c}"] = v[c].sum()
+            row[f"ss_{c}"] = (v[c] * v[c]).sum()
+        for a, b in pairs:
+            row[f"sp_{a}_{b}"] = (v[a] * v[b]).sum()
+        return pd.DataFrame([row])
+
+    parts = (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # n_blocks rows of 15 scalars
+        .sum()
+    )
+    n = parts["n"]
+    out = []
+    for a, b in pairs:
+        num = n * parts[f"sp_{a}_{b}"] - parts[f"s_{a}"] * parts[f"s_{b}"]
+        den = np.sqrt(
+            (n * parts[f"ss_{a}"] - parts[f"s_{a}"] * parts[f"s_{a}"])
+            * (n * parts[f"ss_{b}"] - parts[f"s_{b}"] * parts[f"s_{b}"])
+        )
+        out.append({"col_a": a, "col_b": b, "corr": float(r2(num / den, 6))})
+    return pd.DataFrame(out)
+
+
+def _corr_sql() -> str:
+    cols = CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sums = ["COUNT(*)::DOUBLE AS n"]
+    for c in cols:
+        sums.append(f"SUM({c}) AS s_{c}")
+        sums.append(f"SUM({c} * {c}) AS ss_{c}")
+    for a, b in pairs:
+        sums.append(f"SUM({a} * {b}) AS sp_{a}_{b}")
+    selects = [
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       ROUND((n * sp_{a}_{b} - s_{a} * s_{b})
+             / sqrt((n * ss_{a} - s_{a} * s_{a})
+                    * (n * ss_{b} - s_{b} * s_{b})), 6) AS corr
+FROM s"""
+        for a, b in pairs
+    ]
+    return (
+        "WITH s AS (\n  SELECT " + ",\n         ".join(sums) + "\n  FROM lineitem\n)\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+AGG_CORR_MATRIX_SQL = _corr_sql()
+
+
+# --------------------------------------------------------------------------
+# Calendar gap-fill (timeseries densification): per-user daily event
+# counts INCLUDING explicit zero rows for silent days between the user's
+# first and last active day — what a downstream per-day model join needs.
+# Same one-exchange bucketized fold (user ranges and day counts are both
+# bucket-local); the day fan-out is pure map-side generation bounded by
+# each user's own activity span.
+
+
+def events_gap_fill(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 255), pa.int32())
+        )
+
+    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].to_numpy().astype("datetime64[D]")
+        counts = (
+            pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": days})
+            .groupby(["user_id", "day"], sort=False)
+            .size()
+        )
+        out_u, out_d, out_n = [], [], []
+        for uid, per_user in counts.groupby(level=0, sort=False):
+            # the MultiIndex upcasts datetime64[D] to ns — cast back so
+            # arange steps in DAYS
+            udays = per_user.index.get_level_values(1).to_numpy().astype("datetime64[D]")
+            full = np.arange(udays.min(), udays.max() + np.timedelta64(1, "D"))
+            n = np.zeros(len(full), dtype=np.int64)
+            n[(udays - full[0]).astype("timedelta64[D]").astype(np.int64)] = (
+                per_user.to_numpy()
+            )
+            out_u.append(np.full(len(full), uid, dtype=np.int64))
+            out_d.append(full)
+            out_n.append(n)
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "day": np.datetime_as_string(np.concatenate(out_d), unit="D"),
+                "n": np.concatenate(out_n),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fill_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), r AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
+), cal AS (
+  SELECT user_id,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM r
+)
+SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n, 0)::BIGINT AS n
+FROM cal c LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+"""

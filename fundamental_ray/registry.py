@@ -183,6 +183,8 @@ def _populate() -> None:
     register(
         "agg_equidepth_deciles", R.agg_equidepth_deciles, R.AGG_EQUIDEPTH_SQL
     )
+    register("agg_corr_matrix", R.agg_corr_matrix, R.AGG_CORR_MATRIX_SQL)
+    register("events_gap_fill", R.events_gap_fill, R.EVENTS_GAP_FILL_SQL)
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)
@@ -217,6 +219,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_fingerprints", T.fingerprints, T.FINGERPRINTS_SQL)
     register("text_winnow_fingerprints", T.winnow_fingerprints, T.WINNOW_FINGERPRINTS_SQL)
     register("text_sample_stratified", T.sample_stratified, T.SAMPLE_STRATIFIED_SQL)
+    register("text_weighted_sample", T.weighted_sample, T.WEIGHTED_SAMPLE_SQL)
     register(
         "text_top_quality_per_lang", T.top_quality_per_lang, T.TOP_QUALITY_PER_LANG_SQL
     )

@@ -285,3 +285,50 @@ def test_knn_classify_matches(ray_session):
     assert got["votes"].between(1, N.KNN_K).all()
     emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label"])
     assert got["predicted_label"].isin(emb["label"].unique()).all()
+
+
+def test_corr_matrix_matches(ray_session):
+    got = R.agg_corr_matrix(SF)
+    _assert_matches(got, R.AGG_CORR_MATRIX_SQL)
+    assert len(got) == 6
+    assert got["corr"].abs().le(1.0).all()
+    # cross-check one pair against pandas
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
+    want = li["l_quantity"].corr(li["l_extendedprice"])
+    have = got[(got.col_a == "l_quantity") & (got.col_b == "l_extendedprice")]["corr"].iloc[0]
+    assert abs(have - want) < 1e-5
+
+
+def test_gap_fill_matches_and_is_dense(ray_session):
+    got = R.events_gap_fill(SF)
+    _assert_matches(got, R.EVENTS_GAP_FILL_SQL)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    active = ev.assign(day=ev["ts"].dt.normalize()).groupby(["user_id", "day"]).size()
+    assert got["n"].sum() == len(ev)
+    assert (got["n"] == 0).any()  # zeros were actually inserted
+    assert len(got) > len(active)
+    # per user: contiguous daily calendar
+    for uid, g in got.groupby("user_id"):
+        d = pd.to_datetime(g["day"]).sort_values()
+        assert (d.diff().dropna() == pd.Timedelta(days=1)).all()
+
+
+def test_weighted_sample_matches(ray_session):
+    from fundamental_ray.ops import text as T
+
+    got = T.weighted_sample(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(T.WEIGHTED_SAMPLE_SQL).fetchdf()
+    cols = list(got.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        exp[cols].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) == T.WSAMPLE_K
+    # weighting bites: sampled docs skew longer than the corpus average
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])
+    assert got["n_chars"].mean() > docs["n_chars"].mean()
