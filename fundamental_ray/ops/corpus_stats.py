@@ -564,3 +564,77 @@ SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
 FROM toks t JOIN tf USING (term)
 GROUP BY t.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-language Shannon entropy of the unigram distribution — the lexical
+# diversity statistic (nats/token) corpus audits report per stratum.
+# H = ln(T) − Σ tf·ln(tf) / T decomposes over per-(lang, term) counts, so
+# the whole computation is the vocab_topk combiner shape: per-batch
+# (lang, term → tf) partials, ONE map-side-combined groupby to exact tfs,
+# then a per-lang reduction of (tf·ln tf, tf) partials — corpus text
+# crosses no exchange, only vocab-sized rows do. 6-dp rounding absorbs
+# float summation-order drift (tf·ln tf terms are O(tf·ln tf) ≤ 1e7 at
+# corpus scale while the ROUND grid is 0.5e-6 of an O(10) value... the
+# drift of a Σ of ~1e5 such doubles is ~1e-9 absolute).
+
+
+def lang_entropy(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.analytics import r2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        rows: dict[tuple[str, str], int] = {}
+        for lang, ts in zip(df["lang"], toks):
+            for t in ts:
+                rows[(lang, t)] = rows.get((lang, t), 0) + 1
+        keys = sorted(rows)
+        return pd.DataFrame(
+            {
+                "lang": [k[0] for k in keys],
+                "term": [k[1] for k in keys],
+                "tf": np.array([rows[k] for k in keys], dtype=np.int64),
+            }
+        )
+
+    tf = (
+        _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+    def lang_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["tf"].to_numpy(np.float64)
+        out = pd.DataFrame({"lang": df["lang"], "sx": t * np.log(t), "t": t})
+        return out.groupby("lang", as_index=False).sum()
+
+    agg = (
+        tf.map_batches(lang_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("sx", alias_name="sx"), Sum("t", alias_name="t"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n_tokens": agg["t"].astype("int64"),
+            "entropy": r2(np.log(agg["t"].to_numpy(np.float64)) - agg["sx"] / agg["t"], 6),
+        }
+    ).sort_values("lang").reset_index(drop=True)
+
+
+LANG_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT lang, term, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY lang, term
+)
+SELECT lang, SUM(tf)::BIGINT AS n_tokens,
+       ROUND(ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf), 6) AS entropy
+FROM tf GROUP BY lang ORDER BY lang
+"""

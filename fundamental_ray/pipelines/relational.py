@@ -920,9 +920,10 @@ N_DECILES = 10
 DECILE_VSPAN = 5_000_000  # cents per value bucket
 
 
-def agg_equidepth_deciles(sf_dir: str) -> pd.DataFrame:
-    import ray
-
+def _cents_histogram(sf_dir: str):
+    """Shared first phase of the order-statistics ops: the materialized
+    (vb, cents) → count histogram of order prices plus per-vb totals with
+    exclusive prefix counts (vb order == value order)."""
     ds = _read(sf_dir, "orders", ["o_totalprice"])
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
@@ -937,14 +938,20 @@ def agg_equidepth_deciles(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(part, batch_format="pandas")
         .groupby(["vb", "cents"])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .materialize()  # distinct-value-sized; reused for ranks AND counts
+        .materialize()  # distinct-value-sized; reused across phases
     )
-
     totals = (
         hist.groupby("vb").aggregate(Sum("cnt", alias_name="t")).to_pandas()
         .sort_values("vb")
     )
     totals["base"] = totals["t"].cumsum() - totals["t"]
+    return hist, totals
+
+
+def agg_equidepth_deciles(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    hist, totals = _cents_histogram(sf_dir)
     n = int(totals["t"].sum())
     h = [(n - 1) * d / N_DECILES for d in range(1, N_DECILES)]
     ranks = sorted({0, n - 1} | {int(np.floor(x)) for x in h} | {int(np.ceil(x)) for x in h})
@@ -1169,4 +1176,59 @@ WITH d AS (
 SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
        COALESCE(d.n, 0)::BIGINT AS n
 FROM cal c LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of order prices — the inequality statistic, computed
+# WITHOUT a global sort from the same value-bucketed histogram as the
+# decile op: Σ rank·value decomposes over runs of equal values
+# (Σ ranks of a cnt-long run starting at first-rank f is cnt·f +
+# cnt(cnt−1)/2 — pure integers), each value bucket resolves its runs from
+# the broadcast prefix-count bases, and Σ rank·value is tie-order
+# invariant, so the SQL mirror can use a plain ROW_NUMBER. Only the final
+# ratio is float (identical association both sides, 6-dp rounded).
+
+
+def agg_gini_concentration(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    hist, totals = _cents_histogram(sf_dir)
+    base_of = dict(zip(totals["vb"].astype(int), totals["base"].astype(int)))
+    base_ref = ray.put(base_of)
+
+    def rank_weighted(g: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        g = g.sort_values("cents")
+        cnt = g["cnt"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        first = bases[int(g["vb"].iloc[0])] + np.concatenate(([0], cnt.cumsum()[:-1])) + 1
+        # exact integer arithmetic in python ints (immune to 64-bit
+        # overflow at any scale)
+        s = int(sum(int(c) * (int(k) * int(f) + int(k) * (int(k) - 1) // 2)
+                    for c, k, f in zip(cents, cnt, first)))
+        t = int((cnt * cents).sum())
+        return pd.DataFrame({"s": [str(s)], "t": [str(t)], "n": [str(int(cnt.sum()))]})
+
+    parts = (
+        hist.groupby("vb").map_groups(rank_weighted, batch_format="pandas").to_pandas()
+    )
+    s = sum(int(x) for x in parts["s"])
+    t = sum(int(x) for x in parts["t"])
+    n = sum(int(x) for x in parts["n"])
+    gini = float(r2(2.0 * float(s) / (float(n) * float(t)) - (n + 1.0) / n, 6))
+    return pd.DataFrame({"gini": [gini], "n": [np.int64(n)]})
+
+
+AGG_GINI_SQL = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders
+), r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+)
+SELECT ROUND(2.0 * SUM(rn * cents)::DOUBLE
+             / (COUNT(*)::DOUBLE * SUM(cents)::DOUBLE)
+       - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+       COUNT(*)::BIGINT AS n
+FROM r
 """

@@ -185,6 +185,9 @@ def _populate() -> None:
     )
     register("agg_corr_matrix", R.agg_corr_matrix, R.AGG_CORR_MATRIX_SQL)
     register("events_gap_fill", R.events_gap_fill, R.EVENTS_GAP_FILL_SQL)
+    register(
+        "agg_gini_concentration", R.agg_gini_concentration, R.AGG_GINI_SQL
+    )
     register("scalar_string_funcs", A.scalar_string_funcs, A.SCALAR_STRING_SQL)
     register("scalar_date_funcs", A.scalar_date_funcs, A.SCALAR_DATE_SQL)
     register("agg_heatmap_stats", A.heatmap_stats, A.HEATMAP_STATS_SQL)
@@ -244,6 +247,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_chunk_windows", CS.chunk_windows, CS.CHUNK_WINDOWS_SQL)
     register("text_tfidf_topterms", CS.tfidf_topterms, CS.TFIDF_TOPTERMS_SQL)
     register("text_unigram_logprob", CS.unigram_logprob, CS.UNIGRAM_LOGPROB_SQL)
+    register("text_lang_entropy", CS.lang_entropy, CS.LANG_ENTROPY_SQL)
     register("cluster_kmeans", K.kmeans_clusters, K.KMEANS_CLUSTERS_SQL)
     register("dedup_exact", D.exact_dedup, D.EXACT_DEDUP_SQL)
     register(

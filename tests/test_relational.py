@@ -332,3 +332,39 @@ def test_weighted_sample_matches(ray_session):
     # weighting bites: sampled docs skew longer than the corpus average
     docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])
     assert got["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_gini_matches_and_brackets(ray_session):
+    got = R.agg_gini_concentration(SF)
+    _assert_matches(got, R.AGG_GINI_SQL)
+    g = got["gini"].iloc[0]
+    assert 0.0 < g < 1.0
+    # cross-check against a direct numpy computation
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    x = np.sort(np.round(o["o_totalprice"].to_numpy() * 100.0).astype(np.int64))
+    n = len(x)
+    want = 2.0 * float((np.arange(1, n + 1) * x).sum()) / (float(n) * float(x.sum())) - (n + 1.0) / n
+    assert abs(g - want) < 1e-6
+
+
+def test_lang_entropy_matches(ray_session):
+    from fundamental_ray.ops import corpus_stats as CS
+
+    got = CS.lang_entropy(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(CS.LANG_ENTROPY_SQL).fetchdf()
+    cols = list(got.columns)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp[cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    assert set(got["lang"]) == set(docs["lang"].unique())
+    assert (got["entropy"] > 0).all()
+    # entropy is bounded by ln(vocab size) per lang
+    for _, r in got.iterrows():
+        assert r["entropy"] <= np.log(r["n_tokens"]) + 1e-9
