@@ -160,3 +160,95 @@ def media_features(sf_dir: str, concurrency: int | None = None) -> pd.DataFrame:
     # feature vectors (the heavy column) are dropped IN the stage; only the
     # small metadata frame reaches the driver
     return ds.to_pandas()
+
+
+# --------------------------------------------------------------------------
+# Video frame-sampling plan — the "which frames do we decode" stage of a
+# video ingestion pipeline, run BEFORE the (expensive, stubbed) decode:
+# each video expands to its 1 Hz sample schedule, capped at MAX_FRAMES.
+# Pure map-side fan-out in an actor pool (the real build holds the
+# container/codec probe state per actor); output is bounded by
+# videos × MAX_FRAMES, never by raw frame count. Video metadata is
+# synthesized from doc_id with INTEGER arithmetic so the oracle is a
+# standalone SQL query (the payload itself stays a stub either way).
+
+MAX_FRAMES = 32
+
+
+def synth_video_meta(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-doc video metadata: duration 5–119 s, fps ∈
+    {24, 30, 36} — pure functions of doc_id (mirrored literally in SQL)."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        dur = (ids * 37) % 115 + 5
+        fps = ((ids * 11) % 3) * 6 + 24
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "duration_s": pa.array(dur.astype(np.int64), pa.int64()),
+                "fps": pa.array(fps.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow")
+
+
+class FrameSampler:
+    """Actor-pool stage: (media_id, duration_s, fps) → one row per planned
+    frame (frame_no, source frame index, timestamp). A real build opens the
+    container here (__init__ holds the demuxer) and emits decode work units."""
+
+    def __init__(self, max_frames: int = MAX_FRAMES):
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy()
+        dur = t.column("duration_s").to_numpy()
+        fps = t.column("fps").to_numpy()
+        k = np.minimum(dur, self.max_frames).astype(np.int64)
+        media = np.repeat(ids, k)
+        frame_no = np.concatenate([np.arange(n, dtype=np.int64) for n in k]) if len(k) else np.array([], dtype=np.int64)
+        rep_fps = np.repeat(fps, k)
+        return pa.table(
+            {
+                "media_id": pa.array(media, pa.int64()),
+                "frame_no": pa.array(frame_no, pa.int64()),
+                "frame_idx": pa.array(frame_no * rep_fps, pa.int64()),
+                "ts_ms": pa.array(frame_no * 1000, pa.int64()),
+            }
+        )
+
+
+def frame_plan(sf_dir: str, concurrency: int | None = None) -> pd.DataFrame:
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, ncpu - 2)
+    return (
+        synth_video_meta(sf_dir)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=512,
+                     concurrency=concurrency, num_cpus=1)
+        .to_pandas()
+    )
+
+
+FRAME_PLAN_SQL = f"""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         5 + (doc_id * 37) % 115 AS duration_s,
+         24 + ((doc_id * 11) % 3) * 6 AS fps
+  FROM documents
+), f AS (
+  SELECT media_id, fps,
+         unnest(generate_series(0, LEAST(duration_s, {MAX_FRAMES}) - 1)) AS frame_no
+  FROM v
+)
+SELECT media_id, frame_no::BIGINT AS frame_no,
+       (frame_no * fps)::BIGINT AS frame_idx,
+       (frame_no * 1000)::BIGINT AS ts_ms
+FROM f
+"""

@@ -361,3 +361,24 @@ def test_balance_langs_equalizes_strata(ray_session):
         p = ((mn * T.SAMPLE_MOD) // total) / T.SAMPLE_MOD
         sigma = (total * p * (1 - p)) ** 0.5
         assert abs(kept.get(lang, 0) - total * p) <= 3 * sigma + 1, (lang, kept.get(lang, 0), total * p)
+
+
+def test_frame_plan_matches_oracle_and_caps(ray_session):
+    import duckdb
+
+    got = M.frame_plan(SF, concurrency=1)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(M.FRAME_PLAN_SQL).fetchdf()
+    cols = list(got.columns)
+    a = got.sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # cap is enforced and short videos expand to fewer frames
+    per = got.groupby("media_id").size()
+    assert per.max() == M.MAX_FRAMES
+    assert per.min() >= 5
+    # frame_idx is consistent with the synthesized fps grid
+    assert (got["frame_idx"] % np.where(got["frame_no"] > 0, got["frame_no"], 1) == 0).all()
