@@ -582,16 +582,92 @@ FROM o FULL OUTER JOIN l ON o.day = l.day
 # --------------------------------------------------------------------------
 # Winsorized aggregate: clip each order's price to its status group's
 # [P05, P95] band, then average — the outlier-robust statistic a price
-# pipeline reports. Two passes: (1) per-group exact percentiles via
-# map_groups (groups are low-cardinality; the guarded per-group
-# materialization pattern of exact_median), broadcast the tiny band table
-# into (2) a streaming clip+partial-sum pass. Determinism: the thresholds
-# are rounded to cents on BOTH sides before clipping (part of the op
-# contract — np.percentile(method='linear') and DuckDB quantile_cont agree
+# pipeline reports. Two passes: (1) per-group exact percentiles via the
+# GROUPED distributed rank lookup below (the decile op's value-bucketed
+# histogram machinery keyed by status — no per-group materialization, so
+# a status with 10^9 orders never lands in one task), broadcast the tiny
+# band table into (2) a streaming clip+partial-sum pass. Determinism: the
+# thresholds are rounded to cents on BOTH sides before clipping (part of
+# the op contract — linear interpolation and DuckDB quantile_cont agree
 # at 2 dp, not at raw ulps), and the clipped values are exact cents ints,
 # so the final mean is order-insensitive up to the one mirrored division.
 
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def _grouped_order_percentiles(sf_dir: str, qs: list) -> pd.DataFrame:
+    """Exact per-status percentiles of o_totalprice — the grouped variant
+    of the decile op's histogram rank lookup. (o_orderstatus, q, value)
+    rows, values in 2-dp-rounded euros."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        out = (
+            pd.DataFrame({"g": df["o_orderstatus"].to_numpy(), "cents": c})
+            .groupby(["g", "cents"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["vb"] = out["cents"] // DECILE_VSPAN
+        return out[["g", "vb", "cents", "cnt"]]
+
+    hist = (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby(["g", "vb", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    totals = (
+        hist.groupby(["g", "vb"]).aggregate(Sum("cnt", alias_name="t")).to_pandas()
+        .sort_values(["g", "vb"])
+    )
+    totals["base"] = totals.groupby("g")["t"].cumsum() - totals["t"]
+    n_of = totals.groupby("g")["t"].sum().to_dict()
+    h_of = {g: [(int(n) - 1) * q for q in qs] for g, n in n_of.items()}
+    ranks_of = {
+        g: sorted({int(np.floor(x)) for x in hs} | {int(np.ceil(x)) for x in hs})
+        for g, hs in h_of.items()
+    }
+    base_of = {(r.g, int(r.vb)): int(r.base) for r in totals.itertuples()}
+    ref = ray.put((ranks_of, base_of))
+
+    def lookup(grp: pd.DataFrame) -> pd.DataFrame:
+        ranks_map, bases = ray.get(ref)
+        grp = grp.sort_values("cents")
+        gkey = grp["g"].iloc[0]
+        base = bases[(gkey, int(grp["vb"].iloc[0]))]
+        cum = grp["cnt"].cumsum().to_numpy()
+        loc = [r - base for r in ranks_map[gkey] if 0 <= r - base < cum[-1]]
+        if not loc:
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype=object),
+                 "rank": pd.Series([], dtype="int64"),
+                 "cents": pd.Series([], dtype="int64")}
+            )
+        idx = np.searchsorted(cum, np.array(loc, np.int64), side="right")
+        return pd.DataFrame(
+            {"g": gkey, "rank": np.array(loc, np.int64) + base,
+             "cents": grp["cents"].to_numpy()[idx]}
+        )
+
+    at = (
+        hist.groupby(["g", "vb"]).map_groups(lookup, batch_format="pandas")
+        .to_pandas().set_index(["g", "rank"])["cents"]
+    )
+    rows = []
+    for gkey, hs in h_of.items():
+        for q, x in zip(qs, hs):
+            lo, hi = int(np.floor(x)), int(np.ceil(x))
+            v = float(at[(gkey, lo)]) + (x - lo) * (
+                float(at[(gkey, hi)]) - float(at[(gkey, lo)])
+            )
+            rows.append(
+                {"o_orderstatus": gkey, "q": q, "value": float(r2(v / 100.0, 2))}
+            )
+    return pd.DataFrame(rows)
 
 
 def agg_winsorized_prices(sf_dir: str) -> pd.DataFrame:
@@ -600,21 +676,13 @@ def agg_winsorized_prices(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
 
-    def bands(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["o_totalprice"].to_numpy()
-        return pd.DataFrame(
-            [
-                {
-                    "o_orderstatus": g["o_orderstatus"].iloc[0],
-                    "lo": float(r2(np.percentile(v, WINSOR_LO * 100, method="linear"))),
-                    "hi": float(r2(np.percentile(v, WINSOR_HI * 100, method="linear"))),
-                }
-            ]
-        )
-
+    pct = _grouped_order_percentiles(sf_dir, [WINSOR_LO, WINSOR_HI])
     band_tbl = (
-        ds.groupby("o_orderstatus").map_groups(bands, batch_format="pandas").to_pandas()
+        pct.pivot(index="o_orderstatus", columns="q", values="value")
+        .rename(columns={WINSOR_LO: "lo", WINSOR_HI: "hi"})
+        .reset_index()
     )
+    band_tbl.columns.name = None
     band_ref = ray.put(
         {
             r.o_orderstatus: (round(r.lo * 100), round(r.hi * 100))
@@ -1127,30 +1195,33 @@ def events_gap_fill(sf_dir: str) -> pd.DataFrame:
         )
 
     def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        days = g["ts"].to_numpy().astype("datetime64[D]")
+        # fully vectorized: per-(user, day) counts, per-user [d0, d1] spans,
+        # repeat/arange fan-out of the dense calendar, then scatter counts
+        day_i = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         counts = (
-            pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": days})
-            .groupby(["user_id", "day"], sort=False)
+            pd.DataFrame({"user_id": g["user_id"].to_numpy(), "d": day_i})
+            .groupby(["user_id", "d"], sort=True)
             .size()
+            .reset_index(name="n")
         )
-        out_u, out_d, out_n = [], [], []
-        for uid, per_user in counts.groupby(level=0, sort=False):
-            # the MultiIndex upcasts datetime64[D] to ns — cast back so
-            # arange steps in DAYS
-            udays = per_user.index.get_level_values(1).to_numpy().astype("datetime64[D]")
-            full = np.arange(udays.min(), udays.max() + np.timedelta64(1, "D"))
-            n = np.zeros(len(full), dtype=np.int64)
-            n[(udays - full[0]).astype("timedelta64[D]").astype(np.int64)] = (
-                per_user.to_numpy()
-            )
-            out_u.append(np.full(len(full), uid, dtype=np.int64))
-            out_d.append(full)
-            out_n.append(n)
+        spans = counts.groupby("user_id", sort=True)["d"].agg(["min", "max", "size"])
+        span_len = (spans["max"] - spans["min"] + 1).to_numpy(np.int64)
+        users = np.repeat(spans.index.to_numpy(np.int64), span_len)
+        starts = np.repeat(spans["min"].to_numpy(np.int64), span_len)
+        offsets = np.concatenate([np.arange(k) for k in span_len]) if len(span_len) else np.array([], dtype=np.int64)
+        days = starts + offsets
+        n = np.zeros(len(days), dtype=np.int64)
+        # position of each active (user, day) in the dense output: the
+        # user's span start index + day offset (counts and spans share the
+        # same user_id sort order)
+        base = np.repeat(np.concatenate(([0], span_len.cumsum()[:-1])), spans["size"].to_numpy(np.int64))
+        first = np.repeat(spans["min"].to_numpy(np.int64), spans["size"].to_numpy(np.int64))
+        n[base + (counts["d"].to_numpy(np.int64) - first)] = counts["n"].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                "user_id": np.concatenate(out_u),
-                "day": np.datetime_as_string(np.concatenate(out_d), unit="D"),
-                "n": np.concatenate(out_n),
+                "user_id": users,
+                "day": np.datetime_as_string(days.astype("datetime64[D]"), unit="D"),
+                "n": n,
             }
         )
 
