@@ -776,3 +776,209 @@ def duplicate_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- chunk-level keep-first
+# C4-style span dedup (Raffel et al. 2020 drop repeated three-sentence
+# spans; reference analogue: the URL-seen keep-first discipline of
+# crawl/seen.py applied to text spans): every duplicated chunk keeps its
+# globally-first occurrence (min (doc_id, chunk_idx)) and is removed
+# everywhere else; documents are reassembled from their surviving chunks.
+# The segmenter is deterministic fixed-width word windows (the synthetic
+# corpus has no sentence boundaries), so the SQL oracle can re-derive the
+# exact chunking.
+#
+# Scale shape (the whole point):
+#   pass 1  docs -> (h=md5-60bit(chunk), packed=doc_id*MAX+ci) NARROW rows
+#           -> ONE exchange bucketed by h%B -> per-bucket winner = min
+#           packed per h -> emit only the LOSER positions (dup-bounded)
+#   pass 1b loser positions -> one dup-bounded exchange by doc-bucket ->
+#           per-bucket sorted Parquet drop index (the shingle-index idiom)
+#   pass 2  docs re-chunk LOCALLY, range-pruned point-read of their doc
+#           buckets' drop rows, boolean mask, reassemble.
+# Corpus text crosses ZERO exchange; only 16-byte hash rows pay the
+# all-to-all once, plus the duplicate-rate-bounded drop list.
+#
+# Ray dedups on the 60-bit md5 prefix, the oracle on the chunk string —
+# identical absent md5-prefix collisions (none at any tested sf; at 100 TB
+# widen to the full 128-bit digest).
+
+CHUNK_DEDUP_W = 6  # words per chunk
+CHUNK_DEDUP_MAX = 4096  # packed = doc_id * MAX + chunk_idx
+CHUNK_DEDUP_HBUCKETS = 64
+CHUNK_DEDUP_DBUCKETS = 64
+CHUNK_DEDUP_VERSION = "1"
+
+
+def _chunk_rows(text: str) -> list[str]:
+    w = text.split(" ")
+    return [
+        " ".join(w[i : i + CHUNK_DEDUP_W]) for i in range(0, len(w), CHUNK_DEDUP_W)
+    ]
+
+
+def _chunk_h60(chunk: str) -> int:
+    return int(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _chunk_drop_index(sf_dir: str) -> str:
+    """Build (once per corpus) the doc-bucketed Parquet index of DROPPED
+    chunk positions (packed = doc_id*MAX + ci of every non-first duplicate
+    occurrence). Two Ray exchanges: hash rows by h-bucket, losers by
+    doc-bucket; idempotent via _DONE."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    slug = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = f"/tmp/fr_chunkdedup/{slug}-w{CHUNK_DEDUP_W}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        with open(done) as fh:
+            if fh.read().split(":")[0] == CHUNK_DEDUP_VERSION:
+                return out_dir
+        import shutil as _sh
+
+        _sh.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hs, packed = [], []
+        for d, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
+            for ci, ch in enumerate(_chunk_rows(t)):
+                hs.append(_chunk_h60(ch))
+                packed.append(int(d) * CHUNK_DEDUP_MAX + ci)
+        h = np.asarray(hs, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "hb": (h % CHUNK_DEDUP_HBUCKETS).astype("int32"),
+                "h": h,
+                "packed": np.asarray(packed, dtype=np.int64),
+            }
+        )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("h")["packed"].transform("min")
+        drop = g.loc[g["packed"] != win, "packed"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "dbucket": ((drop // CHUNK_DEDUP_MAX) % CHUNK_DEDUP_DBUCKETS).astype(
+                    "int32"
+                ),
+                "packed": drop,
+            }
+        )
+
+    def write_drops(t: pa.Table) -> pa.Table:
+        t = t.sort_by("packed")
+        b = t.column("dbucket")[0].as_py()
+        d = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        _pq.write_table(t.drop_columns(["dbucket"]), path + ".tmp", row_group_size=2048)
+        os.replace(path + ".tmp", path)
+        return pa.table({"dbucket": [b], "rows": [t.num_rows]})
+
+    (
+        _read_docs(sf_dir)
+        .map_batches(hash_rows, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(losers, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(write_drops, batch_format="pyarrow")
+        .materialize()
+    )
+    with open(done, "w") as fh:
+        fh.write(f"{CHUNK_DEDUP_VERSION}:{CHUNK_DEDUP_W}")
+    return out_dir
+
+
+def _dropped_in_range(index_dir: str, dbuckets: "np.ndarray", lo: int, hi: int):
+    """Range-pruned read of dropped packed positions for the given doc
+    buckets — batch-proportional, never corpus-proportional."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+
+    from ..crawl.fetchstore import _open_dataset
+
+    parts = []
+    for b in np.unique(dbuckets):
+        paths = sorted(
+            _glob.glob(os.path.join(index_dir, f"bucket={int(b)}", "*.parquet"))
+        )
+        if not paths:
+            continue
+        t = _open_dataset(paths).to_table(
+            columns=["packed"],
+            filter=(pads.field("packed") >= lo) & (pads.field("packed") <= hi),
+        )
+        parts.append(t.column("packed").to_numpy(zero_copy_only=False))
+    return np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+
+
+def chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Registered query: (doc_id, text_dedup, n_kept) after global
+    keep-first chunk dedup; docs whose every chunk was dropped are omitted
+    (8 of 500 at sf0.01 — short docs whose chunks all occurred earlier)."""
+    index_dir = _chunk_drop_index(sf_dir)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        texts = df["text"].fillna("").tolist()
+        chunked = [_chunk_rows(t) for t in texts]
+        if len(ids):
+            dropped = _dropped_in_range(
+                index_dir,
+                ids % CHUNK_DEDUP_DBUCKETS,
+                int(ids.min()) * CHUNK_DEDUP_MAX,
+                (int(ids.max()) + 1) * CHUNK_DEDUP_MAX - 1,
+            )
+        else:
+            dropped = np.array([], dtype=np.int64)
+        drop_set = set(dropped.tolist())
+        out = {"doc_id": [], "text_dedup": [], "n_kept": []}
+        for d, chunks in zip(ids, chunked):
+            base = int(d) * CHUNK_DEDUP_MAX
+            kept = [c for ci, c in enumerate(chunks) if base + ci not in drop_set]
+            if kept:
+                out["doc_id"].append(int(d))
+                out["text_dedup"].append(" ".join(kept))
+                out["n_kept"].append(len(kept))
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "n_kept": "int64"}
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(reassemble, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS wi
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, wi // {CHUNK_DEDUP_W} AS ci,
+         string_agg(word, ' ' ORDER BY wi) AS chunk
+  FROM w GROUP BY doc_id, wi // {CHUNK_DEDUP_W}
+),
+own AS (
+  SELECT chunk, MIN(doc_id * {CHUNK_DEDUP_MAX} + ci) AS keep
+  FROM ch GROUP BY chunk
+),
+kept AS (
+  SELECT c.doc_id, c.ci, c.chunk
+  FROM ch c JOIN own o ON c.chunk = o.chunk
+  WHERE c.doc_id * {CHUNK_DEDUP_MAX} + c.ci = o.keep
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text_dedup,
+       COUNT(*)::BIGINT AS n_kept
+FROM kept GROUP BY doc_id
+"""

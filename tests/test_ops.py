@@ -382,3 +382,28 @@ def test_frame_plan_matches_oracle_and_caps(ray_session):
     assert per.min() >= 5
     # frame_idx is consistent with the synthesized fps grid
     assert (got["frame_idx"] % np.where(got["frame_no"] > 0, got["frame_no"], 1) == 0).all()
+
+
+def test_chunk_dedup_keepfirst_semantics(dup_corpus):
+    got = D.chunk_dedup(dup_corpus).set_index("doc_id")
+    # brute-force keep-first oracle over the same deterministic chunking
+    df = pd.read_parquet(f"{dup_corpus}/documents.parquet").sort_values("doc_id")
+    seen, want = set(), {}
+    for r in df.itertuples():
+        kept = []
+        for ch in D._chunk_rows(r.text):
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        if kept:
+            want[r.doc_id] = (" ".join(kept), len(kept))
+    assert set(got.index) == set(want)
+    for d, (txt, n) in want.items():
+        assert got.loc[d, "text_dedup"] == txt
+        assert got.loc[d, "n_kept"] == n
+    # exact copies of docs 0-4 lose every chunk
+    assert not any(100 + k in got.index for k in range(5))
+    # one-word-edit near-dups keep exactly the edited chunk (word 5 is in
+    # chunk 0 at W=6)
+    for k in range(10):
+        assert got.loc[200 + k, "n_kept"] == 1
