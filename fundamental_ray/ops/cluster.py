@@ -94,14 +94,11 @@ def _assign(df: pd.DataFrame, cref) -> pd.DataFrame:
     )
 
 
-def kmeans_clusters(
+def _train_centroids(
     sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> pd.DataFrame:
-    """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
-    under the determinism contract above."""
-    # contract: a_i assigns under c_{i-1}; c_i updates from a_i for
-    # i < iters; the OUTPUT is a_iters — i.e. iters-1 update rounds then a
-    # final assignment pass (mirrors the SQL unrolling exactly)
+) -> tuple[np.ndarray, np.ndarray]:
+    """The iters-1 Lloyd update rounds (contract: a_i assigns under
+    c_{i-1}; the caller's final assignment pass is a_iters)."""
     cids, C = _init_centroids(sf_dir, k)
     emb = _read_emb(sf_dir)
     for _ in range(iters - 1):
@@ -113,18 +110,29 @@ def kmeans_clusters(
         cids = agg.index.to_numpy(np.int64)
         sums = agg[[f"s{j}" for j in range(C.shape[1])]].to_numpy()
         C = r2(sums / agg["cnt"].to_numpy()[:, None], CENT_DECIMALS)
+    return cids, C
+
+
+def kmeans_clusters(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> pd.DataFrame:
+    """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
+    under the determinism contract above."""
+    cids, C = _train_centroids(sf_dir, k, iters)
     cref = ray.put((cids, C))
     return (
-        emb.map_batches(_assign, fn_kwargs={"cref": cref}, batch_format="pandas")
+        _read_emb(sf_dir)
+        .map_batches(_assign, fn_kwargs={"cref": cref}, batch_format="pandas")
         .to_pandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
 
 
-def kmeans_clusters_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """The unrolled-CTE DuckDB mirror: c0 → (a1, c1) → … → final
-    assignment. Centroid rounding per iteration keeps both engines on
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> list:
+    """The unrolled-CTE DuckDB mirror: c0 → (a1, c1) → … — shared by the
+    kmeans oracle and every oracle that composes over the assignment
+    (semdedup). Centroid rounding per iteration keeps both engines on
     bit-identical centroid tables (see module docstring)."""
     d = CENT_DECIMALS
     ctes = [
@@ -163,8 +171,12 @@ def kmeans_clusters_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     GROUP BY a.cluster, u.dim_idx
   ) GROUP BY cluster
 )""")
+    return ctes
+
+
+def kmeans_clusters_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters))
         + f"\nSELECT vec_id, cluster FROM a{iters} ORDER BY vec_id"
     )
 
@@ -244,3 +256,90 @@ SELECT label, (dim_idx - 1)::BIGINT AS dim, COUNT(*)::BIGINT AS n,
        ROUND(SUM(val) / COUNT(*), 6) AS centroid
 FROM u GROUP BY label, dim_idx
 """
+
+
+# --------------------------------------------------------------- SemDeDup
+# Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the embedding space
+# with k-means, then WITHIN each cluster drop every document that is
+# ε-similar (cosine ≥ τ) to another one, keeping a canonical survivor.
+# Keep rule here: a vector is dropped iff some LOWER-vec_id member of its
+# cluster is ≥ τ similar ("dominated by an earlier doc") — a deterministic,
+# order-free variant of the paper's greedy sweep that a plain SQL EXISTS
+# can mirror (the greedy variant needs sequential recursion; the two differ
+# only on chains A~B~C where cos(A,C) < τ, and keep-lowest-id is the same
+# canonical-survivor convention as exact_dedup / chunk_dedup).
+#
+# Scale shape: the quadratic sweep runs per CLUSTER inside map_groups —
+# exactly the paper's point: k grows with the corpus so cluster sizes stay
+# bounded (they use ~100k clusters for LAION); the all-pairs cost is
+# O(n²/k) total and each group fits a worker. One exchange (the cluster
+# groupby); centroid training is the streamed Lloyd loop above.
+
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup(
+    sf_dir: str,
+    tau: float = SEMDEDUP_TAU,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> pd.DataFrame:
+    """(vec_id, cluster, kept) for every embedding row; kept=0 iff an
+    earlier (lower vec_id) same-cluster vector has cosine ≥ tau."""
+    cids, C = _train_centroids(sf_dir, k, iters)
+    cref = ray.put((cids, C))
+
+    def assign_keep_emb(df: pd.DataFrame) -> pd.DataFrame:
+        out = _assign(df, cref)
+        out["embedding"] = df["embedding"].to_numpy()
+        return out
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
+        # upper triangle (row j < col i): earlier-vs-later sims only
+        dom = np.triu(M @ M.T >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(np.int64),
+                "cluster": g["cluster"].to_numpy(np.int64),
+                "kept": (~dom).astype("int64"),
+            }
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(assign_keep_emb, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def semdedup_sql(
+    tau: float = SEMDEDUP_TAU, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    ctes = _kmeans_ctes(k, iters)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (SELECT vec_id, cluster FROM a{iters})
+SELECT e.vec_id, a.cluster,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM asg a2 JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+         WHERE a2.cluster = a.cluster AND a2.vec_id < a.vec_id
+           AND list_cosine_similarity(
+                 e2.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= {tau}
+       ) THEN 0 ELSE 1 END AS kept
+FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+ORDER BY e.vec_id
+"""
+    )
+
+
+SEMDEDUP_SQL = semdedup_sql()

@@ -319,6 +319,7 @@ FROM reach GROUP BY n ORDER BY doc_id
         "dedup_duplicate_clusters", lambda corpus, art: _cluster_sql(art)
     )
     register("dedup_chunk_keepfirst", D.chunk_dedup, D.CHUNK_DEDUP_SQL)
+    register("dedup_semdedup", K.semdedup, K.SEMDEDUP_SQL)
 
     # flagship composite: quality → exact dedup → near-dup drop → decon
     from .pipelines import clean as CL

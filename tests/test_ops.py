@@ -407,3 +407,24 @@ def test_chunk_dedup_keepfirst_semantics(dup_corpus):
     # chunk 0 at W=6)
     for k in range(10):
         assert got.loc[200 + k, "n_kept"] == 1
+
+
+def test_semdedup_dominance_semantics(ray_session):
+    from fundamental_ray.ops import cluster as K
+
+    got = K.semdedup(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    cl = got.set_index("vec_id")["cluster"]
+    kept = got.set_index("vec_id")["kept"]
+    # brute-force: dropped iff an earlier same-cluster vector is >= tau
+    idx_of = {v: i for i, v in enumerate(ids)}
+    for v in ids:
+        earlier = [u for u in ids if u < v and cl[u] == cl[v]]
+        dom = any(
+            float(M[idx_of[u]] @ M[idx_of[v]]) >= K.SEMDEDUP_TAU for u in earlier
+        )
+        assert kept[v] == (0 if dom else 1), v
+    assert (got["kept"] == 0).sum() > 0  # discriminates at sf0.001
