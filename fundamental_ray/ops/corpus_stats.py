@@ -24,6 +24,8 @@ pipeline needs. Scale shapes:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import ray
@@ -637,4 +639,163 @@ WITH tok AS (
 SELECT lang, SUM(tf)::BIGINT AS n_tokens,
        ROUND(ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf), 6) AS entropy
 FROM tf GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by the
+# log-likelihood ratio of HASHED n-gram features under the target
+# distribution vs the raw distribution — the standard cheap "does this look
+# like my target domain" signal for pretraining-data selection. Target
+# slice here: lang='en' documents of the same corpus (in production: the
+# high-quality reference corpus).
+#
+# Scale shape (the reason DSIR hashes): feature space is a FIXED 4096
+# buckets, so pass 1 is a per-batch (bucket → raw count, target count)
+# combiner + ONE map-side-combined groupby to a 4096-row table; the
+# Laplace-smoothed log-ratio table is a 4096-float ray.put broadcast; and
+# pass 2 scores each doc locally (md5 per UNIQUE gram per batch, vectorized
+# gather + segment sum). Corpus text never crosses an exchange, and unlike
+# vocab-dict approaches the broadcast is constant-size at 100 TB.
+# Hash = first 8 md5 hex chars % 4096 (DuckDB-recomputable, the repo's
+# standard reproducible-hash idiom). Grams = word unigrams + bigrams over
+# the lowercased space-split text.
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_grams(texts: pd.Series) -> pd.Series:
+    """Per-row list of unigram+bigram strings (lowercased)."""
+    words = texts.fillna("").str.lower().str.split(" ")
+    return words.map(
+        lambda ws: ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    )
+
+
+def _dsir_buckets(ex: pd.Series) -> np.ndarray:
+    """md5-bucket of each gram; hashes computed once per unique gram."""
+    uniq, inv = np.unique(ex.to_numpy(dtype=object), return_inverse=True)
+    uh = np.array(
+        [
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % DSIR_BUCKETS
+            for g in uniq
+        ],
+        dtype=np.int64,
+    )
+    return uh[inv]
+
+
+def dsir_weights(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.analytics import r2
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        grams = _dsir_grams(df["text"])
+        ex = grams.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(
+                {"b": pd.Series([], dtype="int64"),
+                 "c_raw": pd.Series([], dtype="int64"),
+                 "c_tgt": pd.Series([], dtype="int64")}
+            )
+        b = _dsir_buckets(ex)
+        is_tgt = (
+            (df["lang"] == DSIR_TARGET_LANG)
+            .reindex(ex.index)
+            .to_numpy(dtype=bool)
+            .astype(np.int64)
+        )
+        out = (
+            pd.DataFrame({"b": b, "c_raw": 1, "c_tgt": is_tgt})
+            .groupby("b", as_index=False)
+            .sum()
+        )
+        return out.astype({"b": "int64", "c_raw": "int64", "c_tgt": "int64"})
+
+    cnt = (
+        _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("b")
+        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
+        .to_pandas()  # ≤ DSIR_BUCKETS rows — constant-bounded
+    )
+    t_raw = float(cnt["c_raw"].sum())
+    t_tgt = float(cnt["c_tgt"].sum())
+    lw = np.zeros(DSIR_BUCKETS, dtype=np.float64)
+    lw[cnt["b"].to_numpy(np.int64)] = np.log(
+        (cnt["c_tgt"].to_numpy(np.float64) + 1.0) / (t_tgt + DSIR_BUCKETS)
+    ) - np.log((cnt["c_raw"].to_numpy(np.float64) + 1.0) / (t_raw + DSIR_BUCKETS))
+    lw_ref = ray.put(lw)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lw_ref)
+        df = df.reset_index(drop=True)
+        grams = _dsir_grams(df["text"])
+        ex = grams.explode().dropna()
+        n_grams = grams.str.len().to_numpy(np.int64)
+        if len(ex):
+            b = _dsir_buckets(ex)
+            sums = (
+                pd.Series(table[b], index=ex.index).groupby(level=0).sum()
+                .reindex(df.index, fill_value=0.0)
+                .to_numpy(np.float64)
+            )
+        else:
+            sums = np.zeros(len(df), dtype=np.float64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_grams": n_grams,
+                "dsir_logweight": r2(sums, 6),
+            }
+        )
+        return out[out["n_grams"] > 0]
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word,
+         unnest(range(len(string_split(lower(text), ' ')))) AS wi
+  FROM documents
+),
+bg AS (
+  SELECT a.doc_id, a.lang, a.word || ' ' || b.word AS gram
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.wi = a.wi + 1
+),
+g AS (
+  SELECT doc_id, lang, word AS gram FROM w
+  UNION ALL SELECT doc_id, lang, gram FROM bg
+),
+hb AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(gram), 1, 8))::UBIGINT % {DSIR_BUCKETS})::BIGINT AS b
+  FROM g
+),
+cnt AS (
+  SELECT b, COUNT(*)::BIGINT AS c_raw,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+  FROM hb GROUP BY b
+),
+tot AS (SELECT SUM(c_raw)::DOUBLE AS t_raw, SUM(c_tgt)::DOUBLE AS t_tgt FROM cnt),
+lw AS (
+  SELECT b,
+         ln((c_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS}))
+         - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS wgt
+  FROM cnt, tot
+)
+SELECT h.doc_id, COUNT(*)::BIGINT AS n_grams,
+       ROUND(SUM(l.wgt), 6) AS dsir_logweight
+FROM hb h JOIN lw l USING (b)
+GROUP BY h.doc_id
 """

@@ -218,3 +218,34 @@ def test_phrase_search_matches_oracle(ray_session):
     got3 = IX.phrase_search(SF, phrase=("window", "merge", "scan"))
     _eq(got3, _oracle(IX.phrase_search_sql(("window", "merge", "scan"))))
     assert len(IX.phrase_search(SF, phrase=("window", "zzzznot"))) == 0
+
+
+def test_dsir_weights_favor_target_slice(ray_session):
+    got = CS.dsir_weights(SF).set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    en = set(docs.loc[docs["lang"] == CS.DSIR_TARGET_LANG, "doc_id"])
+    w_en = got.loc[[i for i in got.index if i in en], "dsir_logweight"]
+    w_ot = got.loc[[i for i in got.index if i not in en], "dsir_logweight"]
+    # importance weights must rank the target slice above the rest on average
+    assert w_en.mean() > w_ot.mean()
+    # n_grams = 2*len(words) - 1 for single-space text
+    r = docs.iloc[0]
+    n_words = len(r["text"].split(" "))
+    assert got.loc[r["doc_id"], "n_grams"] == 2 * n_words - 1
+    # local recompute of one doc's score from first principles
+    import hashlib
+
+    import numpy as np
+
+    grams_all = CS._dsir_grams(docs["text"])
+    ex = grams_all.explode()
+    b_all = CS._dsir_buckets(ex)
+    tgt = docs["lang"].reindex(ex.index).eq(CS.DSIR_TARGET_LANG).to_numpy()
+    c_raw = np.bincount(b_all, minlength=CS.DSIR_BUCKETS)
+    c_tgt = np.bincount(b_all[tgt], minlength=CS.DSIR_BUCKETS)
+    lw = np.log((c_tgt + 1.0) / (c_tgt.sum() + CS.DSIR_BUCKETS)) - np.log(
+        (c_raw + 1.0) / (c_raw.sum() + CS.DSIR_BUCKETS)
+    )
+    doc0 = docs.index[0]
+    want = lw[b_all[ex.index == doc0]].sum()
+    assert abs(got.loc[docs.loc[doc0, "doc_id"], "dsir_logweight"] - want) < 1e-5
