@@ -22,6 +22,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 SAMPLE_ROWS = 4096
@@ -466,3 +467,141 @@ WHERE r.rk = 1
 
 
 KNN_CLASSIFY_SQL = knn_classify_sql()
+
+
+# ------------------------------------------------------------- MMR rerank
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy diverse
+# top-k — each step picks argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s).
+# Production shape at 100 TB: retrieval is the streamed/indexed ANN stage
+# (corpus streams, query broadcast), and MMR reranks only the candidate
+# SHORTLIST — so the quadratic diversity term is pool-bounded (pool² sims),
+# never corpus-bounded. Stage 1 reuses the brute-force block machinery
+# (swap in ivf/lsh for the sublinear path); stage 2 is a driver-side greedy
+# over pool=50 rows.
+#
+# Determinism contract: every cosine is rounded half-away to 6 dp before
+# entering the score arithmetic, the step score is re-rounded at 6 dp, and
+# ties break on vec_id asc — so the greedy trajectory is bit-stable and the
+# oracle is the same greedy UNROLLED into K chained CTEs.
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 50
+MMR_K = 10
+MMR_QUERY_ID = 0
+
+
+def _r6(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def mmr_rerank(
+    sf_dir: str,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> pd.DataFrame:
+    """(rank, vec_id, rel) of the k MMR-selected diverse neighbors of
+    query vec_id 0 out of its top-``pool`` cosine candidates."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    qids, qm = _query_matrix(sf_dir, MMR_QUERY_ID + 1)
+    qref = ray.put((qids, qm))
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        bq, bm = ray.get(qref)
+        return _block_topk(bq, bm, ids, mat, pool)
+
+    cand = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(block, batch_format="pandas", batch_size=1024)
+        .to_pandas()  # pool × n_blocks rows — candidate-bounded
+        .sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+        .head(pool)
+    )
+    ids = cand["neighbor_id"].to_numpy(np.int64)
+
+    # point-read of the pool's embeddings (row-group pruned, pool-bounded)
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.is_in(pads.field("vec_id"), value_set=pa.array(ids)),
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .loc[ids]
+    )
+    M = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
+    rel = _r6(Mn @ qm[0])  # qm rows are normalized
+    sim = _r6(Mn @ Mn.T)
+
+    selected: list[int] = []
+    out = {"rank": [], "vec_id": [], "rel": []}
+    remaining = np.ones(len(ids), dtype=bool)
+    for step in range(1, min(k, len(ids)) + 1):
+        if step == 1:
+            score = rel.copy()
+        else:
+            maxsim = sim[:, selected].max(axis=1)
+            score = _r6(lam * rel - (1.0 - lam) * maxsim)
+        score = np.where(remaining, score, -np.inf)
+        # argmax with vec_id-asc tie-break (ids not sorted: lexsort)
+        order = np.lexsort((ids, -score))
+        pick = order[0]
+        selected.append(pick)
+        remaining[pick] = False
+        out["rank"].append(step)
+        out["vec_id"].append(int(ids[pick]))
+        out["rel"].append(float(rel[pick]))
+    return pd.DataFrame(out).astype({"rank": "int64", "vec_id": "int64"})
+
+
+def mmr_rerank_sql(
+    k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA
+) -> str:
+    head = f"""
+WITH cand0 AS (
+  SELECT e.vec_id, e.embedding,
+         list_cosine_similarity(
+           (SELECT embedding FROM embeddings WHERE vec_id = {MMR_QUERY_ID})::DOUBLE[],
+           e.embedding::DOUBLE[]) AS cos_raw
+  FROM embeddings e WHERE e.vec_id <> {MMR_QUERY_ID}
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding, ROUND(cos_raw, 6) AS rel
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id) AS rk
+    FROM cand0
+  ) WHERE rk <= {pool}
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, embedding, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id, embedding FROM s1)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.embedding, c.rel FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY ROUND({lam} * c.rel - {1.0 - lam:.1f} * (
+            SELECT MAX(ROUND(list_cosine_similarity(
+                     c.embedding::DOUBLE[], s.embedding::DOUBLE[]), 6))
+            FROM sel{i - 1} s), 6) DESC, c.vec_id
+  LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT vec_id, embedding FROM sel{i - 1}
+           UNION ALL SELECT vec_id, embedding FROM s{i})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel FROM s{i}" for i in range(1, k + 1)
+    )
+    return "".join(parts) + f"\n{union}\nORDER BY rank"
+
+
+MMR_RERANK_SQL = mmr_rerank_sql()

@@ -362,6 +362,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     # recall-tested in tests/test_corpus_stats.py
     register("ann_lsh_topk", N.lsh_topk, N.brute_force_topk_sql())
     register("embed_knn_classify", N.knn_classify, N.KNN_CLASSIFY_SQL)
+    register("ann_mmr_rerank", N.mmr_rerank, N.MMR_RERANK_SQL)
     register("multimodal_frame_plan", M.frame_plan, M.FRAME_PLAN_SQL)
     register("multimodal_media_features", M.media_features)
     register_lazy_oracle(

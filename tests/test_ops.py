@@ -428,3 +428,34 @@ def test_semdedup_dominance_semantics(ray_session):
         )
         assert kept[v] == (0 if dom else 1), v
     assert (got["kept"] == 0).sum() > 0  # discriminates at sf0.001
+
+
+def test_mmr_rerank_greedy_semantics(ray_session):
+    got = N.mmr_rerank(SF)
+    assert list(got["rank"]) == list(range(1, N.MMR_K + 1))
+    # local greedy recompute over the same pool
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    q = Mn[ids == N.MMR_QUERY_ID][0]
+    cos = Mn @ q
+    mask = ids != N.MMR_QUERY_ID
+    order = np.lexsort((ids[mask], -cos[mask]))[: N.MMR_POOL]
+    pids = ids[mask][order]
+    P = Mn[mask][order]
+    rel = N._r6(P @ q)
+    sim = N._r6(P @ P.T)
+    sel = []
+    rem = np.ones(len(pids), bool)
+    for step in range(N.MMR_K):
+        score = rel.copy() if not sel else N._r6(
+            N.MMR_LAMBDA * rel - (1 - N.MMR_LAMBDA) * sim[:, sel].max(axis=1)
+        )
+        score = np.where(rem, score, -np.inf)
+        pick = np.lexsort((pids, -score))[0]
+        sel.append(pick)
+        rem[pick] = False
+    assert list(got["vec_id"]) == [int(pids[i]) for i in sel]
+    # diversity: the MMR set must differ from the plain top-k head
+    assert list(got["vec_id"]) != list(pids[: N.MMR_K])
