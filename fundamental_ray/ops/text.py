@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -636,3 +637,122 @@ WITH k AS (
 SELECT doc_id, lang, n_chars, key FROM k
 QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) <= {WSAMPLE_K}
 """
+
+
+# ------------------------------------------------------- containment pairs
+# MOSS-style containment detection over winnowing fingerprints (Schleimer,
+# Wilkerson, Aiken 2003): two documents that share a run of text share the
+# winnowed hashes of that run, so |winnow(a) ∩ winnow(b)| measures overlap
+# even when neither whole-document hash nor shingle-Jaccard fires (one doc
+# QUOTING another is containment, not similarity). This is the winnow
+# sibling of the minhash banding pipeline:
+#   docs -> per-doc winnow SET (local) -> explode (hash, doc_id, n_winnow)
+#   -> ONE groupby(hash) exchange -> per-hash pair fan-out -> groupby(a,b)
+#   count = |intersection| (second, pair-bounded exchange).
+# Stop-hash cap: hashes held by > CONTAIN_MAXDOCS docs are boilerplate
+# (the web's nav bars / footers) and are EXCLUDED — the cap is part of the
+# op contract, mirrored in the oracle's HAVING, and bounds the per-hash
+# fan-out at C² pairs (no silent truncation: the cap is the published
+# stop-word discipline of the winnowing literature).
+
+CONTAIN_MAXDOCS = 32
+CONTAIN_MIN_SHARED = 25
+
+
+def _winnow_set(text: str) -> "np.ndarray":
+    n = len(text)
+    grams = [text[i : i + WINNOW_K] for i in range(max(n - WINNOW_K + 1, 0))]
+    if not grams:
+        return np.array([], dtype=np.int64)
+    hs = np.array(
+        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams],
+        dtype=np.int64,
+    )
+    if len(hs) <= WINNOW_W:
+        return np.array([int(hs.min())], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
+    return np.unique(sw.min(axis=1))
+
+
+def containment_pairs(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.analytics import r2
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"h": [], "doc_id": [], "nw": []}
+        for d, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
+            wins = _winnow_set(t)
+            out["h"].append(wins)
+            out["doc_id"].append(np.full(len(wins), d, dtype=np.int64))
+            out["nw"].append(np.full(len(wins), len(wins), dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "h": np.concatenate(out["h"]) if out["h"] else np.array([], np.int64),
+                "doc_id": np.concatenate(out["doc_id"]) if out["doc_id"] else np.array([], np.int64),
+                "nw": np.concatenate(out["nw"]) if out["nw"] else np.array([], np.int64),
+            }
+        )
+
+    def pair_fanout(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > CONTAIN_MAXDOCS:  # stop-hash: boilerplate, excluded
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "na": pd.Series([], dtype="int64"), "nb": pd.Series([], dtype="int64"),
+                 "one": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        nws = g["nw"].to_numpy(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"a": ids[ii], "b": ids[jj], "na": nws[ii], "nb": nws[jj],
+             "one": np.ones(len(ii), dtype=np.int64)}
+        )
+
+    pairs = (
+        _read_docs(sf_dir)
+        .map_batches(explode, batch_format="pandas")
+        .groupby("h")
+        .map_groups(pair_fanout, batch_format="pandas")
+        .groupby(["a", "b", "na", "nb"])
+        .aggregate(Sum("one", alias_name="shared"))
+        .map_batches(
+            lambda df: df[df["shared"] >= CONTAIN_MIN_SHARED],
+            batch_format="pandas",
+        )
+        .to_pandas()  # only the ≥ threshold pairs reach the driver
+    )
+    pairs = pairs.copy()
+    pairs["containment"] = r2(
+        pairs["shared"].to_numpy(np.float64)
+        / np.minimum(pairs["na"], pairs["nb"]).to_numpy(np.float64),
+        6,
+    )
+    return (
+        pairs[["a", "b", "shared", "containment"]]
+        .astype({"a": "int64", "b": "int64", "shared": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+def _containment_sql() -> str:
+    base = WINNOW_FINGERPRINTS_SQL.split("SELECT doc_id, n::BIGINT")[0]
+    return base + f""",
+e AS (SELECT doc_id, unnest(wins) AS h, len(wins) AS nw FROM w WHERE len(wins) > 0),
+ok AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= {CONTAIN_MAXDOCS}),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.nw AS na, b.nw AS nb,
+         COUNT(*) AS shared
+  FROM e a JOIN e b USING (h) JOIN ok USING (h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.nw, b.nw
+)
+SELECT a, b, shared::BIGINT AS shared,
+       ROUND(shared / least(na, nb)::DOUBLE, 6) AS containment
+FROM p WHERE shared >= {CONTAIN_MIN_SHARED}
+"""
+
+
+CONTAINMENT_PAIRS_SQL = _containment_sql()

@@ -459,3 +459,16 @@ def test_mmr_rerank_greedy_semantics(ray_session):
     assert list(got["vec_id"]) == [int(pids[i]) for i in sel]
     # diversity: the MMR set must differ from the plain top-k head
     assert list(got["vec_id"]) != list(pids[: N.MMR_K])
+
+
+def test_containment_pairs_find_exact_and_near_copies(dup_corpus):
+    from fundamental_ray.ops import text as T
+
+    got = T.containment_pairs(dup_corpus)
+    pairs = {(int(r.a), int(r.b)): float(r.containment) for r in got.itertuples()}
+    # exact copies share the full winnow set → containment 1.0
+    for k in range(5):
+        assert pairs.get((k, 100 + k)) == 1.0, (k, pairs.get((k, 100 + k)))
+    # one-word-edit near-dups still share most winnowed hashes
+    near = [pairs.get((10 + k, 200 + k), 0.0) for k in range(10)]
+    assert min(near) > 0.5
