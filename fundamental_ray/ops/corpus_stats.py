@@ -799,3 +799,245 @@ SELECT h.doc_id, COUNT(*)::BIGINT AS n_grams,
 FROM hb h JOIN lw l USING (b)
 GROUP BY h.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Corpus selection composite: Gopher quality gate → DSIR importance scoring
+# → exact top-half selection — the canonical "filter then select what looks
+# like the target" pretraining recipe (Rae et al. 2021 rules feeding Xie et
+# al. 2023 selection). The selection quota is data-dependent (⌈P/2⌉ of the
+# P passing docs), so the cut is an EXACT distributed order statistic over
+# the derived weight column, not a driver sort:
+#   pass A  stream docs → gopher mask → hashed-gram (bucket → raw, target)
+#           count partials restricted to passing docs (+ a sentinel row
+#           carrying the passing-doc count) → ONE combinable exchange to a
+#           constant-size table; log-ratio table broadcast (4096 floats)
+#   pass B  stream passing docs → integer micro-weight w_int (= 1e6 × the
+#           6-dp weight, exact) → value-bucketed (vb, w_int) histogram
+#           (ONE combinable exchange, bounded by distinct weights per vb);
+#           driver prefixes O(#vb) totals, a distributed rank lookup in the
+#           ONE bucket holding the quota rank yields the threshold T and
+#           count(> T); ties at T resolved by doc_id asc against the quota
+#           (tie set is count(= T) rows — logged, ~1 at 6-dp weights)
+#   pass C  stream passing docs again, keep w_int > T or the tie winners.
+# Docs never cross an exchange; the driver holds only constant-size or
+# tie-bounded state. Oracle: the composed SQL (gopher predicate → DSIR
+# CTEs → ROW_NUMBER quota cut).
+
+WSEL_SPAN = 1 << 16  # micro-weight units per histogram value-bucket
+
+
+def _gopher_pass_mask(texts: pd.Series) -> np.ndarray:
+    toks = texts.fillna("").str.lower().str.findall(WORD_RE)
+    n_words, mwl, dr = gopher_metrics(toks)
+    return (
+        (n_words >= G_MIN_WORDS)
+        & (n_words <= G_MAX_WORDS)
+        & (mwl >= G_MIN_MWL)
+        & (mwl <= G_MAX_MWL)
+        & (dr >= G_MIN_DISTINCT_RATIO)
+    )
+
+
+def select_corpus(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    # ---- pass A: DSIR bucket counts over the passing slice (+ P sentinel)
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        keep = _gopher_pass_mask(df["text"])
+        df = df[keep]
+        sent = pd.DataFrame({"b": [-1], "c_raw": [int(keep.sum())], "c_tgt": [0]})
+        if not len(df):
+            return sent
+        grams = _dsir_grams(df["text"])
+        ex = grams.explode().dropna()
+        b = _dsir_buckets(ex)
+        is_tgt = (
+            (df["lang"] == DSIR_TARGET_LANG)
+            .reindex(ex.index)
+            .to_numpy(dtype=bool)
+            .astype(np.int64)
+        )
+        out = (
+            pd.DataFrame({"b": b, "c_raw": 1, "c_tgt": is_tgt})
+            .groupby("b", as_index=False)
+            .sum()
+            .astype({"b": "int64", "c_raw": "int64", "c_tgt": "int64"})
+        )
+        return pd.concat([out, sent], ignore_index=True)
+
+    cnt = (
+        _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("b")
+        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
+        .to_pandas()  # ≤ DSIR_BUCKETS + 1 rows
+    )
+    n_pass = int(cnt.loc[cnt["b"] == -1, "c_raw"].iloc[0])
+    cnt = cnt[cnt["b"] >= 0]
+    quota = (n_pass + 1) // 2  # ⌈P/2⌉
+    t_raw = float(cnt["c_raw"].sum())
+    t_tgt = float(cnt["c_tgt"].sum())
+    lw = np.zeros(DSIR_BUCKETS, dtype=np.float64)
+    lw[cnt["b"].to_numpy(np.int64)] = np.log(
+        (cnt["c_tgt"].to_numpy(np.float64) + 1.0) / (t_tgt + DSIR_BUCKETS)
+    ) - np.log((cnt["c_raw"].to_numpy(np.float64) + 1.0) / (t_raw + DSIR_BUCKETS))
+    lw_ref = ray.put(lw)
+
+    # ---- shared scorer: (doc_id, w_int) for passing docs
+    def weights(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lw_ref)
+        df = df[_gopher_pass_mask(df["text"])].reset_index(drop=True)
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "w_int": pd.Series([], dtype="int64")}
+            )
+        grams = _dsir_grams(df["text"])
+        ex = grams.explode().dropna()
+        b = _dsir_buckets(ex)
+        sums = (
+            pd.Series(table[b], index=ex.index).groupby(level=0).sum()
+            .reindex(df.index, fill_value=0.0)
+            .to_numpy(np.float64)
+        )
+        w_int = np.floor(sums * 1e6 + 0.5).astype(np.int64)  # == 1e6 × r2(sums, 6)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "w_int": w_int}
+        )
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    # ---- pass B: exact quota-th largest weight via bucketed histogram
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("w_int", as_index=False).size().rename(columns={"size": "cnt"})
+        )
+        # arithmetic floor-div (negative weights): python // floors
+        out["vb"] = (out["w_int"] // WSEL_SPAN).astype("int64")
+        return out[["vb", "w_int", "cnt"]].astype("int64")
+
+    hist = (
+        docs.map_batches(weights, batch_format="pandas")
+        .map_batches(hist_part, batch_format="pandas")
+        .groupby(["vb", "w_int"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    totals = (
+        hist.groupby("vb").aggregate(Sum("cnt", alias_name="t")).to_pandas()
+        .sort_values("vb")
+    )
+    totals["base"] = totals["t"].cumsum() - totals["t"]  # ascending-rank base
+    R = n_pass - quota  # 0-indexed ascending rank of the quota-th LARGEST
+    row = totals[(totals["base"] <= R) & (R < totals["base"] + totals["t"])].iloc[0]
+    vb_star, base_star = int(row["vb"]), int(row["base"])
+    ref = ray.put((vb_star, base_star, R))
+
+    def lookup(grp: pd.DataFrame) -> pd.DataFrame:
+        vb_s, base_s, rank = ray.get(ref)
+        if int(grp["vb"].iloc[0]) != vb_s:
+            return pd.DataFrame({"T": pd.Series([], dtype="int64"),
+                                 "le": pd.Series([], dtype="int64")})
+        grp = grp.sort_values("w_int")
+        cum = grp["cnt"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, rank - base_s, side="right"))
+        return pd.DataFrame(
+            {"T": [int(grp["w_int"].to_numpy()[i])],
+             "le": [base_s + int(cum[i])]}  # count of values <= T overall
+        )
+
+    tl = hist.groupby("vb").map_groups(lookup, batch_format="pandas").to_pandas()
+    T, cnt_le = int(tl["T"].iloc[0]), int(tl["le"].iloc[0])
+    cnt_gt = n_pass - cnt_le
+    tied_keep = quota - cnt_gt
+
+    # tie winners: lowest doc_ids among w_int == T (tie set logged, tiny)
+    tied = (
+        docs.map_batches(weights, batch_format="pandas")
+        .map_batches(
+            lambda df, t=T: df[df["w_int"] == t][["doc_id"]], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    keep_ids = set(tied["doc_id"].head(tied_keep).astype("int64").tolist())
+    keep_ref = ray.put((T, keep_ids))
+
+    # ---- pass C: final selection
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        t, ids = ray.get(keep_ref)
+        df = df[(df["w_int"] > t) | df["doc_id"].isin(ids)].copy()
+        df["dsir_logweight"] = df["w_int"].to_numpy(np.float64) / 1e6
+        return df[["doc_id", "dsir_logweight"]]
+
+    return (
+        docs.map_batches(weights, batch_format="pandas")
+        .map_batches(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _select_corpus_sql() -> str:
+    gate = (
+        f"(n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS}) "
+        f"AND mwl >= {G_MIN_MWL} AND mwl <= {G_MAX_MWL} "
+        f"AND dr >= {G_MIN_DISTINCT_RATIO}"
+    )
+    return rf"""
+WITH t0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_words,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                   / len(toks) END AS mwl,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS dr
+  FROM t0
+), pass AS (
+  SELECT doc_id FROM m WHERE {gate}
+), w AS (
+  SELECT d.doc_id, d.lang,
+         unnest(string_split(lower(d.text), ' ')) AS word,
+         unnest(range(len(string_split(lower(d.text), ' ')))) AS wi
+  FROM documents d JOIN pass USING (doc_id)
+), bg AS (
+  SELECT a.doc_id, a.lang, a.word || ' ' || b.word AS gram
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.wi = a.wi + 1
+), g AS (
+  SELECT doc_id, lang, word AS gram FROM w
+  UNION ALL SELECT doc_id, lang, gram FROM bg
+), hb AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(gram), 1, 8))::UBIGINT % {DSIR_BUCKETS})::BIGINT AS b
+  FROM g
+), cnt AS (
+  SELECT b, COUNT(*)::BIGINT AS c_raw,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+  FROM hb GROUP BY b
+), tot AS (SELECT SUM(c_raw)::DOUBLE AS t_raw, SUM(c_tgt)::DOUBLE AS t_tgt FROM cnt),
+lw AS (
+  SELECT b,
+         ln((c_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS}))
+         - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS wgt
+  FROM cnt, tot
+), sc AS (
+  SELECT h.doc_id, ROUND(SUM(l.wgt), 6) AS dsir_logweight
+  FROM hb h JOIN lw l USING (b)
+  GROUP BY h.doc_id
+), q AS (SELECT COUNT(*) AS p FROM sc),
+sel AS (
+  SELECT doc_id, dsir_logweight,
+         ROW_NUMBER() OVER (ORDER BY dsir_logweight DESC, doc_id) AS rk
+  FROM sc
+)
+SELECT doc_id, dsir_logweight FROM sel
+WHERE rk <= (SELECT (p + 1) // 2 FROM q)
+"""
+
+
+SELECT_CORPUS_SQL = _select_corpus_sql()

@@ -249,3 +249,33 @@ def test_dsir_weights_favor_target_slice(ray_session):
     doc0 = docs.index[0]
     want = lw[b_all[ex.index == doc0]].sum()
     assert abs(got.loc[docs.loc[doc0, "doc_id"], "dsir_logweight"] - want) < 1e-5
+
+
+def test_select_corpus_exact_top_half(ray_session):
+    got = CS.select_corpus(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    keep = CS._gopher_pass_mask(docs["text"])
+    passing = docs[keep].reset_index(drop=True)
+    # local DSIR recompute over the passing slice
+    grams = CS._dsir_grams(passing["text"])
+    ex = grams.explode().dropna()
+    b = CS._dsir_buckets(ex)
+    tgt = passing["lang"].reindex(ex.index).eq(CS.DSIR_TARGET_LANG).to_numpy()
+    c_raw = np.bincount(b, minlength=CS.DSIR_BUCKETS)
+    c_tgt = np.bincount(b[tgt], minlength=CS.DSIR_BUCKETS)
+    lw = np.log((c_tgt + 1.0) / (c_tgt.sum() + CS.DSIR_BUCKETS)) - np.log(
+        (c_raw + 1.0) / (c_raw.sum() + CS.DSIR_BUCKETS)
+    )
+    sums = pd.Series(lw[b], index=ex.index).groupby(level=0).sum()
+    w_int = np.floor(sums.to_numpy() * 1e6 + 0.5).astype(np.int64)
+    sel = (
+        pd.DataFrame({"doc_id": passing["doc_id"].to_numpy(np.int64), "w": w_int})
+        .sort_values(["w", "doc_id"], ascending=[False, True])
+        .head((len(passing) + 1) // 2)
+    )
+    assert set(got["doc_id"]) == set(sel["doc_id"])
+    assert len(got) == (len(passing) + 1) // 2
+    # weights round-trip the micro-int contract
+    m = got.set_index("doc_id")["dsir_logweight"]
+    for d, w in zip(sel["doc_id"], sel["w"]):
+        assert m[d] == w / 1e6
