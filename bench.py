@@ -149,6 +149,8 @@ def run_bench() -> dict:
         ("text_vocab_topk", lambda: CS.vocab_topk(sf_dir)),
         ("cluster_kmeans", lambda: K.kmeans_clusters(sf_dir)),
         ("pipeline_clean_corpus", lambda: CL.clean_corpus(sf_dir)),
+        ("dedup_chunk_keepfirst", lambda: D.chunk_dedup(sf_dir)),
+        ("pipeline_select_corpus", lambda: CS.select_corpus(sf_dir)),
         ("ann_brute_force_topk", lambda: N.brute_force_topk(sf_dir)),
         ("sketch_quantiles_price", lambda: SK.sketch_quantiles_price(sf_dir)),
         ("join_asof_prior_view", lambda: JN.asof_prior_view(sf_dir)),

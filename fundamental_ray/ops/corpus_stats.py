@@ -718,9 +718,10 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
     cnt = (
         _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
         .map_batches(partial_counts, batch_format="pandas")
-        .groupby("b")
-        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
-        .to_pandas()  # ≤ DSIR_BUCKETS rows — constant-bounded
+        .to_pandas()  # ≤ DSIR_BUCKETS × n_blocks rows — constant-bounded
+        .groupby("b", as_index=False)
+        .sum()  # driver fold, the kmeans-partials idiom (a Ray groupby
+        # here would pay a full sort exchange for a constant-size table)
     )
     t_raw = float(cnt["c_raw"].sum())
     t_tgt = float(cnt["c_tgt"].sum())
@@ -869,9 +870,9 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
     cnt = (
         _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
         .map_batches(partial_counts, batch_format="pandas")
-        .groupby("b")
-        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
-        .to_pandas()  # ≤ DSIR_BUCKETS + 1 rows
+        .to_pandas()  # ≤ (DSIR_BUCKETS + 1) × n_blocks rows — bounded
+        .groupby("b", as_index=False)
+        .sum()  # driver fold (see dsir_weights)
     )
     n_pass = int(cnt.loc[cnt["b"] == -1, "c_raw"].iloc[0])
     cnt = cnt[cnt["b"] >= 0]
@@ -907,6 +908,10 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
         )
 
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    # score ONCE and keep the narrow (doc_id, w_int) table in the object
+    # store (16 B/doc, spillable) — the histogram, tie and final passes all
+    # reuse it instead of re-reading + re-hashing the corpus
+    scored = docs.map_batches(weights, batch_format="pandas").materialize()
 
     # ---- pass B: exact quota-th largest weight via bucketed histogram
     def hist_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -918,8 +923,7 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
         return out[["vb", "w_int", "cnt"]].astype("int64")
 
     hist = (
-        docs.map_batches(weights, batch_format="pandas")
-        .map_batches(hist_part, batch_format="pandas")
+        scored.map_batches(hist_part, batch_format="pandas")
         .groupby(["vb", "w_int"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .materialize()
@@ -954,8 +958,7 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
 
     # tie winners: lowest doc_ids among w_int == T (tie set logged, tiny)
     tied = (
-        docs.map_batches(weights, batch_format="pandas")
-        .map_batches(
+        scored.map_batches(
             lambda df, t=T: df[df["w_int"] == t][["doc_id"]], batch_format="pandas"
         )
         .to_pandas()
@@ -972,8 +975,7 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
         return df[["doc_id", "dsir_logweight"]]
 
     return (
-        docs.map_batches(weights, batch_format="pandas")
-        .map_batches(final, batch_format="pandas")
+        scored.map_batches(final, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
