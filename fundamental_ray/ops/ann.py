@@ -479,10 +479,15 @@ KNN_CLASSIFY_SQL = knn_classify_sql()
 # (swap in ivf/lsh for the sublinear path); stage 2 is a driver-side greedy
 # over pool=50 rows.
 #
-# Determinism contract: every cosine is rounded half-away to 6 dp before
-# entering the score arithmetic, the step score is re-rounded at 6 dp, and
-# ties break on vec_id asc — so the greedy trajectory is bit-stable and the
-# oracle is the same greedy UNROLLED into K chained CTEs.
+# Determinism contract: every cosine is quantized to an INTEGER number of
+# micro-units (×1e6) and λ is the exact rational L/10, so the step score
+# is the integer L·rel_i − (10−L)·maxsim_i — no float rounding anywhere in
+# the comparison, ties break on vec_id asc, and the greedy trajectory is
+# bit-identical to the oracle (the same greedy UNROLLED into K chained
+# CTEs over the same integer arithmetic). Quantizing the SCORE instead
+# (the first cut of this op) is not enough: 0.7·rel − 0.3·maxsim of 6-dp
+# inputs lands exactly on the half-grid for ~10% of pairs, where half-up
+# (numpy idiom) and half-away (DuckDB ROUND) disagree.
 
 MMR_LAMBDA = 0.7
 MMR_POOL = 50
@@ -490,8 +495,11 @@ MMR_K = 10
 MMR_QUERY_ID = 0
 
 
-def _r6(x):
-    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+def _cos_int(x) -> "np.ndarray":
+    """Cosine → integer micro-units. Half-up on the raw (unquantized)
+    cosine — divergence vs SQL's half-away ROUND is measure-zero because
+    raw cosines never land exactly on the 1e-6 grid."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
 
 
 def mmr_rerank(
@@ -538,19 +546,24 @@ def mmr_rerank(
     )
     M = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
-    rel = _r6(Mn @ qm[0])  # qm rows are normalized
-    sim = _r6(Mn @ Mn.T)
+    rel_i = _cos_int(Mn @ qm[0])  # qm rows are normalized
+    sim_i = _cos_int(Mn @ Mn.T)
+    l_num = round(lam * 10)
+    assert abs(lam * 10 - l_num) < 1e-9, "lam must be an exact tenth"
 
     selected: list[int] = []
     out = {"rank": [], "vec_id": [], "rel": []}
     remaining = np.ones(len(ids), dtype=bool)
+    # negation-safe mask sentinel (lexsort negates scores; -int64.min
+    # overflows back to itself and would sort masked rows FIRST)
+    masked_score = np.iinfo(np.int64).min // 4
     for step in range(1, min(k, len(ids)) + 1):
         if step == 1:
-            score = rel.copy()
+            score = 10 * rel_i
         else:
-            maxsim = sim[:, selected].max(axis=1)
-            score = _r6(lam * rel - (1.0 - lam) * maxsim)
-        score = np.where(remaining, score, -np.inf)
+            maxsim = sim_i[:, selected].max(axis=1)
+            score = l_num * rel_i - (10 - l_num) * maxsim
+        score = np.where(remaining, score, masked_score)
         # argmax with vec_id-asc tie-break (ids not sorted: lexsort)
         order = np.lexsort((ids, -score))
         pick = order[0]
@@ -558,13 +571,16 @@ def mmr_rerank(
         remaining[pick] = False
         out["rank"].append(step)
         out["vec_id"].append(int(ids[pick]))
-        out["rel"].append(float(rel[pick]))
+        out["rel"].append(float(rel_i[pick]) / 1e6)
     return pd.DataFrame(out).astype({"rank": "int64", "vec_id": "int64"})
 
 
 def mmr_rerank_sql(
     k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA
 ) -> str:
+    l_num = round(lam * 10)
+    assert abs(lam * 10 - l_num) < 1e-9, "lam must be an exact tenth"
+    d_num = 10 - l_num
     head = f"""
 WITH cand0 AS (
   SELECT e.vec_id, e.embedding,
@@ -574,32 +590,33 @@ WITH cand0 AS (
   FROM embeddings e WHERE e.vec_id <> {MMR_QUERY_ID}
 ),
 cand AS MATERIALIZED (
-  SELECT vec_id, embedding, ROUND(cos_raw, 6) AS rel
+  SELECT vec_id, embedding, ROUND(cos_raw * 1000000)::BIGINT AS rel_i
   FROM (
     SELECT *, ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id) AS rk
     FROM cand0
   ) WHERE rk <= {pool}
 ),
 s1 AS MATERIALIZED (
-  SELECT vec_id, embedding, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+  SELECT vec_id, embedding, rel_i FROM cand ORDER BY rel_i DESC, vec_id LIMIT 1
 ),
 sel1 AS MATERIALIZED (SELECT vec_id, embedding FROM s1)"""
     parts = [head]
     for i in range(2, k + 1):
         parts.append(f""",
 s{i} AS MATERIALIZED (
-  SELECT c.vec_id, c.embedding, c.rel FROM cand c
+  SELECT c.vec_id, c.embedding, c.rel_i FROM cand c
   WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
-  ORDER BY ROUND({lam} * c.rel - {1.0 - lam:.1f} * (
+  ORDER BY {l_num} * c.rel_i - {d_num} * (
             SELECT MAX(ROUND(list_cosine_similarity(
-                     c.embedding::DOUBLE[], s.embedding::DOUBLE[]), 6))
-            FROM sel{i - 1} s), 6) DESC, c.vec_id
+                     c.embedding::DOUBLE[], s.embedding::DOUBLE[]) * 1000000)::BIGINT)
+            FROM sel{i - 1} s) DESC, c.vec_id
   LIMIT 1
 ),
 sel{i} AS MATERIALIZED (SELECT vec_id, embedding FROM sel{i - 1}
            UNION ALL SELECT vec_id, embedding FROM s{i})""")
     union = "\nUNION ALL ".join(
-        f"SELECT {i} AS rank, vec_id, rel FROM s{i}" for i in range(1, k + 1)
+        f"SELECT {i} AS rank, vec_id, rel_i / 1000000.0 AS rel FROM s{i}"
+        for i in range(1, k + 1)
     )
     return "".join(parts) + f"\n{union}\nORDER BY rank"
 

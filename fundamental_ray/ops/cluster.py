@@ -299,8 +299,12 @@ def semdedup(
         g = g.sort_values("vec_id")
         M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
+        # threshold compare on 6-dp-quantized cosines (micro-int grid,
+        # mirrored by the oracle's ROUND) — the repo's new-op float
+        # contract: never compare raw float against a threshold
+        sims = np.floor((M @ M.T) * 1e6 + 0.5)
         # upper triangle (row j < col i): earlier-vs-later sims only
-        dom = np.triu(M @ M.T >= tau, k=1).any(axis=0)
+        dom = np.triu(sims >= tau * 1e6, k=1).any(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": g["vec_id"].to_numpy(np.int64),
@@ -333,8 +337,9 @@ SELECT e.vec_id, a.cluster,
        CASE WHEN EXISTS (
          SELECT 1 FROM asg a2 JOIN embeddings e2 ON e2.vec_id = a2.vec_id
          WHERE a2.cluster = a.cluster AND a2.vec_id < a.vec_id
-           AND list_cosine_similarity(
-                 e2.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= {tau}
+           AND ROUND(list_cosine_similarity(
+                 e2.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 1000000)
+               >= {tau} * 1000000
        ) THEN 0 ELSE 1 END AS kept
 FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
 ORDER BY e.vec_id

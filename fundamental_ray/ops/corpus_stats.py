@@ -687,70 +687,79 @@ def _dsir_buckets(ex: pd.Series) -> np.ndarray:
     return uh[inv]
 
 
-def dsir_weights(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
-
-    from ..pipelines.analytics import r2
-
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        grams = _dsir_grams(df["text"])
-        ex = grams.explode().dropna()
-        if not len(ex):
-            return pd.DataFrame(
-                {"b": pd.Series([], dtype="int64"),
-                 "c_raw": pd.Series([], dtype="int64"),
-                 "c_tgt": pd.Series([], dtype="int64")}
-            )
-        b = _dsir_buckets(ex)
-        is_tgt = (
-            (df["lang"] == DSIR_TARGET_LANG)
-            .reindex(ex.index)
-            .to_numpy(dtype=bool)
-            .astype(np.int64)
+def _dsir_partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """(b, c_raw, c_tgt) bucket partials for one batch slice."""
+    grams = _dsir_grams(df["text"])
+    ex = grams.explode().dropna()
+    if not len(ex):
+        return pd.DataFrame(
+            {"b": pd.Series([], dtype="int64"),
+             "c_raw": pd.Series([], dtype="int64"),
+             "c_tgt": pd.Series([], dtype="int64")}
         )
-        out = (
-            pd.DataFrame({"b": b, "c_raw": 1, "c_tgt": is_tgt})
-            .groupby("b", as_index=False)
-            .sum()
-        )
-        return out.astype({"b": "int64", "c_raw": "int64", "c_tgt": "int64"})
-
-    cnt = (
-        _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
-        .map_batches(partial_counts, batch_format="pandas")
-        .to_pandas()  # ≤ DSIR_BUCKETS × n_blocks rows — constant-bounded
-        .groupby("b", as_index=False)
-        .sum()  # driver fold, the kmeans-partials idiom (a Ray groupby
-        # here would pay a full sort exchange for a constant-size table)
+    b = _dsir_buckets(ex)
+    is_tgt = (
+        (df["lang"] == DSIR_TARGET_LANG)
+        .reindex(ex.index)
+        .to_numpy(dtype=bool)
+        .astype(np.int64)
     )
+    out = (
+        pd.DataFrame({"b": b, "c_raw": 1, "c_tgt": is_tgt})
+        .groupby("b", as_index=False)
+        .sum()
+    )
+    return out.astype({"b": "int64", "c_raw": "int64", "c_tgt": "int64"})
+
+
+def _dsir_lw_table(cnt: pd.DataFrame) -> np.ndarray:
+    """Laplace-smoothed log-ratio table (DSIR_BUCKETS floats) from the
+    folded (b, c_raw, c_tgt) counts."""
     t_raw = float(cnt["c_raw"].sum())
     t_tgt = float(cnt["c_tgt"].sum())
     lw = np.zeros(DSIR_BUCKETS, dtype=np.float64)
     lw[cnt["b"].to_numpy(np.int64)] = np.log(
         (cnt["c_tgt"].to_numpy(np.float64) + 1.0) / (t_tgt + DSIR_BUCKETS)
     ) - np.log((cnt["c_raw"].to_numpy(np.float64) + 1.0) / (t_raw + DSIR_BUCKETS))
-    lw_ref = ray.put(lw)
+    return lw
+
+
+def _dsir_sums(df: pd.DataFrame, table: np.ndarray) -> np.ndarray:
+    """Per-row sum of bucket log-ratios over the row's grams."""
+    grams = _dsir_grams(df["text"])
+    ex = grams.explode().dropna()
+    if not len(ex):
+        return np.zeros(len(df), dtype=np.float64)
+    b = _dsir_buckets(ex)
+    return (
+        pd.Series(table[b], index=ex.index).groupby(level=0).sum()
+        .reindex(df.index, fill_value=0.0)
+        .to_numpy(np.float64)
+    )
+
+
+def dsir_weights(sf_dir: str) -> pd.DataFrame:
+    from ..pipelines.analytics import r2
+
+    cnt = (
+        _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(_dsir_partial_counts, batch_format="pandas")
+        .to_pandas()  # ≤ DSIR_BUCKETS × n_blocks rows — constant-bounded
+        .groupby("b", as_index=False)
+        .sum()  # driver fold, the kmeans-partials idiom (a Ray groupby
+        # here would pay a full sort exchange for a constant-size table)
+    )
+    lw_ref = ray.put(_dsir_lw_table(cnt))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         table = ray.get(lw_ref)
         df = df.reset_index(drop=True)
-        grams = _dsir_grams(df["text"])
-        ex = grams.explode().dropna()
-        n_grams = grams.str.len().to_numpy(np.int64)
-        if len(ex):
-            b = _dsir_buckets(ex)
-            sums = (
-                pd.Series(table[b], index=ex.index).groupby(level=0).sum()
-                .reindex(df.index, fill_value=0.0)
-                .to_numpy(np.float64)
-            )
-        else:
-            sums = np.zeros(len(df), dtype=np.float64)
+        n_grams = _dsir_grams(df["text"]).str.len().to_numpy(np.int64)
         out = pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
                 "n_grams": n_grams,
-                "dsir_logweight": r2(sums, 6),
+                "dsir_logweight": r2(_dsir_sums(df, table), 6),
             }
         )
         return out[out["n_grams"] > 0]
@@ -764,11 +773,16 @@ def dsir_weights(sf_dir: str) -> pd.DataFrame:
     )
 
 
-DSIR_WEIGHTS_SQL = f"""
-WITH w AS (
-  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word,
-         unnest(range(len(string_split(lower(text), ' ')))) AS wi
-  FROM documents
+def _dsir_ctes(doc_src: str) -> str:
+    """The w/bg/g/hb/cnt/tot/lw CTE block over ``doc_src`` (a FROM
+    fragment yielding (doc_id, lang, text)) — shared by the standalone
+    weights oracle and the selection composite's oracle (the _kmeans_ctes
+    pattern)."""
+    return f"""w AS (
+  SELECT doc_id, lang,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS word,
+         unnest(range(len(string_split(lower(coalesce(text, '')), ' ')))) AS wi
+  FROM {doc_src}
 ),
 bg AS (
   SELECT a.doc_id, a.lang, a.word || ' ' || b.word AS gram
@@ -794,7 +808,11 @@ lw AS (
          ln((c_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS}))
          - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS wgt
   FROM cnt, tot
-)
+)"""
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH {_dsir_ctes("documents")}
 SELECT h.doc_id, COUNT(*)::BIGINT AS n_grams,
        ROUND(SUM(l.wgt), 6) AS dsir_logweight
 FROM hb h JOIN lw l USING (b)
@@ -830,14 +848,7 @@ WSEL_SPAN = 1 << 16  # micro-weight units per histogram value-bucket
 
 def _gopher_pass_mask(texts: pd.Series) -> np.ndarray:
     toks = texts.fillna("").str.lower().str.findall(WORD_RE)
-    n_words, mwl, dr = gopher_metrics(toks)
-    return (
-        (n_words >= G_MIN_WORDS)
-        & (n_words <= G_MAX_WORDS)
-        & (mwl >= G_MIN_MWL)
-        & (mwl <= G_MAX_MWL)
-        & (dr >= G_MIN_DISTINCT_RATIO)
-    )
+    return gopher_rules(*gopher_metrics(toks))
 
 
 def select_corpus(sf_dir: str) -> pd.DataFrame:
@@ -846,25 +857,8 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
     # ---- pass A: DSIR bucket counts over the passing slice (+ P sentinel)
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         keep = _gopher_pass_mask(df["text"])
-        df = df[keep]
         sent = pd.DataFrame({"b": [-1], "c_raw": [int(keep.sum())], "c_tgt": [0]})
-        if not len(df):
-            return sent
-        grams = _dsir_grams(df["text"])
-        ex = grams.explode().dropna()
-        b = _dsir_buckets(ex)
-        is_tgt = (
-            (df["lang"] == DSIR_TARGET_LANG)
-            .reindex(ex.index)
-            .to_numpy(dtype=bool)
-            .astype(np.int64)
-        )
-        out = (
-            pd.DataFrame({"b": b, "c_raw": 1, "c_tgt": is_tgt})
-            .groupby("b", as_index=False)
-            .sum()
-            .astype({"b": "int64", "c_raw": "int64", "c_tgt": "int64"})
-        )
+        out = _dsir_partial_counts(df[keep])
         return pd.concat([out, sent], ignore_index=True)
 
     cnt = (
@@ -876,14 +870,13 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
     )
     n_pass = int(cnt.loc[cnt["b"] == -1, "c_raw"].iloc[0])
     cnt = cnt[cnt["b"] >= 0]
+    if n_pass == 0:  # nothing survives the gate → empty selection
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "dsir_logweight": pd.Series([], dtype="float64")}
+        )
     quota = (n_pass + 1) // 2  # ⌈P/2⌉
-    t_raw = float(cnt["c_raw"].sum())
-    t_tgt = float(cnt["c_tgt"].sum())
-    lw = np.zeros(DSIR_BUCKETS, dtype=np.float64)
-    lw[cnt["b"].to_numpy(np.int64)] = np.log(
-        (cnt["c_tgt"].to_numpy(np.float64) + 1.0) / (t_tgt + DSIR_BUCKETS)
-    ) - np.log((cnt["c_raw"].to_numpy(np.float64) + 1.0) / (t_raw + DSIR_BUCKETS))
-    lw_ref = ray.put(lw)
+    lw_ref = ray.put(_dsir_lw_table(cnt))
 
     # ---- shared scorer: (doc_id, w_int) for passing docs
     def weights(df: pd.DataFrame) -> pd.DataFrame:
@@ -894,14 +887,7 @@ def select_corpus(sf_dir: str) -> pd.DataFrame:
                 {"doc_id": pd.Series([], dtype="int64"),
                  "w_int": pd.Series([], dtype="int64")}
             )
-        grams = _dsir_grams(df["text"])
-        ex = grams.explode().dropna()
-        b = _dsir_buckets(ex)
-        sums = (
-            pd.Series(table[b], index=ex.index).groupby(level=0).sum()
-            .reindex(df.index, fill_value=0.0)
-            .to_numpy(np.float64)
-        )
+        sums = _dsir_sums(df, table)
         w_int = np.floor(sums * 1e6 + 0.5).astype(np.int64)  # == 1e6 × r2(sums, 6)
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"), "w_int": w_int}
@@ -1002,32 +988,9 @@ WITH t0 AS (
   FROM t0
 ), pass AS (
   SELECT doc_id FROM m WHERE {gate}
-), w AS (
-  SELECT d.doc_id, d.lang,
-         unnest(string_split(lower(d.text), ' ')) AS word,
-         unnest(range(len(string_split(lower(d.text), ' ')))) AS wi
-  FROM documents d JOIN pass USING (doc_id)
-), bg AS (
-  SELECT a.doc_id, a.lang, a.word || ' ' || b.word AS gram
-  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.wi = a.wi + 1
-), g AS (
-  SELECT doc_id, lang, word AS gram FROM w
-  UNION ALL SELECT doc_id, lang, gram FROM bg
-), hb AS (
-  SELECT doc_id, lang,
-         (('0x' || substr(md5(gram), 1, 8))::UBIGINT % {DSIR_BUCKETS})::BIGINT AS b
-  FROM g
-), cnt AS (
-  SELECT b, COUNT(*)::BIGINT AS c_raw,
-         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS c_tgt
-  FROM hb GROUP BY b
-), tot AS (SELECT SUM(c_raw)::DOUBLE AS t_raw, SUM(c_tgt)::DOUBLE AS t_tgt FROM cnt),
-lw AS (
-  SELECT b,
-         ln((c_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS}))
-         - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS wgt
-  FROM cnt, tot
-), sc AS (
+), {_dsir_ctes(
+    "(SELECT d.doc_id, d.lang, d.text FROM documents d JOIN pass USING (doc_id))"
+)}, sc AS (
   SELECT h.doc_id, ROUND(SUM(l.wgt), 6) AS dsir_logweight
   FROM hb h JOIN lw l USING (b)
   GROUP BY h.doc_id

@@ -845,7 +845,13 @@ def _chunk_drop_index(sf_dir: str) -> str:
     def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
         hs, packed = [], []
         for d, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
-            for ci, ch in enumerate(_chunk_rows(t)):
+            chunks = _chunk_rows(t)
+            # fail fast: ci >= MAX would alias into doc d+1's packed range
+            assert len(chunks) <= CHUNK_DEDUP_MAX, (
+                f"doc {d}: {len(chunks)} chunks exceeds CHUNK_DEDUP_MAX — "
+                "raise the packing width"
+            )
+            for ci, ch in enumerate(chunks):
                 hs.append(_chunk_h60(ch))
                 packed.append(int(d) * CHUNK_DEDUP_MAX + ci)
         h = np.asarray(hs, dtype=np.int64)

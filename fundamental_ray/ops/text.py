@@ -197,6 +197,25 @@ WINNOW_K = 8  # char k-gram width
 WINNOW_W = 4  # winnowing window (grams per window)
 
 
+def _winnow_set(text: str) -> "np.ndarray":
+    """Sorted distinct winnowed hash set of one document — the shared
+    kernel of winnow_fingerprints and containment_pairs: md5-hash every
+    char k-gram, slide a w-window over the hash sequence, keep each
+    window's minimum."""
+    n = len(text)
+    grams = [text[i : i + WINNOW_K] for i in range(max(n - WINNOW_K + 1, 0))]
+    if not grams:
+        return np.array([], dtype=np.int64)
+    hs = np.array(
+        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams],
+        dtype=np.int64,
+    )
+    if len(hs) <= WINNOW_W:
+        return np.array([int(hs.min())], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
+    return np.unique(sw.min(axis=1))
+
+
 def winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Rolling-hash document fingerprint via winnowing (the k-gram /
     window-min scheme of the public winnowing literature): hash every
@@ -206,29 +225,14 @@ def winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     supports containment/near-dup detection where the whole-text md5
     (``fingerprints``) only catches exact matches. Deterministic: gram
     hash = first 8 hex chars of md5 (DuckDB-recomputable)."""
-    import numpy as np
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_id": df["doc_id"], "n_grams": [], "n_winnow": [], "winnow_digest": []}
         for text in df["text"].fillna(""):
-            n = len(text)
-            grams = [text[i : i + WINNOW_K] for i in range(max(n - WINNOW_K + 1, 0))]
-            hs = np.array(
-                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams],
-                dtype=np.int64,
-            )
-            out["n_grams"].append(len(hs))
-            if len(hs) == 0:
-                out["n_winnow"].append(0)
-                out["winnow_digest"].append(hashlib.md5(b"").hexdigest())
-                continue
-            if len(hs) <= WINNOW_W:
-                wins = {int(hs.min())}
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
-                wins = set(sw.min(axis=1).tolist())
+            out["n_grams"].append(max(len(text) - WINNOW_K + 1, 0))
+            wins = _winnow_set(text)
             out["n_winnow"].append(len(wins))
-            joined = ",".join(str(v) for v in sorted(wins))
+            joined = ",".join(str(int(v)) for v in wins)  # already sorted
             out["winnow_digest"].append(hashlib.md5(joined.encode()).hexdigest())
         return pd.DataFrame(out).astype({"n_grams": "int64", "n_winnow": "int64"})
 
@@ -241,8 +245,7 @@ def winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     )
 
 
-WINNOW_FINGERPRINTS_SQL = f"""
-WITH g AS (
+WINNOW_CTES = f"""g AS (
   SELECT doc_id,
          list_transform(
            range(1, greatest(length(coalesce(text, '')) - {WINNOW_K} + 1, 0) + 1),
@@ -258,7 +261,10 @@ WITH g AS (
               ))
          END AS wins
   FROM g
-)
+)"""
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH {WINNOW_CTES}
 SELECT doc_id, n::BIGINT AS n_grams, len(wins)::BIGINT AS n_winnow,
        md5(array_to_string(list_sort(wins), ',')) AS winnow_digest
 FROM w
@@ -659,21 +665,6 @@ CONTAIN_MAXDOCS = 32
 CONTAIN_MIN_SHARED = 25
 
 
-def _winnow_set(text: str) -> "np.ndarray":
-    n = len(text)
-    grams = [text[i : i + WINNOW_K] for i in range(max(n - WINNOW_K + 1, 0))]
-    if not grams:
-        return np.array([], dtype=np.int64)
-    hs = np.array(
-        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams],
-        dtype=np.int64,
-    )
-    if len(hs) <= WINNOW_W:
-        return np.array([int(hs.min())], dtype=np.int64)
-    sw = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
-    return np.unique(sw.min(axis=1))
-
-
 def containment_pairs(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
@@ -738,8 +729,8 @@ def containment_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def _containment_sql() -> str:
-    base = WINNOW_FINGERPRINTS_SQL.split("SELECT doc_id, n::BIGINT")[0]
-    return base + f""",
+    return f"""
+WITH {WINNOW_CTES},
 e AS (SELECT doc_id, unnest(wins) AS h, len(wins) AS nw FROM w WHERE len(wins) > 0),
 ok AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= {CONTAIN_MAXDOCS}),
 p AS (

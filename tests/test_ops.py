@@ -424,7 +424,9 @@ def test_semdedup_dominance_semantics(ray_session):
     for v in ids:
         earlier = [u for u in ids if u < v and cl[u] == cl[v]]
         dom = any(
-            float(M[idx_of[u]] @ M[idx_of[v]]) >= K.SEMDEDUP_TAU for u in earlier
+            np.floor(float(M[idx_of[u]] @ M[idx_of[v]]) * 1e6 + 0.5)
+            >= K.SEMDEDUP_TAU * 1e6
+            for u in earlier
         )
         assert kept[v] == (0 if dom else 1), v
     assert (got["kept"] == 0).sum() > 0  # discriminates at sf0.001
@@ -444,15 +446,16 @@ def test_mmr_rerank_greedy_semantics(ray_session):
     order = np.lexsort((ids[mask], -cos[mask]))[: N.MMR_POOL]
     pids = ids[mask][order]
     P = Mn[mask][order]
-    rel = N._r6(P @ q)
-    sim = N._r6(P @ P.T)
+    rel = N._cos_int(P @ q)
+    sim = N._cos_int(P @ P.T)
+    l_num = round(N.MMR_LAMBDA * 10)
     sel = []
     rem = np.ones(len(pids), bool)
     for step in range(N.MMR_K):
-        score = rel.copy() if not sel else N._r6(
-            N.MMR_LAMBDA * rel - (1 - N.MMR_LAMBDA) * sim[:, sel].max(axis=1)
+        score = 10 * rel if not sel else (
+            l_num * rel - (10 - l_num) * sim[:, sel].max(axis=1)
         )
-        score = np.where(rem, score, -np.inf)
+        score = np.where(rem, score, np.iinfo(np.int64).min // 4)
         pick = np.lexsort((pids, -score))[0]
         sel.append(pick)
         rem[pick] = False
