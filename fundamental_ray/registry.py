@@ -324,6 +324,10 @@ FROM reach GROUP BY n ORDER BY doc_id
     register("text_dsir_weights", CS.dsir_weights, CS.DSIR_WEIGHTS_SQL)
     register("pipeline_select_corpus", CS.select_corpus, CS.SELECT_CORPUS_SQL)
 
+    from .ops import bpe as BP
+
+    register("text_bpe_train", BP.bpe_train, BP.BPE_TRAIN_SQL)
+
     # flagship composite: quality → exact dedup → near-dup drop → decon
     from .pipelines import clean as CL
 

@@ -279,3 +279,26 @@ def test_select_corpus_exact_top_half(ray_session):
     m = got.set_index("doc_id")["dsir_logweight"]
     for d, w in zip(sel["doc_id"], sel["w"]):
         assert m[d] == w / 1e6
+
+
+def test_bpe_train_greedy_semantics(ray_session, tmp_path):
+    from fundamental_ray.ops import bpe as B
+
+    # overlap-run edge case: 'aaaa' under merge (a,a) must become 'aa aa'
+    assert B._apply_merge(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert B._apply_merge(list("aaa"), "a", "a") == ["aa", "a"]
+    # constructed corpus with known best merges: 'ab' dominates
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["ab ab ab abc", "ab abc abc"],
+         "lang": ["en", "en"], "source": ["s", "s"], "n_chars": [12, 10]}
+    )
+    d = tmp_path / "bpecorp"; d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    got = B.bpe_train(str(d), n_merges=3)
+    # step 1: pair (a,b) appears in all 7 words -> count 7
+    assert got.iloc[0][["l_sym", "r_sym", "pair_count"]].tolist() == ["a", "b", 7]
+    # step 2: ('ab','</w>') from the 5 plain 'ab' words beats ('ab','c')... 
+    assert got.iloc[1]["merged"] in ("ab</w>", "abc")
+    # full run on testdata is deterministic
+    a = B.bpe_train(SF); b = B.bpe_train(SF)
+    pd.testing.assert_frame_equal(a, b)
