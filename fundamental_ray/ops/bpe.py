@@ -99,7 +99,9 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"step": "int64", "pair_count": "int64"})
 
 
-def bpe_train_sql(n_merges: int = BPE_MERGES) -> str:
+def _bpe_ctes(n_merges: int = BPE_MERGES) -> list:
+    """The unrolled training CTEs (toks, v0, then x/b/k/v per iteration)
+    — shared by the train oracle and the encode oracle."""
     ctes = [
         r"""toks AS (
   SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
@@ -147,12 +149,82 @@ def bpe_train_sql(n_merges: int = BPE_MERGES) -> str:
   LEFT JOIN k{i} kp ON kp.word = x.word AND kp.j = x.j - 1
   GROUP BY x.word, x.freq
 )""")
+    return ctes
+
+
+def bpe_train_sql(n_merges: int = BPE_MERGES) -> str:
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS step, l AS l_sym, r AS r_sym, l || r AS merged, "
         f"cnt AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + f"\n{union}\nORDER BY step"
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + f"\n{union}\nORDER BY step"
 
 
 BPE_TRAIN_SQL = bpe_train_sql()
+
+
+# ---------------------------------------------------------------- encode
+# The apply half: tokenize the corpus with the learned merge table. Every
+# word's final symbol count is a pure function of the merge list, so the
+# encoder is a vocab-bounded (word → n_sym) dict broadcast + a vectorized
+# per-doc gather-sum — the corpus streams through one map_batches and
+# never shuffles. Oracle: reuse the unrolled training CTEs' final vocab
+# state v{N} (word → sym) and join it back to the exploded corpus.
+
+
+def bpe_encode(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
+    """(doc_id, n_words, n_bpe_tokens) under the learned merges."""
+    freqs = _word_freqs(sf_dir)
+    vocab = [
+        (list(w) + [END_MARK], int(f))
+        for w, f in zip(freqs["word"], freqs["tf"])
+    ]
+    merges = bpe_train(sf_dir, n_merges)
+    for r in merges.itertuples():
+        vocab = [(_apply_merge(s, r.l_sym, r.r_sym), f) for s, f in vocab]
+    n_sym = {
+        w: len(s) for (s, _), w in zip(vocab, freqs["word"])
+    }
+    ref = ray.put(n_sym)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_words": toks.str.len().astype("int64"),
+                "n_bpe_tokens": toks.map(
+                    lambda ts: sum(table[t] for t in ts)
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(encode, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def bpe_encode_sql(n_merges: int = BPE_MERGES) -> str:
+    return (
+        "WITH " + ",\n".join(_bpe_ctes(n_merges))
+        + f""",
+wlen AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS n_sym FROM v{n_merges}),
+dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+  FROM documents
+)
+SELECT dt.doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(wlen.n_sym)::BIGINT AS n_bpe_tokens
+FROM dt JOIN wlen USING (word)
+GROUP BY dt.doc_id
+"""
+    )
+
+
+BPE_ENCODE_SQL = bpe_encode_sql()

@@ -327,6 +327,7 @@ FROM reach GROUP BY n ORDER BY doc_id
     from .ops import bpe as BP
 
     register("text_bpe_train", BP.bpe_train, BP.BPE_TRAIN_SQL)
+    register("text_bpe_encode", BP.bpe_encode, BP.BPE_ENCODE_SQL)
 
     # flagship composite: quality → exact dedup → near-dup drop → decon
     from .pipelines import clean as CL

@@ -302,3 +302,26 @@ def test_bpe_train_greedy_semantics(ray_session, tmp_path):
     # full run on testdata is deterministic
     a = B.bpe_train(SF); b = B.bpe_train(SF)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_encode_consistency(ray_session):
+    from fundamental_ray.ops import bpe as B
+
+    enc = B.bpe_encode(SF)
+    # merges only ever shrink the symbol count; floor is n_words (one
+    # symbol per word), ceiling is chars + end marks
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = docs["text"].str.lower().str.findall(CS.WORD_RE)
+    chars = toks.map(lambda ts: sum(len(t) + 1 for t in ts)).to_numpy()
+    m = enc.set_index("doc_id")
+    ids = docs["doc_id"].to_numpy()
+    assert (m.loc[ids, "n_bpe_tokens"].to_numpy() <= chars).all()
+    assert (m["n_bpe_tokens"] >= m["n_words"]).all()
+    # local recompute of one doc
+    merges = B.bpe_train(SF)
+    word0 = toks.iloc[0][0]
+    syms = list(word0) + [B.END_MARK]
+    for r in merges.itertuples():
+        syms = B._apply_merge(syms, r.l_sym, r.r_sym)
+    per_word = {word0: len(syms)}
+    assert per_word[word0] >= 1
