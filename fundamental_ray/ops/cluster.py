@@ -348,3 +348,103 @@ ORDER BY e.vec_id
 
 
 SEMDEDUP_SQL = semdedup_sql()
+
+
+# ------------------------------------------------------- power iteration
+# Power iteration toward the top principal direction of the (uncentered)
+# Gram matrix XᵀX — the streamed-sufficient-statistics member of the
+# linear-algebra family (spectral embedding init, PCA whitening, SVD warm
+# starts). The REGISTERED value is the deterministic k-round ITERATE (and
+# its Rayleigh norm): convergence to PC1 itself depends on the spectral
+# gap, and the synthetic embeddings are near-isotropic (λ2/λ1 ≈ 0.95), so
+# the iterate is the well-defined oracle-checkable object — the test
+# asserts the guarantees iteration actually provides (monotone Rayleigh
+# growth, norm ≤ λ1, alignment strictly improving from the start).
+# Each iteration is ONE map_batches pass: a block computes its
+# partial Mᵀ(M·v) (a dim-vector — constant-size), the driver reduces
+# n_blocks × dim scalars and re-broadcasts the normalized iterate. The
+# embedding matrix never leaves the workers; per-iteration ROUND(·, 6) of
+# the NORMALIZED iterate (O(1) values) absorbs cross-engine summation-
+# order ulps exactly like the kmeans centroid contract above.
+
+PI_ITERS = 5
+
+
+def power_iteration_pc1(sf_dir: str, iters: int = PI_ITERS) -> pd.DataFrame:
+    """(dim_idx 1-based, val) of the rounded PC1 iterate after ``iters``
+    rounds from the all-ones start, plus the final Rayleigh norm estimate
+    (same eigval in every row — keeps the result a single flat table)."""
+    first = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        ).take(1)
+    )
+    dim = len(first[0]["embedding"])
+    v = np.ones(dim, dtype=np.float64)
+    emb = _read_emb(sf_dir)
+    nrm = 1.0
+    for _ in range(iters):
+        vref = ray.put(v)
+
+        def part(df: pd.DataFrame, _vref=vref) -> pd.DataFrame:
+            vv = ray.get(_vref)
+            M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            w = M.T @ (M @ vv)
+            return pd.DataFrame([{f"w{j}": w[j] for j in range(len(w))}])
+
+        wtab = (
+            emb.map_batches(part, batch_format="pandas")
+            .to_pandas()  # n_blocks × dim — constant-bounded
+        )
+        w = wtab.to_numpy(np.float64).sum(axis=0)
+        nrm = float(np.sqrt((w * w).sum()))
+        v = r2(w / nrm, CENT_DECIMALS)
+    return pd.DataFrame(
+        {
+            "dim_idx": np.arange(1, dim + 1, dtype=np.int64),
+            "val": v,
+            "eigval_norm": np.full(dim, r2(nrm, 2)),
+        }
+    )
+
+
+def power_iteration_sql(iters: int = PI_ITERS) -> str:
+    d = CENT_DECIMALS
+    ctes = [
+        """u0 AS (
+  SELECT vec_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS dim_idx
+  FROM embeddings
+), u AS (
+  SELECT vec_id, dim_idx, embedding[dim_idx]::DOUBLE AS val FROM u0
+)""",
+        "p0 AS (SELECT DISTINCT dim_idx, 1.0 AS val FROM u)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""xv{i} AS MATERIALIZED (
+  SELECT u.vec_id, SUM(u.val * p.val) AS xv
+  FROM u JOIN p{i - 1} p USING (dim_idx)
+  GROUP BY u.vec_id
+)""")
+        ctes.append(f"""w{i} AS MATERIALIZED (
+  SELECT u.dim_idx, SUM(u.val * s.xv) AS wv
+  FROM u JOIN xv{i} s USING (vec_id)
+  GROUP BY u.dim_idx
+)""")
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT SQRT(SUM(wv * wv)) AS nrm FROM w{i})"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT dim_idx, "
+            f"ROUND(wv / (SELECT nrm FROM n{i}), {d}) AS val FROM w{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT p.dim_idx, p.val, (SELECT ROUND(nrm, 2) FROM n{iters}) AS eigval_norm
+FROM p{iters} p ORDER BY p.dim_idx
+"""
+    )
+
+
+POWER_ITERATION_SQL = power_iteration_sql()

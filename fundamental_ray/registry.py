@@ -321,6 +321,7 @@ FROM reach GROUP BY n ORDER BY doc_id
     )
     register("dedup_chunk_keepfirst", D.chunk_dedup, D.CHUNK_DEDUP_SQL)
     register("dedup_semdedup", K.semdedup, K.SEMDEDUP_SQL)
+    register("embed_power_iteration_pc1", K.power_iteration_pc1, K.POWER_ITERATION_SQL)
     register("text_dsir_weights", CS.dsir_weights, CS.DSIR_WEIGHTS_SQL)
     register("pipeline_select_corpus", CS.select_corpus, CS.SELECT_CORPUS_SQL)
 

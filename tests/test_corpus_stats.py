@@ -325,3 +325,26 @@ def test_bpe_encode_consistency(ray_session):
         syms = B._apply_merge(syms, r.l_sym, r.r_sym)
     per_word = {word0: len(syms)}
     assert per_word[word0] >= 1
+
+
+def test_power_iteration_guarantees(ray_session):
+    got = K.power_iteration_pc1(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    w, V = np.linalg.eigh(X.T @ X)
+    pc1, lam1 = V[:, -1], w[-1]
+    v = got.sort_values("dim_idx")["val"].to_numpy()
+    # distributed iterate == local rounded power iteration, exactly
+    vv = np.ones(X.shape[1])
+    rayleighs = []
+    for _ in range(K.PI_ITERS):
+        wv = X.T @ (X @ vv)
+        rayleighs.append(float(np.linalg.norm(wv)) / np.linalg.norm(vv))
+        vv = np.floor(wv / np.linalg.norm(wv) * 1e6 + 0.5) / 1e6
+    assert np.allclose(v, vv, atol=1e-9)
+    # guarantees of the iteration (spectrum-independent):
+    assert all(b >= a - 1e-6 for a, b in zip(rayleighs, rayleighs[1:]))
+    assert got["eigval_norm"].iloc[0] <= lam1 * (1 + 1e-6)
+    cos0 = abs(np.ones(len(pc1)) @ pc1) / np.sqrt(len(pc1))
+    cos5 = abs(v @ pc1) / np.linalg.norm(v)
+    assert cos5 > cos0  # alignment strictly improves from the start
