@@ -252,3 +252,110 @@ SELECT media_id, frame_no::BIGINT AS frame_no,
        (frame_no * 1000)::BIGINT AS ts_ms
 FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# Audio chunking plan — the ASR-style "which windows do we transcribe"
+# stage (Whisper-style 30 s windows with 5 s overlap), run BEFORE the
+# stubbed decode exactly like frame_plan. Same actor-pool map-side fan-out
+# shape: output bounded by clips × MAX_WINDOWS; audio metadata synthesized
+# from doc_id with integer arithmetic so the oracle is standalone SQL.
+
+AUDIO_WIN_S = 30
+AUDIO_STRIDE_S = 25  # 5 s overlap
+MAX_WINDOWS = 24
+
+
+def synth_audio_meta(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-doc audio metadata: duration 10–609 s, sample
+    rate ∈ {16000, 22050, 44100} — pure functions of doc_id."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        dur = (ids * 53) % 600 + 10
+        sr = np.array([16000, 22050, 44100], dtype=np.int64)[(ids * 7) % 3]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "duration_s": pa.array(dur.astype(np.int64), pa.int64()),
+                "sample_rate": pa.array(sr, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow")
+
+
+class AudioWindower:
+    """Actor-pool stage: (media_id, duration_s, sample_rate) → one row per
+    planned transcription window. A real build holds the resampler /
+    VAD model in __init__ and emits decode work units."""
+
+    def __init__(self, win_s: int = AUDIO_WIN_S, stride_s: int = AUDIO_STRIDE_S,
+                 max_windows: int = MAX_WINDOWS):
+        self.win_s, self.stride_s, self.max_windows = win_s, stride_s, max_windows
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy()
+        dur = t.column("duration_s").to_numpy()
+        sr = t.column("sample_rate").to_numpy()
+        # windows start at 0, stride 25 s, last window may be short but
+        # must cover ≥ 1 s of audio; capped at MAX_WINDOWS
+        k = np.minimum(
+            (dur + self.stride_s - 1) // self.stride_s, self.max_windows
+        ).astype(np.int64)
+        media = np.repeat(ids, k)
+        win_no = (
+            np.concatenate([np.arange(n, dtype=np.int64) for n in k])
+            if len(k) else np.array([], dtype=np.int64)
+        )
+        rep_dur = np.repeat(dur, k)
+        rep_sr = np.repeat(sr, k)
+        start = win_no * self.stride_s
+        end = np.minimum(start + self.win_s, rep_dur)
+        return pa.table(
+            {
+                "media_id": pa.array(media, pa.int64()),
+                "win_no": pa.array(win_no, pa.int64()),
+                "start_s": pa.array(start, pa.int64()),
+                "end_s": pa.array(end, pa.int64()),
+                "n_samples": pa.array((end - start) * rep_sr, pa.int64()),
+            }
+        )
+
+
+def audio_window_plan(sf_dir: str, concurrency: int | None = None) -> pd.DataFrame:
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, ncpu - 2)
+    return (
+        synth_audio_meta(sf_dir)
+        .map_batches(AudioWindower, batch_format="pyarrow", batch_size=512,
+                     concurrency=concurrency, num_cpus=1)
+        .to_pandas()
+    )
+
+
+AUDIO_WINDOW_PLAN_SQL = f"""
+WITH a AS (
+  SELECT doc_id AS media_id,
+         10 + (doc_id * 53) % 600 AS duration_s,
+         [16000, 22050, 44100][((doc_id * 7) % 3 + 1)::INT] AS sample_rate
+  FROM documents
+), w AS (
+  SELECT media_id, duration_s, sample_rate,
+         unnest(generate_series(
+           0, LEAST((duration_s + {AUDIO_STRIDE_S} - 1) // {AUDIO_STRIDE_S},
+                    {MAX_WINDOWS}) - 1)) AS win_no
+  FROM a
+)
+SELECT media_id, win_no::BIGINT AS win_no,
+       (win_no * {AUDIO_STRIDE_S})::BIGINT AS start_s,
+       LEAST(win_no * {AUDIO_STRIDE_S} + {AUDIO_WIN_S}, duration_s)::BIGINT AS end_s,
+       ((LEAST(win_no * {AUDIO_STRIDE_S} + {AUDIO_WIN_S}, duration_s)
+         - win_no * {AUDIO_STRIDE_S}) * sample_rate)::BIGINT AS n_samples
+FROM w
+"""

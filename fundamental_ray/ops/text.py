@@ -119,24 +119,29 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+def _lang_pred(texts: pd.Series) -> "np.ndarray":
+    """Stopword-argmax language prediction (deterministic tie order
+    en, nl, de, fr; 'und' on zero hits) — shared by lang_id and the
+    confusion-matrix evaluation."""
+    toks = texts.fillna("").str.lower().str.findall(WORD_RE)
+    scores = {
+        lang: toks.map(lambda ts, s=set(ws): sum(t in s for t in ts))
+        for lang, ws in STOPWORDS.items()
+    }
+    mat = np.stack([scores[lang].to_numpy() for lang in LANG_ORDER])
+    best = mat.argmax(axis=0)  # first max wins → deterministic tie order
+    return np.where(mat.max(axis=0) > 0, np.array(LANG_ORDER)[best], "und")
+
+
 def lang_id(sf_dir: str) -> pd.DataFrame:
     """n-gram/stopword language heuristic: count stopword hits per language,
     argmax with deterministic tie order (en, nl, de, fr); 'und' when no
     stopword hits at all."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        txt = df["text"].fillna("").str.lower()
-        toks = txt.str.findall(WORD_RE)
-        scores = {
-            lang: toks.map(lambda ts, s=set(ws): sum(t in s for t in ts))
-            for lang, ws in STOPWORDS.items()
-        }
-        import numpy as np
-
-        mat = np.stack([scores[lang].to_numpy() for lang in LANG_ORDER])
-        best = mat.argmax(axis=0)  # first max wins → deterministic tie order
-        pred = np.where(mat.max(axis=0) > 0, np.array(LANG_ORDER)[best], "und")
-        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": pred})
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "pred_lang": _lang_pred(df["text"])}
+        )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas").to_pandas()
 
@@ -747,3 +752,42 @@ FROM p WHERE shared >= {CONTAIN_MIN_SHARED}
 
 
 CONTAINMENT_PAIRS_SQL = _containment_sql()
+
+
+# ----------------------------------------------------- lang-ID evaluation
+# Confusion matrix of the heuristic language-ID against the corpus's true
+# lang column — the evaluation op every classifier stage ships with.
+# Scale shape: per-batch (true, pred) count partials (≤ |langs|² rows) +
+# driver fold; the corpus crosses no exchange and the driver holds a
+# constant-size table.
+
+
+def langid_confusion(sf_dir: str) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {"lang": df["lang"].fillna("und"), "pred_lang": _lang_pred(df["text"])}
+            )
+            .groupby(["lang", "pred_lang"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"n": "int64"})
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # ≤ langs² × n_blocks rows — constant-bounded
+        .groupby(["lang", "pred_lang"], as_index=False)
+        .sum()
+        .sort_values(["lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH p AS ({LANG_ID_SQL})
+SELECT d.lang, p.pred_lang, COUNT(*)::BIGINT AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY d.lang, p.pred_lang
+"""

@@ -222,6 +222,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_fingerprints", T.fingerprints, T.FINGERPRINTS_SQL)
     register("text_winnow_fingerprints", T.winnow_fingerprints, T.WINNOW_FINGERPRINTS_SQL)
     register("text_containment_pairs", T.containment_pairs, T.CONTAINMENT_PAIRS_SQL)
+    register("text_langid_confusion", T.langid_confusion, T.LANGID_CONFUSION_SQL)
     register("text_sample_stratified", T.sample_stratified, T.SAMPLE_STRATIFIED_SQL)
     register("text_weighted_sample", T.weighted_sample, T.WEIGHTED_SAMPLE_SQL)
     register(
@@ -372,6 +373,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("embed_knn_classify", N.knn_classify, N.KNN_CLASSIFY_SQL)
     register("ann_mmr_rerank", N.mmr_rerank, N.MMR_RERANK_SQL)
     register("multimodal_frame_plan", M.frame_plan, M.FRAME_PLAN_SQL)
+    register("multimodal_audio_window_plan", M.audio_window_plan, M.AUDIO_WINDOW_PLAN_SQL)
     register("multimodal_media_features", M.media_features)
     register_lazy_oracle(
         "multimodal_media_features",
