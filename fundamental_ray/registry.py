@@ -223,6 +223,12 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_winnow_fingerprints", T.winnow_fingerprints, T.WINNOW_FINGERPRINTS_SQL)
     register("text_containment_pairs", T.containment_pairs, T.CONTAINMENT_PAIRS_SQL)
     register("text_langid_confusion", T.langid_confusion, T.LANGID_CONFUSION_SQL)
+
+    from .crawl import autothrottle as AT
+
+    register(
+        "crawl_autothrottle_delays", AT.autothrottle_delays, AT.AUTOTHROTTLE_SQL
+    )
     register("text_sample_stratified", T.sample_stratified, T.SAMPLE_STRATIFIED_SQL)
     register("text_weighted_sample", T.weighted_sample, T.WEIGHTED_SAMPLE_SQL)
     register(

@@ -630,3 +630,33 @@ def test_robots_mask_matches_scalar():
     got = rt.allowed_mask(np.array(hosts, dtype=object), np.array(urls, dtype=object))
     want = np.array([rt.allowed(u) for u in urls])
     assert (got == want).all()
+
+
+def test_autothrottle_matches_scrapy_semantics(ray_session):
+    """The fold mirrors Scrapy extensions/throttle.py _adjust_delay: local
+    step-by-step recompute agrees; non-200 responses never lower the
+    delay; delays stay clamped to [MIN, MAX]."""
+    import numpy as np
+
+    from fundamental_ray.crawl import autothrottle as AT
+
+    sf = "/root/testdata/sf0.001"
+    got = AT.autothrottle_delays(sf).set_index("host")
+    ids = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    for host in range(AT.AT_HOSTS):
+        sel = np.sort(ids[ids % AT.AT_HOSTS == host])
+        delay, n_slow = AT.AT_START_DELAY_MS, 0
+        prev = delay
+        for d in sel:
+            lat = 500 + (d * 131) % 59500
+            st = 503 if d % 7 == 3 else 200
+            delay = AT._adjust(delay, float(lat), int(st))
+            assert AT.AT_MIN_DELAY_MS <= delay <= AT.AT_MAX_DELAY_MS
+            if st != 200:
+                assert delay >= prev  # errors never lower the delay
+            prev = delay
+            if delay >= AT.AT_SLOW_MS:
+                n_slow += 1
+        if host in got.index:
+            assert got.loc[host, "final_delay_ms"] == round(delay, 3)
+            assert got.loc[host, "n_slow_steps"] == n_slow
