@@ -1303,3 +1303,76 @@ SELECT ROUND(2.0 * SUM(rn * cents)::DOUBLE
        COUNT(*)::BIGINT AS n
 FROM r
 """
+
+
+# --------------------------------------------------------------------------
+# CUBE: the full OLAP lattice over (orderstatus, orderpriority) — every
+# 2^k grouping set. Same scale shape as agg_rollup: ONE distributed
+# groupby at the finest grain (the only exchange; combiner-style, cells
+# bounded by the dimensions' cross product), then the coarser grouping
+# sets derive from the fine cells on the driver with exact integer sums.
+
+
+def agg_cube(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": cents,
+            }
+        )
+
+    fine = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("cents", alias_name="sum_cents"), Count(alias_name="n"))
+        .to_pandas()  # |status| × |priority| cells — constant-bounded
+    )
+    vals = ["sum_cents", "n"]
+    levels = [
+        fine.rename(
+            columns={"o_orderstatus": "orderstatus", "o_orderpriority": "orderpriority"}
+        )
+    ]
+    by_status = (
+        fine.groupby("o_orderstatus", as_index=False)[vals].sum()
+        .rename(columns={"o_orderstatus": "orderstatus"})
+    )
+    by_status["orderpriority"] = "ALL"
+    levels.append(by_status)
+    by_prio = (
+        fine.groupby("o_orderpriority", as_index=False)[vals].sum()
+        .rename(columns={"o_orderpriority": "orderpriority"})
+    )
+    by_prio["orderstatus"] = "ALL"
+    levels.append(by_prio)
+    top = fine[vals].sum().to_frame().T
+    top["orderstatus"] = "ALL"
+    top["orderpriority"] = "ALL"
+    levels.append(top)
+    out = pd.concat(levels, ignore_index=True)[
+        ["orderstatus", "orderpriority", "sum_cents", "n"]
+    ]
+    return (
+        out.astype({"sum_cents": "int64", "n": "int64"})
+        .sort_values(["orderstatus", "orderpriority"])
+        .reset_index(drop=True)
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))::BIGINT AS sum_cents,
+       COUNT(*)::BIGINT AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""

@@ -134,6 +134,7 @@ def _populate() -> None:
     from .pipelines import relational as R
 
     register("agg_rollup", R.agg_rollup, R.AGG_ROLLUP_SQL)
+    register("agg_cube", R.agg_cube, R.AGG_CUBE_SQL)
     register("window_moving_avg", R.window_moving_avg, R.WINDOW_MOVING_AVG_SQL)
     register(
         "events_cohort_retention", R.events_cohort_retention, R.EVENTS_COHORT_RETENTION_SQL

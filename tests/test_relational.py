@@ -368,3 +368,19 @@ def test_lang_entropy_matches(ray_session):
     # entropy is bounded by ln(vocab size) per lang
     for _, r in got.iterrows():
         assert r["entropy"] <= np.log(r["n_tokens"]) + 1e-9
+
+
+def test_agg_cube_lattice_consistency(ray_session):
+    from fundamental_ray.pipelines import relational as R
+
+    got = R.agg_cube("/root/testdata/sf0.001")
+    fine = got[(got["orderstatus"] != "ALL") & (got["orderpriority"] != "ALL")]
+    top = got[(got["orderstatus"] == "ALL") & (got["orderpriority"] == "ALL")]
+    # every coarser grouping set must re-aggregate the fine cells exactly
+    assert top["n"].iloc[0] == fine["n"].sum()
+    assert top["sum_cents"].iloc[0] == fine["sum_cents"].sum()
+    by_s = got[(got["orderstatus"] != "ALL") & (got["orderpriority"] == "ALL")]
+    chk = fine.groupby("orderstatus")[["sum_cents", "n"]].sum()
+    for r in by_s.itertuples():
+        assert r.n == chk.loc[r.orderstatus, "n"]
+        assert r.sum_cents == chk.loc[r.orderstatus, "sum_cents"]
