@@ -259,3 +259,164 @@ r0 AS (SELECT src AS node, ROUND(1.0 / (SELECT n FROM nn), {nd}) AS rank FROM de
 
 
 PAGERANK_SQL = pagerank_sql()
+
+
+# ---------------------------------------------------------- triangle count
+# Distributed triangle counting (node-iterator MapReduce form — Suri &
+# Vassilvitskii 2011 "Counting Triangles and the Curse of the Last
+# Reducer") on the thresholded co-supplier projection: suppliers are
+# linked when they co-supply at least the MEDIAN number of shared parts
+# (a scale-relative threshold — an absolute one degenerates to the
+# complete graph at one sf and the empty graph at another).
+#
+# Scale shape:
+#   1. bip: DISTINCT (part, supplier) — one combiner exchange.
+#   2. pairs: per-part supplier fan-out (groupby part; fan-out bounded by
+#      suppliers-per-part², the projection's inherent cost) + one count
+#      exchange. The pair table is entity²-bounded (suppliers ≪ rows),
+#      so the MEDIAN threshold is computed from it driver-side — the
+#      same bounded-table contract as the kmeans partials.
+#   3. wedges: edges grouped by MIDDLE node emit ordered 2-paths
+#      (u < m < w) — each triangle has exactly ONE ordered middle.
+#   4. closure: wedge candidates and edges hash-bucketed by the (u, w)
+#      pair key; one exchange; per-bucket merge counts closed wedges.
+# Output: one row of exact integer counts + the 6-dp closure ratio.
+
+TRI_BUCKETS = 64
+
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    bip = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(
+            lambda df: df.rename(
+                columns={"l_partkey": "p", "l_suppkey": "s"}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+        .groupby(["p", "s"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def pair_fanout(g: pd.DataFrame) -> pd.DataFrame:
+        ss = np.sort(g["s"].to_numpy(np.int64))
+        ii, jj = np.triu_indices(len(ss), k=1)
+        return pd.DataFrame(
+            {"x": ss[ii], "y": ss[jj], "one": np.ones(len(ii), dtype=np.int64)}
+        )
+
+    pairs = (
+        bip.groupby("p")
+        .map_groups(pair_fanout, batch_format="pandas")
+        .groupby(["x", "y"])
+        .aggregate(Sum("one", alias_name="c"))
+        .to_pandas()  # suppliers² — entity-bounded, documented
+    )
+    if not len(pairs):
+        return pd.DataFrame(
+            {"n_edges": [0], "n_wedges": [0], "n_triangles": [0],
+             "closure": [0.0]}
+        ).astype({"n_edges": "int64", "n_wedges": "int64", "n_triangles": "int64"})
+    thresh = float(np.percentile(pairs["c"].to_numpy(np.float64), 50, method="linear"))
+    edges = pairs[pairs["c"] >= thresh][["x", "y"]].rename(
+        columns={"x": "u", "y": "v"}
+    ).reset_index(drop=True)
+    n_edges = len(edges)
+    eds = ray.data.from_pandas(edges)
+
+    # wedges: group by middle node (each edge appears in both endpoints'
+    # groups, tagged by which side the node is)
+    def to_incidence(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "m": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+                "other": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "is_lo": np.concatenate(
+                    [np.ones(len(df), np.int64), np.zeros(len(df), np.int64)]
+                ),
+            }
+        )
+
+    def wedge_fanout(g: pd.DataFrame) -> pd.DataFrame:
+        lo = np.sort(g.loc[g["is_lo"] == 1, "other"].to_numpy(np.int64))
+        hi = np.sort(g.loc[g["is_lo"] == 0, "other"].to_numpy(np.int64))
+        if not len(lo) or not len(hi):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64"),
+                 "is_edge": pd.Series([], dtype="int64")}
+            )
+        aa = np.repeat(lo, len(hi))
+        cc = np.tile(hi, len(lo))
+        return pd.DataFrame(
+            {"a": aa, "c": cc, "is_edge": np.zeros(len(aa), dtype=np.int64)}
+        )
+
+    wedges = (
+        eds.map_batches(to_incidence, batch_format="pandas")
+        .groupby("m")
+        .map_groups(wedge_fanout, batch_format="pandas")
+    )
+    edge_keys = eds.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["u"].astype("int64"), "c": df["v"].astype("int64"),
+             "is_edge": np.ones(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bkt"] = ((df["a"] * 1_000_003 + df["c"]) % TRI_BUCKETS).astype("int64")
+        return df
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key_edges = set(
+            zip(g.loc[g["is_edge"] == 1, "a"], g.loc[g["is_edge"] == 1, "c"])
+        )
+        cand = g[g["is_edge"] == 0]
+        closed = sum(
+            (a, c) in key_edges for a, c in zip(cand["a"], cand["c"])
+        )
+        return pd.DataFrame(
+            {"wedges": [len(cand)], "closed": [int(closed)]}
+        )
+
+    agg = (
+        wedges.union(edge_keys)
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(close_bucket, batch_format="pandas")
+        .to_pandas()  # TRI_BUCKETS rows
+    )
+    n_wedges = int(agg["wedges"].sum())
+    n_tri = int(agg["closed"].sum())
+    return pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "n_wedges": [n_wedges],
+            "n_triangles": [n_tri],
+            "closure": [float(r2(n_tri / n_wedges, 6)) if n_wedges else 0.0],
+        }
+    ).astype({"n_edges": "int64", "n_wedges": "int64", "n_triangles": "int64"})
+
+
+TRIANGLE_COUNT_SQL = """
+WITH bip AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT a.s AS x, b.s AS y, COUNT(*) AS c
+  FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+med AS (SELECT MEDIAN(c) AS m FROM pairs),
+e AS (SELECT x AS u, y AS v FROM pairs, med WHERE c >= m),
+w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u)
+SELECT (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+       (SELECT COUNT(*) FROM w)::BIGINT AS n_wedges,
+       (SELECT COUNT(*) FROM w JOIN e ON e.u = w.a AND e.v = w.c)::BIGINT
+         AS n_triangles,
+       ROUND((SELECT COUNT(*) FROM w JOIN e ON e.u = w.a AND e.v = w.c)
+             / (SELECT COUNT(*) FROM w)::DOUBLE, 6) AS closure
+"""

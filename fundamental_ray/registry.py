@@ -158,6 +158,7 @@ def _populate() -> None:
         R.SET_OPS_USER_MEMBERSHIP_SQL,
     )
     register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
+    register("graph_triangle_count", GR.triangle_count, GR.TRIANGLE_COUNT_SQL)
     register(
         "agg_winsorized_prices", R.agg_winsorized_prices, R.AGG_WINSORIZED_SQL
     )

@@ -501,3 +501,36 @@ def test_langid_confusion_diagonal_dominant(ray_session):
             continue
         diag = sub.loc[sub["pred_lang"] == lang, "n"].sum()
         assert diag >= 0  # presence; exact accuracy asserted via oracle
+
+
+def test_triangle_count_matches_networkx_free_brute(ray_session):
+    from fundamental_ray.ops import graph as GR
+
+    got = GR.triangle_count(SF).iloc[0]
+    # local brute force over the same thresholded projection
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    bip = li.drop_duplicates()
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for r in bip.itertuples():
+        by_part[r.l_partkey].append(r.l_suppkey)
+    cnt = defaultdict(int)
+    for ss in by_part.values():
+        ss = sorted(set(ss))
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                cnt[(ss[i], ss[j])] += 1
+    vals = np.array(sorted(cnt.values()), dtype=np.float64)
+    th = np.percentile(vals, 50, method="linear")
+    edges = {k for k, v in cnt.items() if v >= th}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+    tri = sum(
+        1 for (u, v) in edges for w in adj[v] if (u, w) in edges
+    )
+    wedges = sum(1 for (u, v) in edges for _ in adj[v])
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
