@@ -104,7 +104,11 @@ def autothrottle_delays(sf_dir: str) -> pd.DataFrame:
 
 AUTOTHROTTLE_SQL = f"""
 WITH RECURSIVE resp AS (
-  SELECT doc_id % {AT_HOSTS} AS host, doc_id // {AT_HOSTS} AS seq,
+  -- dense per-host seq (ROW_NUMBER, not doc_id // H): the recursion
+  -- advances seq+1, so a doc_id gap must not break the chain
+  SELECT doc_id % {AT_HOSTS} AS host,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {AT_HOSTS} ORDER BY doc_id)
+           - 1 AS seq,
          (500 + (doc_id * 131) % 59500)::DOUBLE AS latency_ms,
          CASE WHEN doc_id % 7 = 3 THEN 503 ELSE 200 END AS status
   FROM documents

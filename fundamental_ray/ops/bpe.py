@@ -73,8 +73,9 @@ def _apply_merge(syms: list, left: str, right: str) -> list:
     return out
 
 
-def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
-    """(step, l_sym, r_sym, merged, pair_count) for each learned merge."""
+def _train(sf_dir: str, n_merges: int = BPE_MERGES):
+    """(merge table, final per-word symbol lists, word list) — one
+    distributed word-frequency pass; shared by train and encode."""
     freqs = _word_freqs(sf_dir)
     vocab = [
         (list(w) + [END_MARK], int(f))
@@ -96,7 +97,13 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
              "merged": left + right, "pair_count": cnt}
         )
         vocab = [(_apply_merge(s, left, right), f) for s, f in vocab]
-    return pd.DataFrame(rows).astype({"step": "int64", "pair_count": "int64"})
+    merges = pd.DataFrame(rows).astype({"step": "int64", "pair_count": "int64"})
+    return merges, [s for s, _ in vocab], list(freqs["word"])
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
+    """(step, l_sym, r_sym, merged, pair_count) for each learned merge."""
+    return _train(sf_dir, n_merges)[0]
 
 
 def _bpe_ctes(n_merges: int = BPE_MERGES) -> list:
@@ -174,18 +181,11 @@ BPE_TRAIN_SQL = bpe_train_sql()
 
 
 def bpe_encode(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
-    """(doc_id, n_words, n_bpe_tokens) under the learned merges."""
-    freqs = _word_freqs(sf_dir)
-    vocab = [
-        (list(w) + [END_MARK], int(f))
-        for w, f in zip(freqs["word"], freqs["tf"])
-    ]
-    merges = bpe_train(sf_dir, n_merges)
-    for r in merges.itertuples():
-        vocab = [(_apply_merge(s, r.l_sym, r.r_sym), f) for s, f in vocab]
-    n_sym = {
-        w: len(s) for (s, _), w in zip(vocab, freqs["word"])
-    }
+    """(doc_id, n_words, n_bpe_tokens) under the learned merges — training
+    (and its one distributed word-count pass) runs once; only the
+    vocab-bounded (word → n_sym) table is broadcast."""
+    _, final_syms, words = _train(sf_dir, n_merges)
+    n_sym = {w: len(s) for w, s in zip(words, final_syms)}
     ref = ray.put(n_sym)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:

@@ -265,9 +265,16 @@ PAGERANK_SQL = pagerank_sql()
 # Distributed triangle counting (node-iterator MapReduce form — Suri &
 # Vassilvitskii 2011 "Counting Triangles and the Curse of the Last
 # Reducer") on the thresholded co-supplier projection: suppliers are
-# linked when they co-supply at least the MEDIAN number of shared parts
-# (a scale-relative threshold — an absolute one degenerates to the
-# complete graph at one sf and the empty graph at another).
+# linked when they co-supply at least the 75th-percentile number of
+# shared parts (a scale-relative threshold — an absolute one degenerates
+# to the complete graph at one sf and the empty graph at another).
+# Honest cost note: the co-supply projection is DENSE (every supplier
+# pair shares parts at TPC-H scales), so the wedge exchange carries
+# Θ(wedges) rows — that is the inherent cost of EXACT global clustering
+# on a dense graph, not an avoidable shuffle; at web scale this op is
+# meant for sparse link graphs where wedges ≈ Σ deg² stays small, and
+# the groupby stages below run as 64-bucket folds (never one task per
+# entity) so density costs compute, not task overhead.
 #
 # Scale shape:
 #   1. bip: DISTINCT (part, supplier) — one combiner exchange.
@@ -286,50 +293,69 @@ TRI_BUCKETS = 64
 
 
 def triangle_count(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Sum
-
-    bip = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(
-            lambda df: df.rename(
-                columns={"l_partkey": "p", "l_suppkey": "s"}
-            ).drop_duplicates(),
-            batch_format="pandas",
-        )
-        .groupby(["p", "s"])
-        .aggregate(Count(alias_name="_c"))
+    """Two exchanges total: (1) (part, supplier) rows bucket by part —
+    exact dedup AND the per-part pair fan-out happen inside the bucket
+    fold; the resulting pair table is entity²-bounded and folds on the
+    driver (kmeans-partials contract). (2) edge incidence buckets by
+    middle node — the wedge fold counts closure against the broadcast
+    edge set in place (the edge set is the same entity²-bounded table).
+    For entity counts whose pair table exceeds driver memory, swap the
+    driver fold for a (x, y) count exchange and the broadcast for the
+    bucketed pair-key join — the exchange structure is unchanged."""
+    bip = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        lambda df: df.rename(columns={"l_partkey": "p", "l_suppkey": "s"})
+        .drop_duplicates()
+        .assign(pb=lambda d: (d["p"] % TRI_BUCKETS).astype("int64")),
+        batch_format="pandas",
     )
 
-    def pair_fanout(g: pd.DataFrame) -> pd.DataFrame:
-        ss = np.sort(g["s"].to_numpy(np.int64))
-        ii, jj = np.triu_indices(len(ss), k=1)
-        return pd.DataFrame(
-            {"x": ss[ii], "y": ss[jj], "one": np.ones(len(ii), dtype=np.int64)}
+    def pair_bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket-local: exact (p, s) dedup + per-part-segment pair
+        # fan-out in one sort — the bucketized fold idiom (a map_groups
+        # per PART would spawn millions of tiny pandas groups at scale)
+        g = g.drop_duplicates(["p", "s"]).sort_values(["p", "s"])
+        ps = g["p"].to_numpy(np.int64)
+        ss = g["s"].to_numpy(np.int64)
+        seg = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1], True])
+        xs, ys = [], []
+        for a, b in zip(seg[:-1], seg[1:]):
+            part = ss[a:b]
+            ii, jj = np.triu_indices(len(part), k=1)
+            xs.append(part[ii])
+            ys.append(part[jj])
+        x = np.concatenate(xs) if xs else np.array([], np.int64)
+        y = np.concatenate(ys) if ys else np.array([], np.int64)
+        out = (
+            pd.DataFrame({"x": x, "y": y})
+            .groupby(["x", "y"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
         )
+        return out.astype({"x": "int64", "y": "int64", "c": "int64"})
 
     pairs = (
-        bip.groupby("p")
-        .map_groups(pair_fanout, batch_format="pandas")
-        .groupby(["x", "y"])
-        .aggregate(Sum("one", alias_name="c"))
+        bip.groupby("pb")
+        .map_groups(pair_bucket_fold, batch_format="pandas")
         .to_pandas()  # suppliers² — entity-bounded, documented
+        .groupby(["x", "y"], as_index=False)
+        .sum()
     )
     if not len(pairs):
         return pd.DataFrame(
             {"n_edges": [0], "n_wedges": [0], "n_triangles": [0],
              "closure": [0.0]}
         ).astype({"n_edges": "int64", "n_wedges": "int64", "n_triangles": "int64"})
-    thresh = float(np.percentile(pairs["c"].to_numpy(np.float64), 50, method="linear"))
+    thresh = float(np.percentile(pairs["c"].to_numpy(np.float64), 75, method="linear"))
     edges = pairs[pairs["c"] >= thresh][["x", "y"]].rename(
         columns={"x": "u", "y": "v"}
     ).reset_index(drop=True)
     n_edges = len(edges)
+    edge_ref = ray.put(set(zip(edges["u"].tolist(), edges["v"].tolist())))
     eds = ray.data.from_pandas(edges)
 
-    # wedges: group by middle node (each edge appears in both endpoints'
-    # groups, tagged by which side the node is)
+    # incidence: each edge appears in both endpoints' middle-node groups
     def to_incidence(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "m": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
                 "other": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
@@ -338,57 +364,34 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
                 ),
             }
         )
+        out["mb"] = (out["m"] % TRI_BUCKETS).astype("int64")
+        return out
 
-    def wedge_fanout(g: pd.DataFrame) -> pd.DataFrame:
-        lo = np.sort(g.loc[g["is_lo"] == 1, "other"].to_numpy(np.int64))
-        hi = np.sort(g.loc[g["is_lo"] == 0, "other"].to_numpy(np.int64))
-        if not len(lo) or not len(hi):
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"),
-                 "c": pd.Series([], dtype="int64"),
-                 "is_edge": pd.Series([], dtype="int64")}
-            )
-        aa = np.repeat(lo, len(hi))
-        cc = np.tile(hi, len(lo))
-        return pd.DataFrame(
-            {"a": aa, "c": cc, "is_edge": np.zeros(len(aa), dtype=np.int64)}
-        )
-
-    wedges = (
-        eds.map_batches(to_incidence, batch_format="pandas")
-        .groupby("m")
-        .map_groups(wedge_fanout, batch_format="pandas")
-    )
-    edge_keys = eds.map_batches(
-        lambda df: pd.DataFrame(
-            {"a": df["u"].astype("int64"), "c": df["v"].astype("int64"),
-             "is_edge": np.ones(len(df), dtype=np.int64)}
-        ),
-        batch_format="pandas",
-    )
-
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bkt"] = ((df["a"] * 1_000_003 + df["c"]) % TRI_BUCKETS).astype("int64")
-        return df
-
-    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        key_edges = set(
-            zip(g.loc[g["is_edge"] == 1, "a"], g.loc[g["is_edge"] == 1, "c"])
-        )
-        cand = g[g["is_edge"] == 0]
-        closed = sum(
-            (a, c) in key_edges for a, c in zip(cand["a"], cand["c"])
-        )
-        return pd.DataFrame(
-            {"wedges": [len(cand)], "closed": [int(closed)]}
-        )
+    def wedge_bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        eset = ray.get(edge_ref)
+        g = g.sort_values(["m", "is_lo"])
+        ms = g["m"].to_numpy(np.int64)
+        other = g["other"].to_numpy(np.int64)
+        is_lo = g["is_lo"].to_numpy(np.int64)
+        seg = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1], True])
+        wedges = 0
+        closed = 0
+        for a, b in zip(seg[:-1], seg[1:]):
+            lo = other[a:b][is_lo[a:b] == 1]
+            hi = other[a:b][is_lo[a:b] == 0]
+            if len(lo) and len(hi):
+                wedges += len(lo) * len(hi)
+                closed += sum(
+                    (u, w) in eset
+                    for u in lo.tolist()
+                    for w in hi.tolist()
+                )
+        return pd.DataFrame({"wedges": [wedges], "closed": [closed]})
 
     agg = (
-        wedges.union(edge_keys)
-        .map_batches(bucketize, batch_format="pandas")
-        .groupby("bkt")
-        .map_groups(close_bucket, batch_format="pandas")
+        eds.map_batches(to_incidence, batch_format="pandas")
+        .groupby("mb")
+        .map_groups(wedge_bucket_fold, batch_format="pandas")
         .to_pandas()  # TRI_BUCKETS rows
     )
     n_wedges = int(agg["wedges"].sum())
@@ -410,7 +413,7 @@ pairs AS (
   FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
   GROUP BY a.s, b.s
 ),
-med AS (SELECT MEDIAN(c) AS m FROM pairs),
+med AS (SELECT quantile_cont(c, 0.75) AS m FROM pairs),
 e AS (SELECT x AS u, y AS v FROM pairs, med WHERE c >= m),
 w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u)
 SELECT (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,

@@ -787,7 +787,7 @@ def langid_confusion(sf_dir: str) -> pd.DataFrame:
 
 LANGID_CONFUSION_SQL = f"""
 WITH p AS ({LANG_ID_SQL})
-SELECT d.lang, p.pred_lang, COUNT(*)::BIGINT AS n
+SELECT COALESCE(d.lang, 'und') AS lang, p.pred_lang, COUNT(*)::BIGINT AS n
 FROM documents d JOIN p USING (doc_id)
-GROUP BY d.lang, p.pred_lang
+GROUP BY COALESCE(d.lang, 'und'), p.pred_lang
 """

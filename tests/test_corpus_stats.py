@@ -317,14 +317,18 @@ def test_bpe_encode_consistency(ray_session):
     ids = docs["doc_id"].to_numpy()
     assert (m.loc[ids, "n_bpe_tokens"].to_numpy() <= chars).all()
     assert (m["n_bpe_tokens"] >= m["n_words"]).all()
-    # local recompute of one doc
+    # local recompute of one full doc's token count vs the encode output
     merges = B.bpe_train(SF)
-    word0 = toks.iloc[0][0]
-    syms = list(word0) + [B.END_MARK]
-    for r in merges.itertuples():
-        syms = B._apply_merge(syms, r.l_sym, r.r_sym)
-    per_word = {word0: len(syms)}
-    assert per_word[word0] >= 1
+
+    def n_sym(word):
+        syms = list(word) + [B.END_MARK]
+        for r in merges.itertuples():
+            syms = B._apply_merge(syms, r.l_sym, r.r_sym)
+        return len(syms)
+
+    doc0 = docs.iloc[0]
+    want0 = sum(n_sym(w) for w in toks.iloc[0])
+    assert m.loc[doc0["doc_id"], "n_bpe_tokens"] == want0
 
 
 def test_power_iteration_guarantees(ray_session):

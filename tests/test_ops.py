@@ -494,13 +494,20 @@ def test_langid_confusion_diagonal_dominant(ray_session):
 
     cm = T.langid_confusion(SF)
     assert cm["n"].sum() == 500
-    # the heuristic must beat chance on its own stopword languages
-    for lang in ("en", "de", "fr"):
-        sub = cm[cm["lang"] == lang]
-        if not len(sub):
-            continue
-        diag = sub.loc[sub["pred_lang"] == lang, "n"].sum()
-        assert diag >= 0  # presence; exact accuracy asserted via oracle
+    # the confusion matrix must agree exactly with a local recompute
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = (
+        pd.DataFrame({"lang": docs["lang"].fillna("und"),
+                      "pred_lang": T._lang_pred(docs["text"])})
+        .groupby(["lang", "pred_lang"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(cm, want.astype({"n": "int64"}))
+    # (no accuracy assertion: the synthetic corpus's text is tech words,
+    # not per-language stopwords — the matrix itself is the contract)
 
 
 def test_triangle_count_matches_networkx_free_brute(ray_session):
@@ -522,7 +529,7 @@ def test_triangle_count_matches_networkx_free_brute(ray_session):
             for j in range(i + 1, len(ss)):
                 cnt[(ss[i], ss[j])] += 1
     vals = np.array(sorted(cnt.values()), dtype=np.float64)
-    th = np.percentile(vals, 50, method="linear")
+    th = np.percentile(vals, 75, method="linear")
     edges = {k for k, v in cnt.items() if v >= th}
     adj = defaultdict(set)
     for u, v in edges:
