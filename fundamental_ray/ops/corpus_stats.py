@@ -1006,3 +1006,125 @@ WHERE rk <= (SELECT (p + 1) // 2 FROM q)
 
 
 SELECT_CORPUS_SQL = _select_corpus_sql()
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty — the diminishing-returns statistic of data-curation
+# studies (what fraction of each document's 3-grams is globally NEW, i.e.
+# first occurs in this document under the corpus's (doc_id, position)
+# order). The global keep-first resolution is the chunk-dedup shape: only
+# NARROW (60-bit md5, packed position) rows pay the one hash-bucketed
+# exchange; novel/total partials then fold over a combinable
+# groupby(doc_id). Ray resolves on the md5-60bit prefix, the oracle on the
+# gram string — identical absent prefix collisions (none at tested sf).
+
+NOVELTY_N = 3
+NOVELTY_MAXG = 4096  # packed = doc_id * MAXG + gram_idx
+NOVELTY_HBUCKETS = 64
+
+
+def ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.analytics import r2
+
+    def explode(df: pd.DataFrame):
+        rows_h, rows_packed, tot_doc, tot_n = [], [], [], []
+        for d, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
+            ws = t.lower().split(" ")
+            n = len(ws) - NOVELTY_N + 1
+            if n <= 0:
+                continue
+            assert n <= NOVELTY_MAXG
+            for gi in range(n):
+                gram = " ".join(ws[gi : gi + NOVELTY_N])
+                rows_h.append(
+                    int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+                )
+                rows_packed.append(int(d) * NOVELTY_MAXG + gi)
+            tot_doc.append(int(d))
+            tot_n.append(n)
+        return (
+            pd.DataFrame(
+                {"h": np.asarray(rows_h, np.int64),
+                 "packed": np.asarray(rows_packed, np.int64)}
+            ),
+            pd.DataFrame(
+                {"doc_id": np.asarray(tot_doc, np.int64),
+                 "n_grams": np.asarray(tot_n, np.int64),
+                 "n_novel": np.zeros(len(tot_doc), np.int64)}
+            ),
+        )
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hp, _ = explode(df)
+        hp["hb"] = (hp["h"] % NOVELTY_HBUCKETS).astype("int64")
+        return hp
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("h")["packed"].min()
+        docs = (win.to_numpy(np.int64) // NOVELTY_MAXG)
+        out = (
+            pd.DataFrame({"doc_id": docs})
+            .groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_novel"})
+        )
+        out["n_grams"] = np.int64(0)
+        return out[["doc_id", "n_grams", "n_novel"]].astype("int64")
+
+    docs = _read_docs(sf_dir)
+    novel = (
+        docs.map_batches(hash_rows, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(winners, batch_format="pandas")
+    )
+    totals = docs.map_batches(
+        lambda df: explode(df)[1], batch_format="pandas"
+    )
+    per = (
+        novel.union(totals)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_novel", alias_name="n_novel"),
+        )
+        .to_pandas()
+    )
+    per["novelty"] = r2(
+        per["n_novel"].to_numpy(np.float64) / per["n_grams"].to_numpy(np.float64), 6
+    )
+    return (
+        per.astype({"doc_id": "int64", "n_grams": "int64", "n_novel": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+         unnest(range(len(string_split(lower(text), ' ')))) AS wi
+  FROM documents
+),
+g AS (
+  SELECT a.doc_id, a.wi AS gi,
+         a.word || ' ' || b.word || ' ' || c.word AS gram
+  FROM w a
+  JOIN w b ON b.doc_id = a.doc_id AND b.wi = a.wi + 1
+  JOIN w c ON c.doc_id = a.doc_id AND c.wi = a.wi + 2
+),
+own AS (
+  SELECT gram, MIN(doc_id * {NOVELTY_MAXG} + gi) AS keep FROM g GROUP BY gram
+),
+per AS (
+  SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN g.doc_id * {NOVELTY_MAXG} + g.gi = o.keep
+             THEN 1 ELSE 0 END)::BIGINT AS n_novel
+  FROM g JOIN own o USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       ROUND(n_novel / n_grams::DOUBLE, 6) AS novelty
+FROM per
+"""

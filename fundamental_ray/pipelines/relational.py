@@ -1376,3 +1376,95 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: KL(P_status || P_global) of the order-price
+# distribution over fixed value buckets — the monitoring statistic a
+# pipeline uses to detect per-segment drift from the corpus-wide
+# distribution. ONE combinable (status, bucket) count exchange; the
+# (statuses × buckets) table is constant-bounded and folds on the driver;
+# Laplace +1 smoothing over the GLOBAL bucket domain keeps every log
+# finite. ~dozen summands → 6-dp rounding far above drift.
+
+KL_BUCKET_SPAN = 50_000.0
+
+
+def agg_kl_price_drift(sf_dir: str) -> pd.DataFrame:
+    import math
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {
+                    "o_orderstatus": df["o_orderstatus"],
+                    "vb": np.floor(
+                        df["o_totalprice"].to_numpy(np.float64) / KL_BUCKET_SPAN
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["o_orderstatus", "vb"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return out.astype({"vb": "int64", "c": "int64"})
+
+    cnt = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()  # statuses × buckets × n_blocks — constant-bounded
+        .groupby(["o_orderstatus", "vb"], as_index=False)
+        .sum()
+    )
+    buckets = np.sort(cnt["vb"].unique())
+    n_b = len(buckets)
+    glob = cnt.groupby("vb")["c"].sum()
+    n_g = float(glob.sum())
+    q = {int(b): (float(glob.get(b, 0)) + 1.0) / (n_g + n_b) for b in buckets}
+    rows = []
+    for status, g in cnt.groupby("o_orderstatus"):
+        by_b = g.set_index("vb")["c"]
+        n_s = float(by_b.sum())
+        kl = 0.0
+        for b in buckets:
+            p = (float(by_b.get(b, 0)) + 1.0) / (n_s + n_b)
+            kl += p * math.log(p / q[int(b)])
+        rows.append(
+            {"o_orderstatus": status, "n_orders": int(n_s),
+             "kl_divergence": float(r2(kl, 6))}
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"n_orders": "int64"})
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+
+
+AGG_KL_PRICE_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT o_orderstatus, FLOOR(o_totalprice / {KL_BUCKET_SPAN})::BIGINT AS vb,
+         COUNT(*)::BIGINT AS c
+  FROM orders GROUP BY o_orderstatus, vb
+),
+b AS (SELECT DISTINCT vb FROM c),
+nb AS (SELECT COUNT(*)::DOUBLE AS n_b FROM b),
+g AS (SELECT vb, SUM(c)::DOUBLE AS cg FROM c GROUP BY vb),
+ng AS (SELECT SUM(cg) AS n_g FROM g),
+s AS (SELECT o_orderstatus, SUM(c)::DOUBLE AS n_s FROM c GROUP BY o_orderstatus),
+grid AS (
+  SELECT s.o_orderstatus, s.n_s, b.vb,
+         COALESCE(g.cg, 0) AS cg, COALESCE(cs.c, 0) AS cs
+  FROM s CROSS JOIN b
+  LEFT JOIN g USING (vb)
+  LEFT JOIN c cs ON cs.o_orderstatus = s.o_orderstatus AND cs.vb = b.vb
+)
+SELECT o_orderstatus, ANY_VALUE(n_s)::BIGINT AS n_orders,
+       ROUND(SUM(
+         ((cs + 1.0) / (n_s + (SELECT n_b FROM nb)))
+         * ln(((cs + 1.0) / (n_s + (SELECT n_b FROM nb)))
+              / ((cg + 1.0) / ((SELECT n_g FROM ng) + (SELECT n_b FROM nb))))
+       ), 6) AS kl_divergence
+FROM grid GROUP BY o_orderstatus
+"""

@@ -135,6 +135,7 @@ def _populate() -> None:
 
     register("agg_rollup", R.agg_rollup, R.AGG_ROLLUP_SQL)
     register("agg_cube", R.agg_cube, R.AGG_CUBE_SQL)
+    register("agg_kl_price_drift", R.agg_kl_price_drift, R.AGG_KL_PRICE_DRIFT_SQL)
     register("window_moving_avg", R.window_moving_avg, R.WINDOW_MOVING_AVG_SQL)
     register(
         "events_cohort_retention", R.events_cohort_retention, R.EVENTS_COHORT_RETENTION_SQL
@@ -338,6 +339,7 @@ FROM reach GROUP BY n ORDER BY doc_id
 
     register("text_bpe_train", BP.bpe_train, BP.BPE_TRAIN_SQL)
     register("text_bpe_encode", BP.bpe_encode, BP.BPE_ENCODE_SQL)
+    register("text_ngram_novelty", CS.ngram_novelty, CS.NGRAM_NOVELTY_SQL)
 
     # flagship composite: quality → exact dedup → near-dup drop → decon
     from .pipelines import clean as CL

@@ -352,3 +352,39 @@ def test_power_iteration_guarantees(ray_session):
     cos0 = abs(np.ones(len(pc1)) @ pc1) / np.sqrt(len(pc1))
     cos5 = abs(v @ pc1) / np.linalg.norm(v)
     assert cos5 > cos0  # alignment strictly improves from the start
+
+
+def test_ngram_novelty_keepfirst_properties(ray_session):
+    got = CS.ngram_novelty(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    # brute-force keep-first over (doc_id, position) order
+    seen = set()
+    want = {}
+    for r in docs.itertuples():
+        ws = r.text.lower().split(" ")
+        grams = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        novel = 0
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                novel += 1
+        if grams:
+            want[r.doc_id] = (len(grams), novel)
+    m = got.set_index("doc_id")
+    assert set(m.index) == set(want)
+    for d, (n, nov) in want.items():
+        assert m.loc[d, "n_grams"] == n
+        assert m.loc[d, "n_novel"] == nov
+    # the earliest doc is maximally novel; novelty declines on average
+    first = docs["doc_id"].iloc[0]
+    assert m.loc[first, "novelty"] == 1.0
+
+
+def test_kl_price_drift_properties(ray_session):
+    from fundamental_ray.pipelines import relational as R
+
+    got = R.agg_kl_price_drift(SF)
+    # KL >= 0 always; statuses partition the orders
+    assert (got["kl_divergence"] >= 0).all()
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderstatus"])
+    assert got["n_orders"].sum() == len(orders)
