@@ -1468,3 +1468,132 @@ SELECT o_orderstatus, ANY_VALUE(n_s)::BIGINT AS n_orders,
        ), 6) AS kl_divergence
 FROM grid GROUP BY o_orderstatus
 """
+
+
+# --------------------------------------------------------------------------
+# Windowed top-k: the top-3 event types per hourly tumbling window — the
+# classic streaming leaderboard primitive. ONE combinable (window, type)
+# count exchange; the (windows × types) table is bounded by time-range ×
+# type-cardinality and folds + ranks on the driver. Rank determinism:
+# count desc, then event_type asc (integer + string keys — no floats).
+
+WTOPK_K = 3
+
+
+def events_windowed_topk(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        hours = df["ts"].dt.floor("h")
+        out = (
+            pd.DataFrame({"window_start": hours, "event_type": df["event_type"]})
+            .groupby(["window_start", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"n": "int64"})
+
+    cnt = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()  # windows × types × n_blocks — time/type-bounded
+        .groupby(["window_start", "event_type"], as_index=False)
+        .sum()
+    )
+    cnt = cnt.sort_values(
+        ["window_start", "n", "event_type"], ascending=[True, False, True]
+    )
+    cnt["rank"] = cnt.groupby("window_start").cumcount() + 1
+    out = cnt[cnt["rank"] <= WTOPK_K].reset_index(drop=True)
+    out["window_start"] = out["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out.astype({"n": "int64", "rank": "int64"})[
+        ["window_start", "event_type", "n", "rank"]
+    ]
+
+
+EVENTS_WINDOWED_TOPK_SQL = f"""
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start ORDER BY n DESC, event_type) AS rank
+  FROM c
+) WHERE rank <= {WTOPK_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit deviation per order status — the data-quality audit
+# that flags fabricated or truncated numeric columns. ONE combinable
+# (status, digit) count exchange (≤ statuses × 9 cells); chi-square
+# statistic vs the Benford expectation computed on the driver, rounded.
+
+import math as _math
+
+BENFORD_P = {d: _math.log10(1 + 1.0 / d) for d in range(1, 10)}
+
+
+def agg_benford_deviation(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            df["o_totalprice"].abs().astype("int64").astype(str).str[0].astype("int64")
+        )
+        out = (
+            pd.DataFrame({"o_orderstatus": df["o_orderstatus"], "digit": first})
+            .groupby(["o_orderstatus", "digit"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return out.astype({"digit": "int64", "c": "int64"})
+
+    cnt = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()  # statuses × 9 × n_blocks — constant-bounded
+        .groupby(["o_orderstatus", "digit"], as_index=False)
+        .sum()
+    )
+    rows = []
+    for status, g in cnt.groupby("o_orderstatus"):
+        by_d = g.set_index("digit")["c"]
+        n = float(by_d.sum())
+        chi2 = 0.0
+        for d in range(1, 10):
+            exp = n * BENFORD_P[d]
+            obs = float(by_d.get(d, 0))
+            chi2 += (obs - exp) ** 2 / exp
+        rows.append(
+            {"o_orderstatus": status, "n_orders": int(n),
+             "chi2_benford": float(r2(chi2, 4))}
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"n_orders": "int64"})
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+
+
+AGG_BENFORD_SQL = """
+WITH c AS (
+  SELECT o_orderstatus,
+         substr(CAST(CAST(FLOOR(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1)::BIGINT
+           AS digit,
+         COUNT(*)::BIGINT AS c
+  FROM orders GROUP BY 1, 2
+),
+s AS (SELECT o_orderstatus, SUM(c)::DOUBLE AS n FROM c GROUP BY o_orderstatus),
+grid AS (
+  SELECT s.o_orderstatus, s.n, d.digit,
+         COALESCE(c.c, 0)::DOUBLE AS obs,
+         s.n * log10(1 + 1.0 / d.digit) AS exp
+  FROM s CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) d
+  LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus AND c.digit = d.digit
+)
+SELECT o_orderstatus, ANY_VALUE(n)::BIGINT AS n_orders,
+       ROUND(SUM((obs - exp) * (obs - exp) / exp), 4) AS chi2_benford
+FROM grid GROUP BY o_orderstatus
+"""
