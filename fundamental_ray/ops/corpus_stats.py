@@ -1035,7 +1035,10 @@ def ngram_novelty(sf_dir: str) -> pd.DataFrame:
             n = len(ws) - NOVELTY_N + 1
             if n <= 0:
                 continue
-            assert n <= NOVELTY_MAXG
+            # fail fast: gi >= MAXG would alias into doc d+1's packed range
+            assert n <= NOVELTY_MAXG, (
+                f"doc {d}: {n} grams exceeds NOVELTY_MAXG — raise the packing width"
+            )
             for gi in range(n):
                 gram = " ".join(ws[gi : gi + NOVELTY_N])
                 rows_h.append(
@@ -1079,9 +1082,19 @@ def ngram_novelty(sf_dir: str) -> pd.DataFrame:
         .groupby("hb")
         .map_groups(winners, batch_format="pandas")
     )
-    totals = docs.map_batches(
-        lambda df: explode(df)[1], batch_format="pandas"
-    )
+    def total_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # count-only: no hashing (explode() would md5 every gram twice)
+        n = (
+            df["text"].fillna("").str.lower().str.split(" ").str.len()
+            - NOVELTY_N + 1
+        ).clip(lower=0).astype("int64")
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_grams": n,
+             "n_novel": np.zeros(len(df), np.int64)}
+        )
+        return out[out["n_grams"] > 0]
+
+    totals = docs.map_batches(total_rows, batch_format="pandas")
     per = (
         novel.union(totals)
         .groupby("doc_id")

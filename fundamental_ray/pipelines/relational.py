@@ -10,6 +10,8 @@ final aggregate-sized frames reach the driver.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray.data
@@ -1391,8 +1393,6 @@ KL_BUCKET_SPAN = 50_000.0
 
 
 def agg_kl_price_drift(sf_dir: str) -> pd.DataFrame:
-    import math
-
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
@@ -1530,9 +1530,7 @@ SELECT window_start, event_type, n, rank FROM (
 # (status, digit) count exchange (≤ statuses × 9 cells); chi-square
 # statistic vs the Benford expectation computed on the driver, rounded.
 
-import math as _math
-
-BENFORD_P = {d: _math.log10(1 + 1.0 / d) for d in range(1, 10)}
+BENFORD_P = {d: math.log10(1 + 1.0 / d) for d in range(1, 10)}
 
 
 def agg_benford_deviation(sf_dir: str) -> pd.DataFrame:

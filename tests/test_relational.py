@@ -387,24 +387,19 @@ def test_agg_cube_lattice_consistency(ray_session):
 
 
 def test_windowed_topk_and_benford(ray_session):
-    from fundamental_ray.pipelines import relational as R
-
-    sf = "/root/testdata/sf0.001"
-    wt = R.events_windowed_topk(sf)
+    wt = R.events_windowed_topk(SF)
     # ranks are 1..K per window, counts non-increasing within a window
     for _, g in wt.groupby("window_start"):
         g = g.sort_values("rank")
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["n"].diff().dropna() <= 0).all()
-    bf = R.agg_benford_deviation(sf)
+    bf = R.agg_benford_deviation(SF)
     # chi2 >= 0; statuses partition orders
     assert (bf["chi2_benford"] >= 0).all()
-    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderstatus"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderstatus"])
     assert bf["n_orders"].sum() == len(orders)
     # local recompute of one status's chi2
-    import numpy as np
-
-    tp = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderstatus", "o_totalprice"])
+    tp = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderstatus", "o_totalprice"])
     g = tp[tp["o_orderstatus"] == bf["o_orderstatus"].iloc[0]]
     first = g["o_totalprice"].abs().astype("int64").astype(str).str[0].astype(int)
     n = len(first)
