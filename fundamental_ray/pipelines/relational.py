@@ -1595,3 +1595,73 @@ SELECT o_orderstatus, ANY_VALUE(n)::BIGINT AS n_orders,
        ROUND(SUM((obs - exp) * (obs - exp) / exp), 4) AS chi2_benford
 FROM grid GROUP BY o_orderstatus
 """
+
+
+# --------------------------------------------------------------------------
+# Per-user EWMA of the event value stream (α = 1/2) — the streaming
+# smoothing primitive (anomaly baselines, rate estimators). The recurrence
+# ewma_t = (v_t + ewma_{t-1}) / 2 is inherently ordered, so it runs as the
+# repo's bucketized per-user ordered fold (ONE exchange; users are the
+# parallel unit). α = 1/2 makes every value a dyadic rational, so the
+# float64 recurrence is bit-identical across engines (the autothrottle
+# contract); output rounded to 6 dp anyway. Order: (ts, event_id) —
+# deterministic under timestamp ties. Oracle: recursive CTE over a dense
+# per-user ROW_NUMBER sequence.
+
+EWMA_BUCKETS = 64
+
+
+def events_ewma_value(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = (df["user_id"].astype("int64") % EWMA_BUCKETS).astype("int64")
+        return df
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = {"user_id": [], "n_events": [], "ewma_value": []}
+        for uid, per in g.groupby("user_id", sort=False):
+            ew = 0.0
+            for v in per["value"].to_numpy(np.float64):
+                ew = (v + ew) / 2.0
+            out["user_id"].append(int(uid))
+            out["n_events"].append(len(per))
+            out["ewma_value"].append(round(ew, 6))
+        return pd.DataFrame(out).astype({"user_id": "int64", "n_events": "int64"})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_EWMA_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS seq,
+         value
+  FROM events
+),
+rec(user_id, seq, ew) AS (
+  SELECT user_id, -1::BIGINT, 0.0::DOUBLE
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT rec.user_id, e.seq, (e.value + rec.ew) / 2.0
+  FROM rec JOIN ev e ON e.user_id = rec.user_id AND e.seq = rec.seq + 1
+),
+fin AS (
+  SELECT user_id, ew,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM rec
+),
+n AS (SELECT user_id, COUNT(*)::BIGINT AS n_events FROM ev GROUP BY user_id)
+SELECT n.user_id, n.n_events, ROUND(f.ew, 6) AS ewma_value
+FROM n JOIN fin f ON f.user_id = n.user_id AND f.rn = 1
+"""

@@ -138,6 +138,7 @@ def _populate() -> None:
     register("agg_kl_price_drift", R.agg_kl_price_drift, R.AGG_KL_PRICE_DRIFT_SQL)
     register("events_windowed_topk", R.events_windowed_topk, R.EVENTS_WINDOWED_TOPK_SQL)
     register("agg_benford_deviation", R.agg_benford_deviation, R.AGG_BENFORD_SQL)
+    register("events_ewma_value", R.events_ewma_value, R.EVENTS_EWMA_SQL)
     register("window_moving_avg", R.window_moving_avg, R.WINDOW_MOVING_AVG_SQL)
     register(
         "events_cohort_retention", R.events_cohort_retention, R.EVENTS_COHORT_RETENTION_SQL

@@ -408,3 +408,15 @@ def test_windowed_topk_and_benford(ray_session):
         for d in range(1, 10)
     )
     assert abs(bf["chi2_benford"].iloc[0] - round(chi2, 4)) < 1e-6
+
+
+def test_ewma_recurrence_semantics(ray_session):
+    got = R.events_ewma_value(SF).set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    for uid, per in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ew = 0.0
+        for v in per["value"]:
+            ew = (v + ew) / 2.0
+        assert got.loc[uid, "ewma_value"] == round(ew, 6)
+        assert got.loc[uid, "n_events"] == len(per)
