@@ -195,6 +195,9 @@ def _bench_polite(num_cpus, idx, queries, extra):
         index_dir=idx, job_dir=job_dir_p, budget_per_host=8_000,
         num_seen_shards=max(4, num_cpus // 2), scraped_at=SCRAPED_AT,
         max_rounds=128,
+        # FR_DRAIN=0 forces the naive per-round backlog re-sort (A/B lever
+        # for the post-discovery drain plan; semantics identical either way)
+        drain_plan=os.environ.get("FR_DRAIN", "1") != "0",
     )
     t0 = _t.time()
     job_p = CrawlJob(

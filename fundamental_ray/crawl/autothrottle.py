@@ -21,6 +21,7 @@ float64 recurrence is bit-identical across engines; output rounded to
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import numpy as np
 import pandas as pd
@@ -49,7 +50,7 @@ def synth_responses(sf_dir: str) -> ray.data.Dataset:
             }
         ).astype("int64")
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(make, batch_format="pandas")
 

@@ -11,6 +11,8 @@ the same stage that reads it.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
+from fundamental_ray.state.diskcache import cache_valid, mark_done, source_fingerprint
 
 import os
 import zlib
@@ -59,14 +61,9 @@ def build_fetch_index(
     source would decode most source row groups once PER BUCKET — B× read
     amplification — so shipping the bytes once is the cheaper plan.)
     Columns kept: url_norm, url, html (`text`/`lang` stay in the source)."""
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
-        with open(done) as fh:
-            if fh.read().split(":")[0] == INDEX_VERSION:
-                return out_dir
-        import shutil as _sh
-
-        _sh.rmtree(out_dir)  # stale layout/hash — rebuild
+    fp = f"{INDEX_VERSION}:{num_buckets}:" + source_fingerprint(pages_path)
+    if cache_valid(out_dir, fp):
+        return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -103,21 +100,21 @@ def build_fetch_index(
         os.replace(path + ".tmp", path)
         return pa.table({"kind": [kind], "bucket": [b], "rows": [t.num_rows]})
 
-    ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    ds = read_parquet_clean(pages_path, columns=["url", "html"])
     (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby(["kind", "bucket"])
         .map_groups(write_bucket, batch_format="pyarrow")
         .materialize()
     )
-    with open(done, "w") as fh:
-        fh.write(f"{INDEX_VERSION}:{num_buckets}")
+    mark_done(out_dir, fp)
     return out_dir
 
 
 def index_num_buckets(index_dir: str) -> int:
+    # _DONE payload is "{version}:{num_buckets}:{source fingerprint}"
     with open(os.path.join(index_dir, "_DONE")) as fh:
-        return int(fh.read().strip().split(":")[-1])
+        return int(fh.read().strip().split(":")[1])
 
 
 def fetch_pages(
@@ -147,7 +144,7 @@ def fetch_pages(
     if not paths:
         return ray.data.from_items([])
     filt = pc.is_in(pads.field("url_norm"), value_set=pa.array(wanted, pa.string()))
-    return ray.data.read_parquet(paths, columns=columns or ["url_norm", "url", "html"], filter=filt)
+    return read_parquet_clean(paths, columns=columns or ["url_norm", "url", "html"], filter=filt)
 
 
 _DSET_CACHE: dict[tuple, tuple] = {}  # paths -> ((mtime,size)…, pads.Dataset)

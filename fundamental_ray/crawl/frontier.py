@@ -31,6 +31,7 @@ the round checkpoint, so resume restores them for free.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import json
 import os
@@ -53,7 +54,7 @@ from .canonicalize import canonicalize_url, host_of
 from .fetchstore import (
     fetch_map_tasks, plan_map_requests, submit_map_request_chunk,
 )
-from .politeness import schedule_round, schedule_round_local
+from .politeness import DrainPlan, schedule_round, schedule_round_local
 from .robots import RobotsTable
 from .seen import StatusPartitionedSeen
 
@@ -92,6 +93,13 @@ class CrawlConfig:
     # fault injection — final membership and listings are invariant.
     simulate_transient: bool = False
     transient_mod: int = 7  # flaky iff int(md5(url_norm)[:2],16) % mod == 0
+    # post-discovery drain plan: once all chains are done, sort the
+    # deferred backlog into service order ONCE and serve each round by
+    # cursor advance (O(scheduled)/round) instead of re-sorting and
+    # re-checkpointing the whole backlog (O(backlog)/round). Service sets
+    # are round-for-round identical to the naive path (test-pinned);
+    # False forces the naive scheduler (A/B + equivalence tests).
+    drain_plan: bool = True
     # rounds whose detail fetch+extract may be in flight (uncommitted) at
     # once. 1 = classic one-round software pipeline; 2-3 lets the serial
     # list→claim→schedule path of several rounds run while earlier rounds'
@@ -320,6 +328,8 @@ class CrawlJob:
         # next claim call as the crash-window re-push; pruned at commit
         self._unc_claim_refs: dict = {}
         self._round_novel: pa.Table = REQUEST_SCHEMA.empty_table()
+        self._drain: DrainPlan | None = None  # post-discovery backlog plan
+        self._drain_backlog_path: str | None = None
         self.lineage: list[dict] = []
         self.counters: dict[str, int] = {
             "fetched": 0, "deduped": 0, "deferred": 0, "robots_denied": 0,
@@ -363,7 +373,11 @@ class CrawlJob:
         # their detail tasks launched (by the next round's _phase_a)
         while self.round < self.cfg.max_rounds:
             live = [c for c in self.chains.values() if not c.done]
-            if not live and deferred.num_rows == 0:
+            if (
+                not live
+                and deferred.num_rows == 0
+                and (self._drain is None or self._drain.remaining == 0)
+            ):
                 break
             self.round += 1
             pend = self._phase_a(
@@ -526,58 +540,98 @@ class CrawlJob:
 
         # -- 3. politeness schedule over novel ∪ deferred ---------------
         t0 = time.time()
-        pending = pa.concat_tables([deferred, novel_t], promote_options="default")
-        t_concat = time.time()
-        scheduled, new_deferred = self._empty_requests(), self._empty_requests()
-        if pending.num_rows:
+        drain_round = False
+        if (
+            not live and self._drain is None
+            and deferred.num_rows and cfg.drain_plan
+        ):
+            # every chain is done: no new request can ever enter the
+            # frontier, so the backlog is a FIXED set served in fixed
+            # per-host slices. Sort it into service order once (DrainPlan)
+            # and checkpoint the sorted backlog once; each remaining round
+            # is then an O(scheduled) cursor advance instead of an
+            # O(backlog) re-sort + re-write (the 92.4M-row deferral storm
+            # of the 76,800-chain polite bench).
             delays = {
-                h: d for h in set(pending.column("host").to_pylist())
+                h: d for h in set(deferred.column("host").to_pylist())
                 if (d := self.robots.crawl_delay(h)) is not None
             } if cfg.obey_robots else {}
-            # fast path: when no host exceeds its budget the schedule is the
-            # identity — detect with a vectorized value_counts and skip the
-            # groupby-host exchange entirely (common at generous budgets)
-            over = False
-            for s in pending.column("host").value_counts():
-                host = s["values"].as_py()
-                budget = cfg.budget_per_host
-                d = delays.get(host)
-                if d and d > cfg.base_delay:
-                    budget = max(1, int(budget * cfg.base_delay / d))
-                if s["counts"].as_py() > budget:
-                    over = True
-                    break
-            if not over:
-                scheduled = pending
-            elif pending.num_rows < 2_000_000:
-                # vectorized driver-local schedule (identical semantics);
-                # pending is budget-bounded per round, so this is the
-                # common case even at huge frontier scale
-                scheduled, new_deferred = schedule_round_local(
-                    pending, cfg.budget_per_host, delays, cfg.base_delay
-                )
-                scheduled = scheduled.select(REQUEST_SCHEMA.names)
-                new_deferred = new_deferred.select(REQUEST_SCHEMA.names)
-            else:
-                scheduled_ds = schedule_round(
-                    ray.data.from_arrow(pending), cfg.budget_per_host, delays,
-                    cfg.base_delay,
-                )
-                sched_t = pa.concat_tables(
-                    [ray.get(r) for r in scheduled_ds.to_arrow_refs()],
-                    promote_options="default",
-                )
-                mask = sched_t.column("scheduled")
-                scheduled = sched_t.filter(mask).drop_columns(
-                    ["scheduled"]
-                ).select(REQUEST_SCHEMA.names)
-                new_deferred = sched_t.filter(pc.invert(mask)).drop_columns(
-                    ["scheduled"]
-                ).select(REQUEST_SCHEMA.names)
-        delta["deferred"] = new_deferred.num_rows
-        self._lineage("politeness", pending.num_rows, scheduled.num_rows, t0,
-                      deferred=new_deferred.num_rows,
-                      concat_ms=int((t_concat - t0) * 1000))
+            self._drain = DrainPlan(
+                deferred, cfg.budget_per_host, delays, cfg.base_delay
+            )
+            self._drain_backlog_path = os.path.join(
+                self.cfg.job_dir, f"drain_backlog-r{self.round:04d}.parquet"
+            )
+            pq.write_table(self._drain.table, self._drain_backlog_path)
+            self._lineage(
+                "drain_plan", deferred.num_rows, self._drain.table.num_rows, t0
+            )
+            t0 = time.time()
+        if self._drain is not None:
+            drain_round = True
+            pending_rows = self._drain.remaining
+            scheduled, remaining = self._drain.next_round()
+            new_deferred = self._empty_requests()
+            delta["deferred"] = remaining
+            self._lineage(
+                "politeness", pending_rows, scheduled.num_rows, t0,
+                deferred=remaining, drain=1,
+            )
+        else:
+            pending = pa.concat_tables(
+                [deferred, novel_t], promote_options="default"
+            )
+            t_concat = time.time()
+            scheduled, new_deferred = self._empty_requests(), self._empty_requests()
+            if pending.num_rows:
+                delays = {
+                    h: d for h in set(pending.column("host").to_pylist())
+                    if (d := self.robots.crawl_delay(h)) is not None
+                } if cfg.obey_robots else {}
+                # fast path: when no host exceeds its budget the schedule is the
+                # identity — detect with a vectorized value_counts and skip the
+                # groupby-host exchange entirely (common at generous budgets)
+                over = False
+                for s in pending.column("host").value_counts():
+                    host = s["values"].as_py()
+                    budget = cfg.budget_per_host
+                    d = delays.get(host)
+                    if d and d > cfg.base_delay:
+                        budget = max(1, int(budget * cfg.base_delay / d))
+                    if s["counts"].as_py() > budget:
+                        over = True
+                        break
+                if not over:
+                    scheduled = pending
+                elif pending.num_rows < 2_000_000:
+                    # vectorized driver-local schedule (identical semantics);
+                    # pending is budget-bounded per round, so this is the
+                    # common case even at huge frontier scale
+                    scheduled, new_deferred = schedule_round_local(
+                        pending, cfg.budget_per_host, delays, cfg.base_delay
+                    )
+                    scheduled = scheduled.select(REQUEST_SCHEMA.names)
+                    new_deferred = new_deferred.select(REQUEST_SCHEMA.names)
+                else:
+                    scheduled_ds = schedule_round(
+                        ray.data.from_arrow(pending), cfg.budget_per_host, delays,
+                        cfg.base_delay,
+                    )
+                    sched_t = pa.concat_tables(
+                        [ray.get(r) for r in scheduled_ds.to_arrow_refs()],
+                        promote_options="default",
+                    )
+                    mask = sched_t.column("scheduled")
+                    scheduled = sched_t.filter(mask).drop_columns(
+                        ["scheduled"]
+                    ).select(REQUEST_SCHEMA.names)
+                    new_deferred = sched_t.filter(pc.invert(mask)).drop_columns(
+                        ["scheduled"]
+                    ).select(REQUEST_SCHEMA.names)
+            delta["deferred"] = new_deferred.num_rows
+            self._lineage("politeness", pending.num_rows, scheduled.num_rows, t0,
+                          deferred=new_deferred.num_rows,
+                          concat_ms=int((t_concat - t0) * 1000))
 
         # -- 4. robots gate (vectorized: host-level lookup + numpy prefix
         # masks; only hosts that actually have rules cost per-row work) --
@@ -626,9 +680,17 @@ class CrawlJob:
                     "attempt",
                     pc.add(retry_rows.column("attempt"), 1).cast(pa.int32()),
                 )
-                new_deferred = pa.concat_tables(
-                    [new_deferred, retry_rows], promote_options="default"
-                ).select(REQUEST_SCHEMA.names)
+                if drain_round:
+                    # retries re-enter at the FRONT of their host's next
+                    # budget — their service keys precede everything still
+                    # behind the cursor, so this equals the re-sort path
+                    self._drain.push_extras(
+                        retry_rows.select(REQUEST_SCHEMA.names)
+                    )
+                else:
+                    new_deferred = pa.concat_tables(
+                        [new_deferred, retry_rows], promote_options="default"
+                    ).select(REQUEST_SCHEMA.names)
             delta["retried"] = retry_rows.num_rows
             self._lineage("transient_retry", scheduled.num_rows + retry_rows.num_rows,
                           scheduled.num_rows, t0, retried=retry_rows.num_rows)
@@ -688,8 +750,18 @@ class CrawlJob:
                 c.next_url_norm = None  # canonicalized lazily next round
             c.page_no += 1
 
+        drain_snap = None
+        if drain_round:
+            d = self._drain
+            drain_snap = {
+                "backlog_path": self._drain_backlog_path,
+                "cursors": [int(x) for x in d.cursors],
+                "ends": [int(x) for x in d.ends],
+                "extras": d.extras,
+            }
         return {
             "round": self.round, "rdir": rdir, "page_visits": page_visits,
+            "drain": drain_snap,
             "new_deferred": new_deferred, "novel": novel_t, "refs": [],
             "scheduled": scheduled, "detail_launched": False,
             "scheduled_rows": scheduled.num_rows, "delta": delta,
@@ -771,7 +843,30 @@ class CrawlJob:
             self.counters[k] = self.counters.get(k, 0) + v
 
         rdir = pend["rdir"]
-        pq.write_table(pend["new_deferred"], os.path.join(rdir, "deferred.parquet"))
+        if pend.get("drain"):
+            # drain-phase checkpoint: the sorted backlog was written ONCE
+            # at plan build; per round only the per-host cursors (tiny) and
+            # the retry overlay (tiny) hit disk — O(1) instead of
+            # O(backlog) deferred.parquet rewrites
+            snap = pend["drain"]
+            ex = snap["extras"]
+            pq.write_table(
+                ex if ex is not None else REQUEST_SCHEMA.empty_table(),
+                os.path.join(rdir, "drain_extras.parquet"),
+            )
+            with open(os.path.join(rdir, "drain_cursor.json"), "w") as fh:
+                json.dump(
+                    {
+                        "backlog": snap["backlog_path"],
+                        "cursors": snap["cursors"],
+                        "ends": snap["ends"],
+                    },
+                    fh,
+                )
+        else:
+            pq.write_table(
+                pend["new_deferred"], os.path.join(rdir, "deferred.parquet")
+            )
         # incremental seen snapshot: just this round's claims (O(Δ), not
         # O(total)); resume unions all committed rounds' claim files
         pq.write_table(
@@ -839,7 +934,25 @@ class CrawlJob:
         job.seen.preload(by_class)
         with open(os.path.join(rdir, "counters.json")) as fh:
             job.counters = {"retried": 0, **json.load(fh)["counters"]}
-        deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))
+        dc = os.path.join(rdir, "drain_cursor.json")
+        if os.path.exists(dc):
+            with open(dc) as fh:
+                snap = json.load(fh)
+            backlog = pq.read_table(snap["backlog"])
+            ranges = [
+                np.arange(a, b)
+                for a, b in zip(snap["cursors"], snap["ends"]) if b > a
+            ]
+            rem = (
+                backlog.take(pa.array(np.concatenate(ranges), pa.int64()))
+                if ranges else backlog.slice(0, 0)
+            )
+            extras = pq.read_table(os.path.join(rdir, "drain_extras.parquet"))
+            deferred = pa.concat_tables(
+                [extras, rem], promote_options="default"
+            )
+        else:
+            deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))
         if "attempt" not in deferred.column_names:  # pre-retry-sim layout
             deferred = deferred.append_column(
                 "attempt", pa.array(np.zeros(deferred.num_rows, dtype=np.int32))
@@ -884,7 +997,7 @@ def crawl_listings_dataset(job_dir: str) -> ray.data.Dataset:
     ``round=NNNN`` checkpoint directories would otherwise surface as an
     inferred partition column — the round is checkpoint lineage, not a
     listing field, so it is dropped here."""
-    ds = ray.data.read_parquet(round_listings_paths(job_dir))
+    ds = read_parquet_clean(round_listings_paths(job_dir))
     if "round" in ds.schema().names:
         ds = ds.drop_columns(["round"])
     return ds

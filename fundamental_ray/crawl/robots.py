@@ -88,6 +88,9 @@ class RobotsTable:
         paths = (
             pd.Series(np.asarray(urls, dtype=object))
             .str.replace(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "", regex=True)
+            # urlsplit (the scalar path) drops BOTH query and fragment, so
+            # strip '#fragment' before '?query' to keep the semantics equal
+            .str.split("#").str[0]
             .str.split("?").str[0]
             .replace("", "/")
             .to_numpy()

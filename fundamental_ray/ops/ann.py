@@ -17,6 +17,8 @@ empirically exact at bench scale, which is what the driver oracle checks.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
+from fundamental_ray.state.diskcache import cache_valid, mark_done, source_fingerprint
 
 import os
 
@@ -34,7 +36,7 @@ def _query_matrix(sf_dir: str, n_queries: int):
     import pyarrow.dataset as pads
 
     emb = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding"],
             filter=pc.less(pads.field("vec_id"), n_queries),
@@ -102,7 +104,7 @@ def brute_force_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFra
         bq, bm = ray.get(qref)
         return _block_topk(bq, bm, ids, mat, k)
 
-    cand = ray.data.read_parquet(
+    cand = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(block, batch_format="pandas", batch_size=1024)
     return _merge_topk(cand, k)
@@ -131,7 +133,7 @@ def _train_centroids(sf_dir: str, n_centroids: int) -> np.ndarray:
     seeds + one Lloyd sweep (no RNG, no wall-clock). Sample size is a
     constant — this is the only driver-side numpy in the IVF path."""
     sample = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .limit(SAMPLE_ROWS)
         .to_pandas()
         .sort_values("vec_id")
@@ -159,8 +161,8 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> tuple[str, np.ndarray
     cents = _train_centroids(sf_dir, n_centroids)
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/fr_ivf/{tag}-c{n_centroids}-v1"
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    fp = source_fingerprint(f"{sf_dir}/embeddings.parquet", extra=f"c{n_centroids}-v1")
+    if cache_valid(out, fp):
         return out, cents
     os.makedirs(out, exist_ok=True)
     cref = ray.put(cents)
@@ -173,12 +175,11 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> tuple[str, np.ndarray
         return t.append_column("bucket", pa.array(bucket, pa.int32()))
 
     (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(assign, batch_format="pyarrow", batch_size=2048)
         .write_parquet(out, partition_cols=["bucket"])
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_done(out, fp)
     return out, cents
 
 
@@ -282,8 +283,10 @@ def build_lsh_index(
     planes = _lsh_planes(dim, n_tables, n_planes)
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/fr_lsh/{tag}-t{n_tables}-p{n_planes}-v1"
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    fp = source_fingerprint(
+        f"{sf_dir}/embeddings.parquet", extra=f"t{n_tables}-p{n_planes}-v1"
+    )
+    if cache_valid(out, fp):
         return out, planes
     os.makedirs(out, exist_ok=True)
     pref = ray.put(planes)
@@ -310,14 +313,13 @@ def build_lsh_index(
         return pa.concat_tables(parts)
 
     (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(assign, batch_format="pyarrow", batch_size=2048)
         .write_parquet(out, partition_cols=["table", "bucket"])
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_done(out, fp)
     return out, planes
 
 
@@ -420,7 +422,7 @@ def knn_classify(sf_dir: str, k: int = KNN_K, n_queries: int = KNN_QUERIES) -> p
 
     wanted = sorted(set(topk["neighbor_id"]) | set(topk["query_id"]))
     labels = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "label"],
             filter=pc.is_in(
@@ -523,7 +525,7 @@ def mmr_rerank(
         return _block_topk(bq, bm, ids, mat, pool)
 
     cand = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(block, batch_format="pandas", batch_size=1024)

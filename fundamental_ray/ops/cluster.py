@@ -28,6 +28,7 @@ iterative algorithms usually are not):
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import numpy as np
 import pandas as pd
@@ -42,7 +43,7 @@ CENT_DECIMALS = 6
 
 
 def _read_emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -53,7 +54,7 @@ def _init_centroids(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.dataset as pads
 
     t = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding"],
             filter=pc.less(pads.field("vec_id"), k),
@@ -199,7 +200,7 @@ KMEANS_CLUSTERS_SQL = kmeans_clusters_sql()
 def label_centroids(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
     )
 
@@ -375,7 +376,7 @@ def power_iteration_pc1(sf_dir: str, iters: int = PI_ITERS) -> pd.DataFrame:
     rounds from the all-ones start, plus the final Rayleigh norm estimate
     (same eigval in every row — keeps the result a single flat table)."""
     first = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["embedding"]
         ).take(1)
     )

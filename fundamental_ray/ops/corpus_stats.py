@@ -23,6 +23,7 @@ pipeline needs. Scale shapes:
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import hashlib
 
@@ -37,7 +38,7 @@ from .text import WORD_RE
 
 
 def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
     )
 
@@ -1036,9 +1037,11 @@ def ngram_novelty(sf_dir: str) -> pd.DataFrame:
             if n <= 0:
                 continue
             # fail fast: gi >= MAXG would alias into doc d+1's packed range
-            assert n <= NOVELTY_MAXG, (
-                f"doc {d}: {n} grams exceeds NOVELTY_MAXG — raise the packing width"
-            )
+            # (a real exception, not assert: -O must not strip this guard)
+            if n > NOVELTY_MAXG:
+                raise ValueError(
+                    f"doc {d}: {n} grams exceeds NOVELTY_MAXG — raise the packing width"
+                )
             for gi in range(n):
                 gram = " ".join(ws[gi : gi + NOVELTY_N])
                 rows_h.append(

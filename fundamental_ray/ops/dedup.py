@@ -14,6 +14,8 @@ sorted. No wall-clock, no RNG state.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
+from fundamental_ray.state.diskcache import cache_valid, mark_done, source_fingerprint
 
 import hashlib
 import os
@@ -42,15 +44,15 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _read_docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 # ------------------------------------------------------------------ exact
-def exact_dedup(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: hash(text) partition → keep min doc_id per group.
-    The reduction is a groupby.aggregate(Min, Count) — a vectorized,
-    combiner-style shuffle; a map_groups here would build one pandas frame
-    per distinct hash (billions of tiny groups at corpus scale)."""
+def exact_dedup_ds(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup as a Dataset (text_hash, keep_doc_id, dup_count): the
+    distributed aggregate stays in the object store so composites (e.g.
+    pipelines/clean.py) can hash-partition-JOIN against it instead of
+    collecting a driver-side keep map."""
     from ray.data.aggregate import Count, Min
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
@@ -60,13 +62,20 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
         ]
         return df[["doc_id", "text_hash"]]
 
-    out = (
+    return (
         _read_docs(sf_dir)
         .map_batches(key, batch_format="pandas")
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count"))
-        .to_pandas()
     )
+
+
+def exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: hash(text) partition → keep min doc_id per group.
+    The reduction is a groupby.aggregate(Min, Count) — a vectorized,
+    combiner-style shuffle; a map_groups here would build one pandas frame
+    per distinct hash (billions of tiny groups at corpus scale)."""
+    out = exact_dedup_ds(sf_dir).to_pandas()
     return out.astype({"keep_doc_id": "int64", "dup_count": "int64"})
 
 
@@ -149,14 +158,11 @@ def _shingle_index(sf_dir: str, num_buckets: int = SHINGLE_INDEX_BUCKETS) -> str
 
     slug = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out_dir = f"/tmp/fr_dedup_index/{slug}-b{num_buckets}"
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
-        with open(done) as fh:
-            if fh.read().split(":")[0] == SHINGLE_INDEX_VERSION:
-                return out_dir
-        import shutil as _sh
-
-        _sh.rmtree(out_dir)
+    fp = f"{SHINGLE_INDEX_VERSION}:{num_buckets}:" + source_fingerprint(
+        f"{sf_dir}/documents.parquet"
+    )
+    if cache_valid(out_dir, fp):
+        return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     def blob_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -188,8 +194,7 @@ def _shingle_index(sf_dir: str, num_buckets: int = SHINGLE_INDEX_BUCKETS) -> str
         .map_groups(write_bucket, batch_format="pyarrow")
         .materialize()
     )
-    with open(done, "w") as fh:
-        fh.write(f"{SHINGLE_INDEX_VERSION}:{num_buckets}")
+    mark_done(out_dir, fp)
     return out_dir
 
 
@@ -496,7 +501,7 @@ def embedding_neardup_pairs(
         )
 
     ds = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(norm_rows, batch_format="pandas")
@@ -761,16 +766,28 @@ def connected_components(
     )
 
 
+def duplicate_clusters_ds(
+    sf_dir: str, threshold: float = 0.5
+) -> ray.data.Dataset | None:
+    """Cluster assignment as a Dataset (doc_id, cluster_id) — stays in the
+    object store for hash-partitioned joins (pipelines/clean.py). Returns
+    None when no near-dup pair exists (no doc is clustered)."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold)
+    if len(pairs) == 0:
+        return None
+    edges = ray.data.from_pandas(pairs[["a", "b"]].rename(columns={"a": "u", "b": "v"}))
+    return connected_components(edges)
+
+
 def duplicate_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """Registered query: MinHash+LSH near-dup pairs → connected components
     → (doc_id, cluster_id), sorted. Only documents that appear in at least
     one verified pair are clustered (singletons are implicitly their own
     cluster and are not emitted)."""
-    pairs = minhash_lsh_pairs(sf_dir, threshold)
-    if len(pairs) == 0:
+    ds = duplicate_clusters_ds(sf_dir, threshold)
+    if ds is None:
         return pd.DataFrame({"doc_id": [], "cluster_id": []}).astype("int64")
-    edges = ray.data.from_pandas(pairs[["a", "b"]].rename(columns={"a": "u", "b": "v"}))
-    out = connected_components(edges).to_pandas()
+    out = ds.to_pandas()
     return (
         out.astype({"doc_id": "int64", "cluster_id": "int64"})
         .sort_values("doc_id")
@@ -799,15 +816,20 @@ def duplicate_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 # Corpus text crosses ZERO exchange; only 16-byte hash rows pay the
 # all-to-all once, plus the duplicate-rate-bounded drop list.
 #
-# Ray dedups on the 60-bit md5 prefix, the oracle on the chunk string —
-# identical absent md5-prefix collisions (none at any tested sf; at 100 TB
-# widen to the full 128-bit digest).
+# Ray dedups on an md5 digest, the oracle on the chunk string. Digest
+# width is configurable: 60-bit prefix (one int64 hash column — the
+# bench default, collision-free at every tested sf) or the full 128-bit
+# digest as TWO int64 columns (the 100-TB setting: at 10^12 chunks the
+# 60-bit birthday bound is ~orders-of-1 collisions, 128-bit is ~1e-14).
+# Set FR_CHUNK_HASH_BITS=128 (or pass hash_bits=128) for the wide path;
+# both widths are oracle-green (test_ops chunk-dedup width tests).
 
 CHUNK_DEDUP_W = 6  # words per chunk
 CHUNK_DEDUP_MAX = 4096  # packed = doc_id * MAX + chunk_idx
 CHUNK_DEDUP_HBUCKETS = 64
 CHUNK_DEDUP_DBUCKETS = 64
 CHUNK_DEDUP_VERSION = "1"
+CHUNK_DEDUP_HASH_BITS = int(os.environ.get("FR_CHUNK_HASH_BITS", "60"))
 
 
 def _chunk_rows(text: str) -> list[str]:
@@ -821,50 +843,68 @@ def _chunk_h60(chunk: str) -> int:
     return int(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:15], 16)
 
 
-def _chunk_drop_index(sf_dir: str) -> str:
+def _chunk_h128(chunk: str) -> tuple[int, int]:
+    """Full md5 digest as a signed-int64 pair (hi, lo) — two flat Arrow
+    columns survive the hash exchange; no large-int object boxing."""
+    return struct.unpack(">qq", hashlib.md5(chunk.encode("utf-8")).digest())
+
+
+def _chunk_drop_index(sf_dir: str, hash_bits: int | None = None) -> str:
     """Build (once per corpus) the doc-bucketed Parquet index of DROPPED
     chunk positions (packed = doc_id*MAX + ci of every non-first duplicate
     occurrence). Two Ray exchanges: hash rows by h-bucket, losers by
-    doc-bucket; idempotent via _DONE."""
+    doc-bucket; idempotent via _DONE. ``hash_bits`` ∈ {60, 128} — the wide
+    path ships (h_hi, h_lo) int64 pairs through the exchange instead of
+    one 60-bit column (same row count, one extra 8-byte column)."""
     import hashlib as _hl
 
     import pyarrow.parquet as _pq
 
+    hash_bits = CHUNK_DEDUP_HASH_BITS if hash_bits is None else hash_bits
+    if hash_bits not in (60, 128):
+        raise ValueError(f"hash_bits must be 60 or 128, got {hash_bits}")
     slug = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out_dir = f"/tmp/fr_chunkdedup/{slug}-w{CHUNK_DEDUP_W}"
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
-        with open(done) as fh:
-            if fh.read().split(":")[0] == CHUNK_DEDUP_VERSION:
-                return out_dir
-        import shutil as _sh
-
-        _sh.rmtree(out_dir)
+    out_dir = f"/tmp/fr_chunkdedup/{slug}-w{CHUNK_DEDUP_W}-h{hash_bits}"
+    fp = (
+        f"{CHUNK_DEDUP_VERSION}:{CHUNK_DEDUP_W}:{hash_bits}:"
+        + source_fingerprint(f"{sf_dir}/documents.parquet")
+    )
+    if cache_valid(out_dir, fp):
+        return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    wide = hash_bits == 128
+    hkeys = ["h_hi", "h_lo"] if wide else ["h"]
 
     def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
         hs, packed = [], []
         for d, t in zip(df["doc_id"].astype("int64"), df["text"].fillna("")):
             chunks = _chunk_rows(t)
             # fail fast: ci >= MAX would alias into doc d+1's packed range
-            assert len(chunks) <= CHUNK_DEDUP_MAX, (
-                f"doc {d}: {len(chunks)} chunks exceeds CHUNK_DEDUP_MAX — "
-                "raise the packing width"
-            )
+            # (a real exception, not assert: -O must not strip this guard)
+            if len(chunks) > CHUNK_DEDUP_MAX:
+                raise ValueError(
+                    f"doc {d}: {len(chunks)} chunks exceeds CHUNK_DEDUP_MAX — "
+                    "raise the packing width"
+                )
             for ci, ch in enumerate(chunks):
-                hs.append(_chunk_h60(ch))
+                hs.append(_chunk_h128(ch) if wide else _chunk_h60(ch))
                 packed.append(int(d) * CHUNK_DEDUP_MAX + ci)
-        h = np.asarray(hs, dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "hb": (h % CHUNK_DEDUP_HBUCKETS).astype("int32"),
-                "h": h,
-                "packed": np.asarray(packed, dtype=np.int64),
-            }
-        )
+        out = {}
+        if wide:
+            hi = np.fromiter((h[0] for h in hs), dtype=np.int64, count=len(hs))
+            lo = np.fromiter((h[1] for h in hs), dtype=np.int64, count=len(hs))
+            out["hb"] = (lo.view(np.uint64) % CHUNK_DEDUP_HBUCKETS).astype("int32")
+            out["h_hi"] = hi
+            out["h_lo"] = lo
+        else:
+            h = np.asarray(hs, dtype=np.int64)
+            out["hb"] = (h % CHUNK_DEDUP_HBUCKETS).astype("int32")
+            out["h"] = h
+        out["packed"] = np.asarray(packed, dtype=np.int64)
+        return pd.DataFrame(out)
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
-        win = g.groupby("h")["packed"].transform("min")
+        win = g.groupby(hkeys)["packed"].transform("min")
         drop = g.loc[g["packed"] != win, "packed"].to_numpy(np.int64)
         return pd.DataFrame(
             {
@@ -894,8 +934,7 @@ def _chunk_drop_index(sf_dir: str) -> str:
         .map_groups(write_drops, batch_format="pyarrow")
         .materialize()
     )
-    with open(done, "w") as fh:
-        fh.write(f"{CHUNK_DEDUP_VERSION}:{CHUNK_DEDUP_W}")
+    mark_done(out_dir, fp)
     return out_dir
 
 
@@ -923,11 +962,13 @@ def _dropped_in_range(index_dir: str, dbuckets: "np.ndarray", lo: int, hi: int):
     return np.concatenate(parts) if parts else np.array([], dtype=np.int64)
 
 
-def chunk_dedup(sf_dir: str) -> pd.DataFrame:
+def chunk_dedup(sf_dir: str, hash_bits: int | None = None) -> pd.DataFrame:
     """Registered query: (doc_id, text_dedup, n_kept) after global
     keep-first chunk dedup; docs whose every chunk was dropped are omitted
-    (8 of 500 at sf0.01 — short docs whose chunks all occurred earlier)."""
-    index_dir = _chunk_drop_index(sf_dir)
+    (8 of 500 at sf0.01 — short docs whose chunks all occurred earlier).
+    ``hash_bits=128`` selects the full-digest drop index (100-TB setting);
+    both widths produce identical output absent 60-bit collisions."""
+    index_dir = _chunk_drop_index(sf_dir, hash_bits)
 
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64").to_numpy()

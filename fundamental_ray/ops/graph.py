@@ -38,6 +38,7 @@ ordering a web-scale crawler of the same shape would plug into that queue.
 """
 
 from __future__ import annotations
+from fundamental_ray.state.diskcache import cache_valid, mark_done, source_fingerprint
 
 import numpy as np
 import pandas as pd
@@ -63,8 +64,10 @@ def build_edge_index(sf_dir: str, num_buckets: int = _B) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/fr_pagerank_edges/{tag}-b{num_buckets}-v1"
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    fp = source_fingerprint(
+        f"{sf_dir}/lineitem.parquet", extra=f"edges-b{num_buckets}-v1"
+    )
+    if cache_valid(out, fp):
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -93,8 +96,7 @@ def build_edge_index(sf_dir: str, num_buckets: int = _B) -> str:
         .map_groups(dedup_and_degree, batch_format="pandas")
         .write_parquet(out, partition_cols=["bucket"])
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_done(out, fp)
     return out
 
 

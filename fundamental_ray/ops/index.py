@@ -17,6 +17,8 @@ independent of corpus size for selective terms.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
+from fundamental_ray.state.diskcache import cache_valid, mark_done, source_fingerprint
 
 import os
 import zlib
@@ -57,8 +59,10 @@ def build_inverted_index(sf_dir: str, num_buckets: int = INDEX_BUCKETS) -> str:
     (corpus, params) like build_ivf_index/build_lsh_index."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/fr_invidx/{tag}-b{num_buckets}-v1"
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    fp = source_fingerprint(
+        f"{sf_dir}/documents.parquet", extra=f"inv-b{num_buckets}-v1"
+    )
+    if cache_valid(out, fp):
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -77,14 +81,13 @@ def build_inverted_index(sf_dir: str, num_buckets: int = INDEX_BUCKETS) -> str:
         return pdf
 
     (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(postings, batch_format="pandas")
         .write_parquet(out, partition_cols=["bucket"])
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_done(out, fp)
     return out
 
 
@@ -183,7 +186,7 @@ def bm25_topk(
         return pd.DataFrame([row])
 
     agg = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(stats_partial, batch_format="pandas")
@@ -218,7 +221,7 @@ def bm25_topk(
         ).head(k)  # per-block combiner: ≤ k rows leave each block
 
     cand = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(score_block, batch_format="pandas")
@@ -295,8 +298,10 @@ def build_positional_index(
     positional-index storage trade)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/fr_posidx/{tag}-b{num_buckets}-v1"
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    fp = source_fingerprint(
+        f"{sf_dir}/documents.parquet", extra=f"pos-b{num_buckets}-v1"
+    )
+    if cache_valid(out, fp):
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -324,14 +329,13 @@ def build_positional_index(
         )
 
     (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(postings, batch_format="pandas")
         .write_parquet(out, partition_cols=["bucket"])
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_done(out, fp)
     return out
 
 

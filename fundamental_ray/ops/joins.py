@@ -25,6 +25,7 @@ intermediate.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import pandas as pd
 import pyarrow as pa
@@ -41,7 +42,7 @@ def _read_events(
 ) -> ray.data.Dataset:
     import pyarrow.dataset as pads
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=columns,
         filter=pads.field("event_type").isin(list(types)),
@@ -89,7 +90,10 @@ def asof_prior_view(sf_dir: str) -> pd.DataFrame:
             direction="backward",
             allow_exact_matches=False,  # strictly prior: v.ts < p.ts
         )
-        out["view_event_id"] = out["view_event_id"].astype("Int64")
+        # float64 + NaN (not pandas nullable Int64): matches the oracle's
+        # NULLable-int representation under the driver's hash normalization,
+        # same convention as window_prev_order (analytics.py).
+        out["view_event_id"] = out["view_event_id"].astype("float64")
         return out[["event_id", "user_id", "ts", "view_event_id", "view_ts"]]
 
     return (

@@ -14,6 +14,7 @@ A real deployment swaps ``_decode`` for PIL/ffmpeg and nothing else changes.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import hashlib
 import struct
@@ -60,7 +61,7 @@ def synth_media_dataset(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(make, batch_format="pyarrow")
 
@@ -191,7 +192,7 @@ def synth_video_meta(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(make, batch_format="pyarrow")
 
@@ -282,7 +283,7 @@ def synth_audio_meta(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(make, batch_format="pyarrow")
 

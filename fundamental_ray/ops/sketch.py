@@ -31,6 +31,7 @@ COUNT(DISTINCT)-style rollups in database.go) with the two sketch shapes a
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import numpy as np
 import pandas as pd
@@ -173,7 +174,7 @@ def distinct_users_daily(sf_dir: str) -> pd.DataFrame:
     SPARSE_THRESHOLD; ±0.8 % dense-HLL at 10^9 users/day)."""
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
 
@@ -292,7 +293,7 @@ def sketch_quantiles_price(sf_dir: str) -> pd.DataFrame:
     QUANTILE_CAP), bounded centroid summaries at 100-TB cardinalities."""
     from ..pipelines.analytics import r2
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_extendedprice"],
     )
@@ -387,7 +388,7 @@ def bloom_semi_join_urgent(sf_dir: str) -> pd.DataFrame:
     import pyarrow.dataset as pads
 
     keys_df = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey"],
             filter=pads.field("o_orderpriority") == "1-URGENT",
@@ -411,7 +412,7 @@ def bloom_semi_join_urgent(sf_dir: str) -> pd.DataFrame:
         return t.filter(pa.array(cand))
 
     return (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"],
         )

@@ -9,6 +9,7 @@ Python loop does per-character work (regex/hashlib are C).
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import hashlib
 import re
@@ -32,7 +33,7 @@ LANG_ORDER = ["en", "nl", "de", "fr"]
 
 
 def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
     )
 

@@ -11,6 +11,7 @@ only final, already-aggregated frames are collected on the driver.
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import pandas as pd
 import ray.data
@@ -18,7 +19,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def r2(x, nd: int = 2):
@@ -187,7 +188,7 @@ def anti_join_customers(sf_dir: str) -> pd.DataFrame:
     import ray
 
     cutoff = pa.scalar(pd.Timestamp(ANTI_JOIN_CUTOFF), pa.timestamp("us"))
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=pads.field("o_orderdate") >= cutoff,
@@ -633,7 +634,7 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_type"],
         filter=pads.field("event_type").isin(["view", "click", "purchase"]),
@@ -708,7 +709,7 @@ def events_pivot_dow(sf_dir: str) -> pd.DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
     )
 

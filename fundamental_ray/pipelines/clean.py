@@ -13,21 +13,23 @@ each stage here is the registered operator it reuses:
                          overlap; benchmark slice itself is excluded)
   kept                 — the conjunction
 
-Scale shape — the whole composite is ONE streaming verdict pass plus three
-bounded broadcasts:
-- the distributed exact-dedup aggregate is reduced to {hash → keep_id}
-  for DUPLICATED hashes only (bounded by duplicate groups, not corpus);
-- near-dup cluster losers are bounded by clustered docs by construction;
-- the benchmark gram set is eval-suite-sized;
-each is ``ray.put`` once, and a single ``map_batches`` computes every
-per-doc signal and the conjunction. The corpus itself never crosses an
-exchange beyond the two aggregates the standalone dedup ops already do.
-(At adversarial duplicate rates the {hash → keep} broadcast grows with the
-dup population; the hash-partitioned join in store/merge.py is the drop-in
-alternative — same trade documented at ops/dedup.py's minhash verify.)
+Scale shape — ONE streaming signal pass, then two HASH-PARTITIONED JOINS
+(no duplicate-population-proportional driver state):
+- the per-doc signal pass emits (doc_id, text_hash, rule_quality,
+  rule_decontaminated) — narrow rows, text never leaves the pass;
+- exact-dedup keep is an inner ``Dataset.join`` on text_hash against the
+  distributed exact-dedup aggregate (every hash has exactly one row there,
+  so the join is row-count-preserving) — at a real 30-50 % pre-training
+  dup rate the old {hash → keep_id} ``ray.put`` dict was corpus-scale;
+- near-dup keep is a left-outer ``Dataset.join`` on doc_id against the
+  connected-components cluster table (clustered docs only);
+- the ONLY remaining broadcast is the benchmark gram set, which is
+  eval-suite-sized by construction (bounded by the benchmark slice, not
+  by the corpus or its duplicate population).
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import hashlib
 
@@ -40,25 +42,28 @@ from ..ops.corpus_stats import (
     G_MAX_MWL, G_MAX_WORDS, G_MIN_DISTINCT_RATIO, G_MIN_MWL, G_MIN_WORDS,
     gopher_metrics, gopher_rules,
 )
-from ..ops.dedup import duplicate_clusters, exact_dedup
+from ..ops.dedup import duplicate_clusters_ds, exact_dedup_ds
 from ..ops.text import DECON_MOD, DECON_N, WORD_RE, grams_of
+
+def _join_partitions() -> int:
+    """Hash-join partition count scaled to the session: Ray's hash-shuffle
+    join pins ``partitions × 0.125`` CPUs of aggregator actors PER JOIN for
+    the whole pipeline lifetime; two concurrent joins at 16 partitions eat
+    4.0 CPUs — a hard deadlock on a 4-CPU test session (aggregators hold
+    every core, upstream read tasks never run). cores//2 keeps the two
+    joins' aggregators at ≤¼ of the cluster and scales back up to 16
+    partitions from 32 cores."""
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(2, min(16, ncpu // 2))
 
 
 def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
     """Per-document verdicts for the full cleaning pipeline (all docs, all
     stage flags — auditable, `WHERE kept` is the corpus that ships)."""
-    # -- bounded broadcast 1: duplicated-hash keep map -------------------
-    ed = exact_dedup(sf_dir)
-    dup_map = {
-        r.text_hash: int(r.keep_doc_id)
-        for r in ed[ed["dup_count"] > 1].itertuples()
-    }
-    # -- bounded broadcast 2: near-dup losers ----------------------------
-    cl = duplicate_clusters(sf_dir, neardup_threshold)
-    nd_losers = set(
-        int(d) for d, c in zip(cl["doc_id"], cl["cluster_id"]) if int(d) != int(c)
-    )
-    # -- bounded broadcast 3: benchmark gram set (distributed build) -----
+    join_partitions = _join_partitions()
+    # -- the one bounded broadcast: benchmark gram set (distributed build)
     def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.loc[df["doc_id"] % DECON_MOD == 0, "text"].fillna("")
         out = set()
@@ -68,47 +73,83 @@ def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
         # float64 'gram' column and produce a cross-block schema mismatch
         return pd.DataFrame({"gram": pd.Series(sorted(out), dtype="object")})
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     bench = set(
         docs.map_batches(bench_grams, batch_format="pandas").to_pandas()["gram"]
     )
-    bref = ray.put((dup_map, nd_losers, bench))
+    bref = ray.put(bench)
 
-    # -- the single verdict pass ----------------------------------------
-    def verdict(df: pd.DataFrame) -> pd.DataFrame:
-        dmap, losers, bgrams = ray.get(bref)
+    # -- streaming signal pass: narrow per-doc rows, text stays here -----
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        bgrams = ray.get(bref)
         txt = df["text"].fillna("")
         toks_cs = txt.str.findall(WORD_RE)  # case-sensitive (grams, dedup)
         toks = txt.str.lower().str.findall(WORD_RE)  # lowercase (quality)
         n_words, mwl, dr = gopher_metrics(toks)
         rule_quality = gopher_rules(n_words, mwl, dr)
-        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in txt]
         ids = df["doc_id"].to_numpy(dtype=np.int64)
-        rule_exact = np.array(
-            [h not in dmap or dmap[h] == i for h, i in zip(hashes, ids)]
-        )
-        rule_neardup = np.array([i not in losers for i in ids])
         is_bench = ids % DECON_MOD == 0
         overlap = np.array(
             [len(bgrams & grams_of(ts, DECON_N)) for ts in toks_cs],
             dtype=np.int64,
         )
-        rule_decon = (~is_bench) & (overlap == 0)
         return pd.DataFrame(
             {
                 "doc_id": ids,
+                "text_hash": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in txt
+                ],
                 "rule_quality": rule_quality,
+                "rule_decontaminated": (~is_bench) & (overlap == 0),
+            }
+        )
+
+    sig = docs.map_batches(signals, batch_format="pandas")
+
+    # -- hash-partitioned join 1: exact-dedup keep (text_hash partitions).
+    # Every text_hash has exactly ONE aggregate row, so the inner join is
+    # row-count-preserving; rule_exact_keep = (keep_doc_id == doc_id).
+    ed = exact_dedup_ds(sf_dir).drop_columns(["dup_count"])
+    sig = sig.join(
+        ed, join_type="inner", num_partitions=join_partitions, on=("text_hash",)
+    )
+
+    # -- hash-partitioned join 2: near-dup clusters (doc_id partitions).
+    # Left-outer: unclustered docs get a NULL cluster_id and keep=True.
+    cl = duplicate_clusters_ds(sf_dir, neardup_threshold)
+    if cl is not None:
+        sig = sig.join(
+            cl,
+            join_type="left_outer",
+            num_partitions=join_partitions,
+            on=("doc_id",),
+        )
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        rule_exact = df["keep_doc_id"].to_numpy(dtype=np.int64) == ids
+        if "cluster_id" in df.columns:
+            cid = df["cluster_id"]
+            rule_neardup = (cid.isna() | (cid == df["doc_id"])).to_numpy()
+        else:
+            rule_neardup = np.ones(len(df), dtype=bool)
+        rq = df["rule_quality"].to_numpy(dtype=bool)
+        rd = df["rule_decontaminated"].to_numpy(dtype=bool)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "rule_quality": rq,
                 "rule_exact_keep": rule_exact,
                 "rule_neardup_keep": rule_neardup,
-                "rule_decontaminated": rule_decon,
-                "kept": rule_quality & rule_exact & rule_neardup & rule_decon,
+                "rule_decontaminated": rd,
+                "kept": rq & rule_exact & rule_neardup & rd,
             }
         )
 
     return (
-        docs.map_batches(verdict, batch_format="pandas")
+        sig.map_batches(verdict, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -4,6 +4,7 @@ listings) as queries. Results are cached per corpus under /tmp (idempotent
 _COMMITTED rounds), so the driver's several crawl queries share one run."""
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import os
 
@@ -109,7 +110,7 @@ def crawl_store_properties(sf_dir: str) -> pd.DataFrame:
         if parts:
             round_parts.append(parts)
     for i, parts in enumerate(round_parts, start=1):
-        delta = ray.data.read_parquet(parts).drop_columns(["chain_id"])
+        delta = read_parquet_clean(parts).drop_columns(["chain_id"])
         store = merge_round(store, delta, i).materialize()
     out = store.to_pandas().sort_values("url").reset_index(drop=True)
     # round lineage + geocode columns are their own queries

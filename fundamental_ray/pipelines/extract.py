@@ -6,6 +6,7 @@ cross an exchange (SURVEY.md §7.5.6).
 """
 
 from __future__ import annotations
+from fundamental_ray.sources.parquet import read_parquet_clean
 
 import ray
 import ray.data
@@ -35,7 +36,7 @@ def extract_listings_dataset(
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         pages_path,
         columns=["url", "html"],
         filter=pc.match_substring(pads.field("url"), "/detail/koop/"),

@@ -243,10 +243,16 @@ def agg_skew_salted(sf_dir: str) -> pd.DataFrame:
     def salt(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # integer-cents accumulation (the agg_rollup / join_hash_segments
+        # convention): per-salt float partials merged in arbitrary order
+        # could drift across a 0.005 rounding boundary vs the oracle's one
+        # global SUM — exact int64 cents make the merge order-invariant
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "value": t["value"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
                 "salt": pc.cast(pc.bit_wise_and(t["event_id"], 63), pa.int32()),
             }
         )
@@ -256,8 +262,8 @@ def agg_skew_salted(sf_dir: str) -> pd.DataFrame:
         .groupby(["event_type", "salt"])
         .aggregate(
             Count(alias_name="n"),
-            Sum("value", alias_name="sv"),
-            Max("value", alias_name="mx"),
+            Sum("value_cents", alias_name="sv"),
+            Max("value_cents", alias_name="mx"),
         )
         .to_pandas()
     )
@@ -266,8 +272,8 @@ def agg_skew_salted(sf_dir: str) -> pd.DataFrame:
         .agg(n=("n", "sum"), total_value=("sv", "sum"), max_value=("mx", "max"))
         .astype({"n": "int64"})
     )
-    out["total_value"] = r2(out["total_value"])
-    out["max_value"] = r2(out["max_value"])
+    out["total_value"] = r2(out["total_value"] / 100.0)
+    out["max_value"] = r2(out["max_value"] / 100.0)
     return out
 
 

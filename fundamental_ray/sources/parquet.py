@@ -1,0 +1,29 @@
+"""Parquet read wrapper that strips file-level schema metadata.
+
+Driver-generated testdata (and anything written via pandas ``to_parquet``)
+carries a ``b'pandas'`` schema-metadata entry whose decoded form contains
+nested dicts; pyarrow schemas with that metadata are unhashable, so every
+all-to-all reduce stage logs ``Failed to hash the schemas (for
+deduplication): unhashable type: 'dict'`` storms and Ray loses its
+schema-dedup fast path. ``replace_schema_metadata(None)`` is a zero-copy
+metadata-only rewrite, and the strip stage fuses with the read, so blocks
+enter every downstream shuffle with a stable, hashable Arrow schema.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    if t.schema.metadata:
+        return t.replace_schema_metadata(None)
+    return t
+
+
+def read_parquet_clean(paths, **kwargs) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` + zero-copy schema-metadata strip (fused)."""
+    return ray.data.read_parquet(paths, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow"
+    )

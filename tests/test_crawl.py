@@ -660,3 +660,85 @@ def test_autothrottle_matches_scrapy_semantics(ray_session):
         if host in got.index:
             assert got.loc[host, "final_delay_ms"] == round(delay, 3)
             assert got.loc[host, "n_slow_steps"] == n_slow
+
+
+def _politeness_lineage(job_dir):
+    recs = []
+    for d in sorted(os.listdir(job_dir)):
+        if not d.startswith("round="):
+            continue
+        p = os.path.join(job_dir, d, "lineage.jsonl")
+        if not os.path.exists(p):
+            continue
+        with open(p) as fh:
+            for line in fh:
+                r = json.loads(line)
+                if r["stage"] == "politeness":
+                    recs.append(
+                        (r["round"], r["in_rows"], r["out_rows"], r.get("deferred"))
+                    )
+    return sorted(recs)
+
+
+def test_drain_plan_round_equivalence_and_resume(crawl_env):
+    """The post-discovery drain plan (one backlog sort + per-round cursor
+    advance) must be round-for-round IDENTICAL to the naive per-round
+    re-sort scheduler: same cumulative counters, same round count, same
+    per-round politeness lineage (in/out/deferred), same final membership
+    and listings — and a job killed mid-drain must resume exactly from the
+    drain-cursor checkpoint."""
+    corpus, idx = crawl_env
+    on_dir, off_dir = "/tmp/fr_test_job_drain_on", "/tmp/fr_test_job_drain_off"
+    job_a, ca = _run(idx, on_dir, budget_per_host=5)
+    job_b, cb = _run(idx, off_dir, budget_per_host=5, drain_plan=False)
+    assert ca == cb
+    assert job_a.round == job_b.round
+    assert job_a.seen.all_urls() == job_b.seen.all_urls()
+    assert _politeness_lineage(on_dir) == _politeness_lineage(off_dir)
+    got = sorted(crawl_listings_dataset(on_dir).to_pandas()["url"])
+    want = sorted(crawl_listings_dataset(off_dir).to_pandas()["url"])
+    assert got == want
+    # the drain plan actually engaged (deferred-only rounds existed)
+    drain_rounds = sorted(
+        d for d in os.listdir(on_dir)
+        if d.startswith("round=")
+        and os.path.exists(os.path.join(on_dir, d, "drain_cursor.json"))
+    )
+    assert drain_rounds, "budget=5 run never entered the drain phase"
+
+    # ---- mid-drain kill + resume --------------------------------------
+    r0 = int(drain_rounds[0].split("=")[1])
+    jd = "/tmp/fr_test_job_drain_resume"
+    shutil.rmtree(jd, ignore_errors=True)
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir=jd, num_seen_shards=4,
+        scraped_at=SCRAPED_AT, budget_per_host=5, max_rounds=r0 + 1,
+    )
+    job = CrawlJob(cfg, chains_from_corpus(make_chains(N_CHAINS, n_hosts=4)))
+    job.run()  # stops mid-drain (max_rounds), commits everything pending
+    assert os.path.exists(
+        os.path.join(jd, f"round={r0 + 1:04d}", "drain_cursor.json")
+    )
+    from dataclasses import replace as _replace
+
+    job2, deferred = CrawlJob.resume(_replace(cfg, max_rounds=64))
+    job2.run(deferred)
+    assert job2.seen.all_urls() == job_a.seen.all_urls()
+    got2 = sorted(crawl_listings_dataset(jd).to_pandas()["url"])
+    assert got2 == got
+
+
+def test_drain_plan_equivalence_with_retries(crawl_env):
+    """Transient-retry rows re-enter the drain plan as front-of-budget
+    extras; per-round service must still equal the naive re-sort path."""
+    corpus, idx = crawl_env
+    a_dir, b_dir = "/tmp/fr_test_job_drain_rt_on", "/tmp/fr_test_job_drain_rt_off"
+    job_a, ca = _run(idx, a_dir, budget_per_host=5, simulate_transient=True)
+    job_b, cb = _run(
+        idx, b_dir, budget_per_host=5, simulate_transient=True, drain_plan=False
+    )
+    assert ca == cb
+    assert ca["retried"] > 0, "fault injection never fired at this corpus"
+    assert job_a.round == job_b.round
+    assert job_a.seen.all_urls() == job_b.seen.all_urls()
+    assert _politeness_lineage(a_dir) == _politeness_lineage(b_dir)

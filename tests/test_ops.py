@@ -409,6 +409,16 @@ def test_chunk_dedup_keepfirst_semantics(dup_corpus):
         assert got.loc[200 + k, "n_kept"] == 1
 
 
+def test_chunk_dedup_128bit_width_matches_60bit(dup_corpus):
+    """The full-digest (100-TB) drop index produces identical output to the
+    60-bit prefix default — separate cache dirs, same keep-first result."""
+    narrow = D.chunk_dedup(dup_corpus, hash_bits=60)
+    wide = D.chunk_dedup(dup_corpus, hash_bits=128)
+    pd.testing.assert_frame_equal(narrow, wide)
+    with pytest.raises(ValueError, match="hash_bits"):
+        D._chunk_drop_index(dup_corpus, hash_bits=96)
+
+
 def test_semdedup_dominance_semantics(ray_session):
     from fundamental_ray.ops import cluster as K
 
