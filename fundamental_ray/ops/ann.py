@@ -624,3 +624,75 @@ sel{i} AS MATERIALIZED (SELECT vec_id, embedding FROM sel{i - 1}
 
 
 MMR_RERANK_SQL = mmr_rerank_sql()
+
+
+# --------------------------------------------------------------------------
+RANGE_TAU = 0.30  # cosine threshold, applied to the 4-dp-rounded similarity
+RANGE_NQ = 5
+
+
+def range_search(sf_dir: str, tau: float = RANGE_TAU, n_queries: int = RANGE_NQ) -> pd.DataFrame:
+    """Cosine RANGE search: every corpus vector within ``tau`` of each query
+    (the radius-query twin of brute_force_topk — what dedup-by-threshold and
+    retrieval-recall audits run). Same scale shape as the top-k op: queries
+    broadcast once via ray.put, corpus streamed block-by-block, each block
+    emitting only its in-radius rows — output is result-sized, never
+    corpus-sized, and there is no merge stage at all (no per-query reduce:
+    membership is a pure per-row predicate). Both sides threshold the
+    ROUND(cos, 4) value so the float-summation-order difference between
+    numpy and DuckDB cannot flip membership except at an exact 5e-5
+    midpoint (the same accepted tolerance as the top-k family's output
+    rounding)."""
+    import ray
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qref = ray.put((qids, qm))
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30, None)
+        bq, bm = ray.get(qref)
+        sims = np.round(bm @ matn.T, 4)  # (Q, block)
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(bq):
+            row = sims[qi]
+            keep = (row >= tau) & (ids != qid)
+            out["query_id"].extend([int(qid)] * int(keep.sum()))
+            out["neighbor_id"].extend(ids[keep].tolist())
+            out["cosine"].extend(row[keep].tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="int64"),
+                "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                "cosine": pd.Series(out["cosine"], dtype="float64"),
+            }
+        )
+
+    return (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(block, batch_format="pandas", batch_size=1024)
+        .to_pandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+
+def range_search_sql(tau: float = RANGE_TAU, n_queries: int = RANGE_NQ) -> str:
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(
+           q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM sims WHERE cosine >= {tau}
+ORDER BY query_id, neighbor_id
+"""
+
+
+RANGE_SEARCH_SQL = range_search_sql()

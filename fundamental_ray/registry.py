@@ -385,6 +385,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("ann_lsh_topk", N.lsh_topk, N.brute_force_topk_sql())
     register("embed_knn_classify", N.knn_classify, N.KNN_CLASSIFY_SQL)
     register("ann_mmr_rerank", N.mmr_rerank, N.MMR_RERANK_SQL)
+    register("ann_range_search", N.range_search, N.RANGE_SEARCH_SQL)
+
+    from .ops import webtext as W
+
+    register("split_train_holdout", W.split_train_holdout, W.SPLIT_TRAIN_HOLDOUT_SQL)
+    register("text_pii_scrub", W.pii_scrub, W.PII_SCRUB_SQL)
+    register("events_anomaly_mad", W.events_anomaly_mad, W.EVENTS_ANOMALY_MAD_SQL)
+    # zlib compressibility is not expressible in DuckDB — rows-only check;
+    # determinism + ranking invariants pinned in tests/test_webtext.py
+    register("text_compression_topk", W.compression_ratio_topk)
     register("multimodal_frame_plan", M.frame_plan, M.FRAME_PLAN_SQL)
     register("multimodal_audio_window_plan", M.audio_window_plan, M.AUDIO_WINDOW_PLAN_SQL)
     register("multimodal_media_features", M.media_features)
