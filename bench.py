@@ -140,7 +140,10 @@ def run_bench() -> dict:
     extra["extract_pages_per_sec"] = round(n_listings / queries["extract_listings"], 1)
 
     # -- secondary pipelines over the testdata sf dir ----------------------
-    for name, fn in [
+    # (FR_BENCH_SECONDARY=0 in --scaling legs: they are timed over the FIXED
+    # sf0.1 testdata, so they contribute nothing to the frontier-throughput
+    # ratio the scaling harness reports — only leg wall-clock)
+    secondary = [] if os.environ.get("FR_BENCH_SECONDARY", "1") == "0" else [
         ("agg_weighted_status_stats", lambda: A.weighted_status_stats(sf_dir)),
         ("events_sessionize", lambda: A.events_sessionize(sf_dir)),
         ("dedup_minhash_lsh", lambda: D.minhash_lsh_pairs(sf_dir, 0.5)),
@@ -155,7 +158,8 @@ def run_bench() -> dict:
         ("sketch_quantiles_price", lambda: SK.sketch_quantiles_price(sf_dir)),
         ("join_asof_prior_view", lambda: JN.asof_prior_view(sf_dir)),
         ("graph_pagerank", lambda: GR.pagerank(sf_dir)),
-    ]:
+    ]
+    for name, fn in secondary:
         t0 = time.time()
         fn()
         queries[name] = round(time.time() - t0, 2)
@@ -261,7 +265,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), FR_BENCH_POLITE="0",
             FR_BENCH_REPEAT=os.environ.get("FR_BENCH_REPEAT", "2"),
-            FR_BENCH_CONTROL="1",
+            FR_BENCH_CONTROL="1", FR_BENCH_SECONDARY="0",
         )
         cmd = [sys.executable, os.path.abspath(__file__)]
         # confine the whole leg (raylet, workers, num_cpus=0 actors, the
