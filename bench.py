@@ -102,8 +102,14 @@ def run_bench() -> dict:
     for rep in range(repeat):
         job_dir = f"/tmp/fr_bench_job_{num_cpus}"
         shutil.rmtree(job_dir, ignore_errors=True)
+        # FR_BENCH_BUDGET: the data-scale series holds per-host budget high
+        # enough that the free-crawl regime (zero deferrals) is measured at
+        # every corpus size — at 153,600 chains the heavy host exceeds the
+        # default 100k and the run silently crosses into the
+        # politeness-bound regime, which is a different benchmark
         cfg = CrawlConfig(
-            index_dir=idx, job_dir=job_dir, budget_per_host=100_000,
+            index_dir=idx, job_dir=job_dir,
+            budget_per_host=int(os.environ.get("FR_BENCH_BUDGET", "100000")),
             num_seen_shards=max(4, num_cpus // 2), scraped_at=SCRAPED_AT,
         )
         t0 = time.time()
