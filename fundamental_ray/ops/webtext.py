@@ -1,5 +1,6 @@
 """Round-4 web-text utilities: deterministic corpus splits, PII scrubbing,
-per-entity robust anomaly flags, and compressibility-based quality ranking.
+per-entity robust anomaly flags, compressibility-based quality ranking,
+PMI collocation mining, and watermark/late-event accounting.
 
 These extend the training-data operator suite (SURVEY.md §2.10 / the LLM
 ops inventory) with the remaining plumbing a pre-training data pipeline
@@ -253,3 +254,254 @@ def compression_ratio_topk(sf_dir: str, k: int = COMP_TOPK) -> pd.DataFrame:
         .sort_values(["ratio_bp", "doc_id"])
         .reset_index(drop=True)
     )
+
+# --------------------------------------------------------------------------
+# PMI collocation mining ----------------------------------------------------
+# Pointwise mutual information over adjacent token pairs — the classic
+# collocation / multi-word-expression detector a corpus-curation pipeline
+# runs to build phrase vocabularies (Church & Hanks 1990; word2vec's
+# phrase pass uses the same count ratio). Tokenization mirrors the vocab /
+# pack ops (lowercase, \S+ runs), so all token-level ops share one contract.
+#
+# Scale shape: bigram counts are per-batch combiner dicts (documents never
+# straddle batches, so adjacency is batch-local by construction) merged by
+# ONE groupby-sum exchange over bigram-vocab-sized partials; the corpus
+# token stream never crosses an exchange. Unigram totals reuse
+# corpus_stats._corpus_term_stats (same combiner idiom) and are collected
+# once — vocab-bounded by Heaps' law (the bpe.py scaling argument). The
+# PMI score pass is a map_batches over the AGGREGATED bigram table with
+# the unigram dict broadcast via ray.put — never re-shipped per batch.
+PMI_MIN_COUNT = 5
+PMI_TOPK = 30
+
+
+def pmi_bigrams(sf_dir: str, k: int = PMI_TOPK) -> pd.DataFrame:
+    """Top-k adjacent-pair collocations by PMI (ties: w1, w2 asc).
+
+    PMI is computed with the EXACT association both sides mirror:
+    ln( (c_bi/N_bi) / ((c1/N_uni) * (c2/N_uni)) ), rounded at 6 dp —
+    IEEE-identical on identical integer inputs, so the hash compares clean
+    (the r3 float-boundary discipline)."""
+    import math
+
+    import ray
+
+    from .corpus_stats import _corpus_term_stats
+    from .text import WORD_RE
+
+    def bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict[tuple[str, str], int] = {}
+        for ts in df["text"].fillna("").str.lower().str.findall(WORD_RE):
+            for a, b in zip(ts, ts[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        keys = sorted(cnt)
+        return pd.DataFrame(
+            {
+                "w1": [a for a, _ in keys],
+                "w2": [b for _, b in keys],
+                "c": np.array([cnt[p] for p in keys], dtype=np.int64),
+            }
+        )
+
+    bg = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bigram_partials, batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="cnt"))
+        .materialize()  # bigram-vocab-sized; reused for total + score pass
+    )
+    n_bi = int(bg.sum(on="cnt"))
+
+    uni = _corpus_term_stats(sf_dir).to_pandas()  # vocab-bounded (Heaps)
+    n_uni = int(uni["tf"].sum())
+    uni_ref = ray.put(dict(zip(uni["term"], uni["tf"].astype(int))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf = ray.get(uni_ref)
+        df = df[df["cnt"] >= PMI_MIN_COUNT]
+        if df.empty:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=object), "w2": pd.Series([], dtype=object),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "pmi": pd.Series([], dtype="float64")}
+            )
+        pmi = [
+            round(
+                math.log(
+                    (c / n_bi) / ((tf[a] / n_uni) * (tf[b] / n_uni))
+                ),
+                6,
+            )
+            for a, b, c in zip(df["w1"], df["w2"], df["cnt"])
+        ]
+        return pd.DataFrame(
+            {
+                "w1": df["w1"].to_numpy(),
+                "w2": df["w2"].to_numpy(),
+                "cnt": df["cnt"].astype("int64").to_numpy(),
+                "pmi": np.array(pmi, dtype=np.float64),
+            }
+        )
+
+    out = (
+        bg.map_batches(score, batch_format="pandas")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.astype({"cnt": "int64"})
+
+
+PMI_BIGRAMS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents
+), bi AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*)::BIGINT AS cnt
+  FROM d, UNNEST(range(1, len(l))) AS r(i)
+  GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(l) AS term FROM d
+), tf AS (
+  SELECT term, COUNT(*)::BIGINT AS c FROM uni GROUP BY term
+), tot AS (
+  SELECT (SELECT SUM(cnt) FROM bi) AS n_bi, (SELECT SUM(c) FROM tf) AS n_uni
+)
+SELECT b.w1, b.w2, b.cnt,
+       ROUND(LN( (b.cnt::DOUBLE / t.n_bi)
+                 / ((t1.c::DOUBLE / t.n_uni) * (t2.c::DOUBLE / t.n_uni)) ), 6) AS pmi
+FROM bi b, tot t
+JOIN tf t1 ON t1.term = b.w1
+JOIN tf t2 ON t2.term = b.w2
+WHERE b.cnt >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Watermark / late-event accounting ------------------------------------------
+# The Flink/Beam out-of-order-stream model: events ARRIVE later than they
+# OCCURRED. The synthetic events table is ts-monotone in event_id, so the
+# arrival process is derived deterministically — arrival = ts + jitter,
+# jitter = md5(event_id) % JITTER_MOD_S seconds (the split op's
+# DuckDB-recomputable hash idiom). The watermark is the canonical
+# "max event-time seen so far, minus the allowed lateness": an event whose
+# own ts is below the watermark at its arrival is LATE (would be dropped /
+# side-channelled by a streaming engine).
+#
+# Scale shape: NO global sort. Arrival order comes from the bucket
+# decomposition of arrival time (pack.py's two-pass prefix-scan idiom):
+# per-bucket max-ts partials cross one tiny groupby, the driver folds the
+# O(buckets) table into exclusive prefix maxima (bucket order = arrival
+# order because bucket = arrival_us // span) and broadcasts the dict once;
+# each bucket then folds locally (sort-within-bucket + running max). The
+# event stream pays exactly ONE hash exchange (the bucket groupby).
+WM_JITTER_MOD_S = 3600  # arrival delay: md5(event_id) % 1h
+WM_LATENESS_S = 300  # allowed lateness: 5 min
+WM_BUCKET_SPAN_US = 6 * 3600 * 1_000_000  # 6h arrival buckets
+
+
+def _arrival_jitter_s(event_ids) -> np.ndarray:
+    return np.array(
+        [
+            int(hashlib.md5(str(int(e)).encode()).hexdigest()[:8], 16)
+            % WM_JITTER_MOD_S
+            for e in event_ids
+        ],
+        dtype=np.int64,
+    )
+
+
+def events_watermark_late(sf_dir: str) -> pd.DataFrame:
+    """Late events under a max-event-time-minus-lateness watermark.
+
+    Returns (event_id, ts_us, arrival_us, wm_us) for every late event —
+    wm_us is the watermark in force at the event's arrival (max prior ts
+    in arrival order minus the lateness allowance); all columns integer
+    epoch-microseconds so the oracle hash has no timestamp-representation
+    surface. Arrival ties break by event_id on both sides."""
+    import ray
+    from ray.data.aggregate import Max
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        arr_us = ts_us + 1_000_000 * _arrival_jitter_s(df["event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": ts_us,
+                "arrival_us": arr_us,
+                "bucket": arr_us // WM_BUCKET_SPAN_US,
+            }
+        )
+
+    proj = (
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+        .map_batches(project, batch_format="pandas")
+        .materialize()  # narrow 32-byte rows; read once, used twice
+    )
+
+    parts = (
+        proj.groupby("bucket")
+        .aggregate(Max("ts_us", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    # exclusive prefix max over buckets (bucket order == arrival order)
+    prefix = parts["mx"].cummax().shift(1)
+    base_ref = ray.put(
+        {
+            int(b): (None if pd.isna(p) else int(p))
+            for b, p in zip(parts["bucket"], prefix)
+        }
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["arrival_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        # running max of PRIOR ts within the bucket, seeded by the
+        # exclusive cross-bucket prefix max (ts_us < 2^53: float64-exact)
+        seed = -np.inf if base is None else float(base)
+        cm = np.maximum.accumulate(ts).astype(np.float64)
+        prior = np.full(len(ts), seed)
+        np.maximum(prior[1:], cm[:-1], out=prior[1:])
+        wm = prior - WM_LATENESS_S * 1_000_000
+        keep = ts < wm
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[keep],
+                "ts_us": ts[keep],
+                "arrival_us": g["arrival_us"].to_numpy()[keep],
+                "wm_us": wm[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        proj.groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["arrival_us", "event_id"])
+        .reset_index(drop=True)
+        .astype({"event_id": "int64", "ts_us": "int64",
+                 "arrival_us": "int64", "wm_us": "int64"})
+    )
+
+
+EVENTS_WATERMARK_LATE_SQL = f"""
+WITH a AS (
+  SELECT event_id, epoch_us(ts)::BIGINT AS ts_us,
+         epoch_us(ts)::BIGINT + 1000000 * (
+           ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {WM_JITTER_MOD_S})::BIGINT AS arrival_us
+  FROM events
+), w AS (
+  SELECT *, MAX(ts_us) OVER (
+           ORDER BY arrival_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior
+  FROM a
+)
+SELECT event_id, ts_us, arrival_us,
+       (max_prior - {WM_LATENESS_S} * 1000000)::BIGINT AS wm_us
+FROM w WHERE ts_us < max_prior - {WM_LATENESS_S} * 1000000
+ORDER BY arrival_us, event_id
+"""

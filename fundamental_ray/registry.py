@@ -395,6 +395,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     # zlib compressibility is not expressible in DuckDB — rows-only check;
     # determinism + ranking invariants pinned in tests/test_webtext.py
     register("text_compression_topk", W.compression_ratio_topk)
+    register("text_pmi_bigrams", W.pmi_bigrams, W.PMI_BIGRAMS_SQL)
+    register("events_watermark_late", W.events_watermark_late,
+             W.EVENTS_WATERMARK_LATE_SQL)
     register("multimodal_frame_plan", M.frame_plan, M.FRAME_PLAN_SQL)
     register("multimodal_audio_window_plan", M.audio_window_plan, M.AUDIO_WINDOW_PLAN_SQL)
     register("multimodal_media_features", M.media_features)

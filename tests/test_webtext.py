@@ -130,3 +130,32 @@ def test_ann_range_search_oracle(ray_session, duck):
     want = duck.sql(N.RANGE_SEARCH_SQL).df()
     assert len(got) > 0
     _cmp(got, want, float_cols=("cosine",))
+
+
+def test_pmi_bigrams_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.pmi_bigrams(SF)
+    want = duck.sql(W.PMI_BIGRAMS_SQL).df()
+    assert len(got) == W.PMI_TOPK  # the cut is real at this scale
+    _cmp(got, want, float_cols=("pmi",))
+    # ranking invariant: pmi non-increasing, every pair above the count bar
+    assert got["pmi"].is_monotonic_decreasing or (
+        got["pmi"].diff().dropna() <= 1e-12
+    ).all()
+    assert (got["cnt"] >= W.PMI_MIN_COUNT).all()
+
+
+def test_events_watermark_late_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.events_watermark_late(SF)
+    want = duck.sql(W.EVENTS_WATERMARK_LATE_SQL).df()
+    assert len(got) > 0  # jitter >> min inter-event gap: late events exist
+    _cmp(got, want)
+    # every reported event is genuinely late: its own ts is under the
+    # watermark in force at its arrival
+    assert (got["ts_us"] < got["wm_us"]).all()
+    # watermark is monotone in arrival order (max-minus-constant of a
+    # growing set) over the late subsequence
+    assert got["wm_us"].is_monotonic_increasing
