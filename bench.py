@@ -60,6 +60,7 @@ def run_bench() -> dict:
     from fundamental_ray.ops import joins as JN
     from fundamental_ray.ops import sketch as SK
     from fundamental_ray.ops import text as T
+    from fundamental_ray.ops import webtext as WT
     from fundamental_ray.pipelines import analytics as A
     from fundamental_ray.pipelines import clean as CL
     from fundamental_ray.pipelines.extract import extract_listings_dataset
@@ -164,6 +165,10 @@ def run_bench() -> dict:
         ("sketch_quantiles_price", lambda: SK.sketch_quantiles_price(sf_dir)),
         ("join_asof_prior_view", lambda: JN.asof_prior_view(sf_dir)),
         ("graph_pagerank", lambda: GR.pagerank(sf_dir)),
+        ("graph_hits", lambda: GR.hits(sf_dir)),
+        ("text_pmi_bigrams", lambda: WT.pmi_bigrams(sf_dir)),
+        ("text_bigram_perplexity", lambda: WT.bigram_perplexity(sf_dir)),
+        ("events_watermark_late", lambda: WT.events_watermark_late(sf_dir)),
     ]
     for name, fn in secondary:
         t0 = time.time()

@@ -117,14 +117,20 @@ def _push_slices(e: pd.DataFrame, rank) -> tuple:
     """Per-dst-bucket partial contribution tables for one src bucket.
     ``rank`` is either the uniform init scalar or this bucket's
     node-indexed rank Series. Map-side combine: one row per distinct dst."""
-    import pyarrow as pa
-
     if isinstance(rank, float):
         c = rank / e["deg"].to_numpy()
     else:
         c = e["src"].map(rank).to_numpy() / e["deg"].to_numpy()
+    return _route_partials(e["dst"].to_numpy(), c)
+
+
+def _route_partials(dst: np.ndarray, c: np.ndarray) -> tuple:
+    """Map-side combine + slice routing shared by pagerank and HITS:
+    per-dst partial sums packed into one Arrow table per dst bucket."""
+    import pyarrow as pa
+
     part = (
-        pd.DataFrame({"dst": e["dst"].to_numpy(), "c": c})
+        pd.DataFrame({"dst": dst, "c": c})
         .groupby("dst", sort=False)["c"]
         .sum()
         .reset_index()
@@ -425,3 +431,141 @@ SELECT (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
        ROUND((SELECT COUNT(*) FROM w JOIN e ON e.u = w.a AND e.v = w.c)
              / (SELECT COUNT(*) FROM w)::DOUBLE, 6) AS closure
 """
+
+
+# ----------------------------------------------------------------- HITS
+# Hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite link graph
+# parts → suppliers: the companion authority model to pagerank above — a
+# web-scale crawler ranks index/listing pages (hubs) separately from
+# content pages (authorities), exactly this alternating shape. Reuses the
+# bucket-partitioned edge index (one build-time shuffle, then every
+# iteration point-reads its bucket), the plasma pre-routed slice exchange
+# (num_returns=_B, zero driver transit), and pagerank's determinism
+# contract. Normalization is by the GLOBAL MAX of the 12-dp-rounded raw
+# scores — max is order-independent (unlike an L2/L1 norm's sum), so the
+# only float-order surface is the bounded per-node in-sum, quantized away
+# by the same 12-dp rounding argument as pagerank.
+HITS_ITERS = 3
+
+
+@_ray.remote(num_cpus=1)
+def _hits_push(edge_dir: str, bucket: int, scores, gmax: float, part_side: bool):
+    """Push (scores/gmax, rounded) across this bucket's edges whose src is
+    the given node class; scores=None means the all-ones hub init."""
+    e = _read_bucket_edges(edge_dir, bucket)
+    mask = (e["src"] < SUPPLIER_OFFSET) if part_side else (e["src"] >= SUPPLIER_OFFSET)
+    e = e[mask]
+    if scores is None:
+        c = np.ones(len(e), dtype=np.float64)
+    else:
+        norm = pd.Series(
+            r2(scores.to_numpy(np.float64) / gmax, RANK_DECIMALS),
+            index=scores.index,
+        )
+        c = e["src"].map(norm).to_numpy(np.float64)
+    return _route_partials(e["dst"].to_numpy(), c)
+
+
+@_ray.remote(num_cpus=2)
+def _hits_merge(*slices):
+    """Raw-rounded per-node score for one dst bucket + its local max."""
+    rank = _merge_rank(slices, 0.0, 1.0)
+    return rank, (float(rank.max()) if len(rank) else -np.inf)
+
+
+@_ray.remote(num_cpus=1)
+def _hits_final(scores, gmax: float, offset: int):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "node": scores.index.to_numpy(np.int64) - offset,
+            "score": r2(scores.to_numpy(np.float64) / gmax, RANK_DECIMALS),
+        }
+    )
+
+
+def hits(sf_dir: str, iters: int = HITS_ITERS) -> pd.DataFrame:
+    """(kind, node, score): hub scores for parts, authority scores for
+    suppliers, after ``iters`` alternating max-normalized updates.
+
+    Per half-step the driver holds only _B object refs and _B local-max
+    scalars (the normalization barrier HITS inherently requires); edges
+    never leave their bucket partitions."""
+    import ray
+    import pyarrow as pa
+
+    edge_dir = build_edge_index(sf_dir)
+    buckets = [b for b in range(_B) if _bucket_edge_files(edge_dir, b)]
+    opts = {"num_returns": _B}
+
+    def merge(slices):
+        merged = [
+            _hits_merge.options(num_returns=2).remote(*[s[b] for s in slices])
+            for b in buckets
+        ]
+        score_refs = [m[0] for m in merged]
+        gmax = max(ray.get([m[1] for m in merged]))
+        return score_refs, gmax
+
+    # a_1 partials from the all-ones hub init
+    slices = [
+        _hits_push.options(**opts).remote(edge_dir, b, None, 1.0, True)
+        for b in buckets
+    ]
+    for k in range(1, iters + 1):
+        a_refs, a_max = merge(slices)  # authority_k
+        slices = [
+            _hits_push.options(**opts).remote(edge_dir, b, a_refs[i], a_max, False)
+            for i, b in enumerate(buckets)
+        ]
+        h_refs, h_max = merge(slices)  # hub_k
+        if k < iters:
+            slices = [
+                _hits_push.options(**opts).remote(edge_dir, b, h_refs[i], h_max, True)
+                for i, b in enumerate(buckets)
+            ]
+
+    auth = pa.concat_tables(
+        ray.get([_hits_final.remote(r, a_max, SUPPLIER_OFFSET) for r in a_refs])
+    ).to_pandas()
+    hub = pa.concat_tables(
+        ray.get([_hits_final.remote(r, h_max, 0) for r in h_refs])
+    ).to_pandas()
+    auth.insert(0, "kind", "authority")
+    hub.insert(0, "kind", "hub")
+    out = pd.concat([auth, hub], ignore_index=True)
+    return out.sort_values(["kind", "node"]).reset_index(drop=True)
+
+
+def hits_sql(iters: int = HITS_ITERS) -> str:
+    """Unrolled-CTE DuckDB mirror: identical init, per-update 12-dp
+    rounding, and max-normalization order."""
+    nd = RANK_DECIMALS
+    ctes = [
+        """e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+h0 AS (SELECT DISTINCT p AS node, 1.0 AS v FROM e0)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""a{k}r AS (
+  SELECT e.s AS node, ROUND(SUM(h.v), {nd}) AS r
+  FROM e0 e JOIN h{k - 1} h ON h.node = e.p GROUP BY e.s
+),
+a{k} AS (SELECT node, ROUND(r / (SELECT MAX(r) FROM a{k}r), {nd}) AS v FROM a{k}r),
+h{k}r AS (
+  SELECT e.p AS node, ROUND(SUM(a.v), {nd}) AS r
+  FROM e0 e JOIN a{k} a ON a.node = e.s GROUP BY e.p
+),
+h{k} AS (SELECT node, ROUND(r / (SELECT MAX(r) FROM h{k}r), {nd}) AS v FROM h{k}r)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT 'authority' AS kind, node, v AS score FROM a{iters}
+UNION ALL SELECT 'hub' AS kind, node, v AS score FROM h{iters}
+ORDER BY kind, node"""
+    )
+
+
+HITS_SQL = hits_sql()

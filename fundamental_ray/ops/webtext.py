@@ -275,6 +275,36 @@ PMI_MIN_COUNT = 5
 PMI_TOPK = 30
 
 
+def _bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch adjacent-pair combiner (docs never straddle batches, so
+    adjacency is batch-local) — shared by PMI and the bigram-LM scorer."""
+    from .text import WORD_RE
+
+    cnt: dict[tuple[str, str], int] = {}
+    for ts in df["text"].fillna("").str.lower().str.findall(WORD_RE):
+        for a, b in zip(ts, ts[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    keys = sorted(cnt)
+    return pd.DataFrame(
+        {
+            "w1": [a for a, _ in keys],
+            "w2": [b for _, b in keys],
+            "c": np.array([cnt[p] for p in keys], dtype=np.int64),
+        }
+    )
+
+
+def _bigram_counts(sf_dir: str) -> ray.data.Dataset:
+    """Distributed (w1, w2, cnt) over the corpus — ONE groupby-sum exchange
+    over bigram-vocab-sized partials."""
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_bigram_partials, batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+
 def pmi_bigrams(sf_dir: str, k: int = PMI_TOPK) -> pd.DataFrame:
     """Top-k adjacent-pair collocations by PMI (ties: w1, w2 asc).
 
@@ -287,27 +317,9 @@ def pmi_bigrams(sf_dir: str, k: int = PMI_TOPK) -> pd.DataFrame:
     import ray
 
     from .corpus_stats import _corpus_term_stats
-    from .text import WORD_RE
-
-    def bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
-        cnt: dict[tuple[str, str], int] = {}
-        for ts in df["text"].fillna("").str.lower().str.findall(WORD_RE):
-            for a, b in zip(ts, ts[1:]):
-                cnt[(a, b)] = cnt.get((a, b), 0) + 1
-        keys = sorted(cnt)
-        return pd.DataFrame(
-            {
-                "w1": [a for a, _ in keys],
-                "w2": [b for _, b in keys],
-                "c": np.array([cnt[p] for p in keys], dtype=np.int64),
-            }
-        )
 
     bg = (
-        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(bigram_partials, batch_format="pandas")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("c", alias_name="cnt"))
+        _bigram_counts(sf_dir)
         .materialize()  # bigram-vocab-sized; reused for total + score pass
     )
     n_bi = int(bg.sum(on="cnt"))
@@ -504,4 +516,248 @@ SELECT event_id, ts_us, arrival_us,
        (max_prior - {WM_LATENESS_S} * 1000000)::BIGINT AS wm_us
 FROM w WHERE ts_us < max_prior - {WM_LATENESS_S} * 1000000
 ORDER BY arrival_us, event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling -----------------------------------------
+# Exact n-per-stratum sampling by md5 rank — the "pull a fixed-size audit /
+# eval sample per language" primitive. The sample is a pure function of
+# doc_id (rank by md5 hex within stratum), so it is reproducible across
+# runs, machines and partitionings, and REFERENCEABLE: the same doc ids
+# come back after any upstream re-shard.
+#
+# Scale shape: classic distributed per-group top-k — each batch keeps at
+# most n rows per stratum it sees (combiner), so the exchange carries
+# ≤ n × strata × blocks narrow rows; the final per-stratum cut happens in
+# map_groups. Text never moves; only (lang, doc_id, key).
+STRAT_N = 50  # sample size per stratum
+
+
+def stratified_sample(sf_dir: str, n: int = STRAT_N) -> pd.DataFrame:
+    """(lang, doc_id, rn): the n lowest-md5-rank docs per lang, rn = the
+    1-based rank. md5 hex compares lexicographically identically in Python
+    and DuckDB (both lowercase hex), so membership AND rank mirror."""
+
+    def key_of(ids) -> list[str]:
+        return [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].astype("int64"),
+                "k": key_of(df["doc_id"]),
+            }
+        )
+        return (
+            out.sort_values(["k", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(n)
+        )
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "doc_id"]).head(n)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy(),
+                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(cut, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "rn"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "rn": "int64"})
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         )::BIGINT AS rn
+  FROM documents
+) WHERE rn <= {STRAT_N}
+ORDER BY lang, rn
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filtering) ---------------
+# CCNet (Wenzek et al. 2020) ranks documents by the perplexity of a language
+# model trained on a trusted corpus; here the LM is an add-one-smoothed
+# bigram model trained on the corpus itself (the self-perplexity variant —
+# high-ppl docs are the statistical outliers a curation pass inspects).
+#
+# Scale shape: training is the PMI machinery (unigram + bigram count
+# combiners, one exchange each); the count tables are broadcast ONCE via
+# ray.put and the scoring pass streams the corpus. A production LM is
+# pruned/hashed to a fixed vocabulary precisely so this broadcast stays
+# constant-size at 100 TB (the DSIR 4096-bucket argument; CCNet itself
+# ships a fixed SentencePiece+KenLM model to every worker).
+def bigram_perplexity(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tok, ppl) for every non-empty doc under the add-one
+    bigram LM: P(w1) = (c(w1)+1)/(N+V); P(w|v) = (c(v,w)+1)/(c(v)+V);
+    ppl = exp(-logP/n_tok) rounded at 6 dp. Association mirrors the oracle
+    term-for-term; the 6-dp boundary has ~1e-11 headroom (log-sum drift)."""
+    import math
+
+    import ray
+
+    from .corpus_stats import _corpus_term_stats
+    from .text import WORD_RE
+
+    uni = _corpus_term_stats(sf_dir).to_pandas()  # vocab-bounded (Heaps)
+    n_uni = int(uni["tf"].sum())
+    v = len(uni)
+    bi = _bigram_counts(sf_dir).to_pandas()  # pruned-LM-bounded (see above)
+    uni_ref = ray.put(dict(zip(uni["term"], uni["tf"].astype(int))))
+    bi_ref = ray.put(
+        {(a, b): int(c) for a, b, c in zip(bi["w1"], bi["w2"], bi["cnt"])}
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf, bc = ray.get(uni_ref), ray.get(bi_ref)
+        ids, ntoks, ppls = [], [], []
+        for did, ts in zip(
+            df["doc_id"], df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        ):
+            if not ts:
+                continue
+            lp = math.log((tf[ts[0]] + 1.0) / (n_uni + v))
+            for a, b in zip(ts, ts[1:]):
+                lp += math.log((bc.get((a, b), 0) + 1.0) / (tf[a] + v))
+            ids.append(int(did))
+            ntoks.append(len(ts))
+            ppls.append(round(math.exp(-lp / len(ts)), 6))
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "n_tok": np.array(ntoks, dtype=np.int64),
+                "ppl": np.array(ppls, dtype=np.float64),
+            }
+        )
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+BIGRAM_PERPLEXITY_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents
+), uni AS (
+  SELECT unnest(l) AS w FROM d
+), tf AS (
+  SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v FROM tf
+), bi AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*)::BIGINT AS c
+  FROM d, UNNEST(range(1, len(l))) AS r(i)
+  GROUP BY 1, 2
+), toks AS (
+  SELECT doc_id, i, l[i] AS w, CASE WHEN i > 1 THEN l[i - 1] END AS prev
+  FROM d, UNNEST(range(1, len(l) + 1)) AS r(i)
+), lp AS (
+  SELECT t.doc_id,
+         CASE WHEN t.prev IS NULL
+              THEN LN((tf.c + 1.0) / (tot.n + tot.v))
+              ELSE LN((COALESCE(b.c, 0) + 1.0) / (tfp.c + tot.v))
+         END AS lp
+  FROM toks t
+  JOIN tf ON tf.w = t.w
+  LEFT JOIN tf tfp ON tfp.w = t.prev
+  LEFT JOIN bi b ON b.w1 = t.prev AND b.w2 = t.w
+  CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tok,
+       ROUND(EXP(-SUM(lp) / COUNT(*)), 6) AS ppl
+FROM lp GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Source mixture weighting (temperature-smoothed domain balancing) -----------
+# The data-mixing step of every multi-source pretraining run: raw token
+# shares p_i are flattened with a sampling temperature (w_i ∝ p_i^α,
+# α = 0.7 — the mT5 / multilingual-BERT exponent) so small domains are
+# up-sampled without letting any one domain dominate.
+#
+# Scale shape: per-batch (source, docs, tokens) combiners, one tiny
+# groupby-sum exchange; the final normalization is a driver fold over the
+# DOMAIN-bounded table (the kmeans-partials contract — domains, not docs,
+# bound the state). Both sides compute the same libm pow/divide chain and
+# round at 6 dp.
+MIX_ALPHA = 0.7
+
+
+def source_mixture(sf_dir: str, alpha: float = MIX_ALPHA) -> pd.DataFrame:
+    """(source, n_docs, n_tok, p, weight): raw token share and the
+    α-temperature sampling weight per source."""
+    from .text import WORD_RE
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.lower().str.count(WORD_RE.pattern)
+        g = (
+            pd.DataFrame({"source": df["source"], "d": 1, "t": n.astype("int64")})
+            .groupby("source", as_index=False)
+            .sum()
+        )
+        return g.astype({"d": "int64", "t": "int64"})
+
+    t = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("d", alias_name="n_docs"), Sum("t", alias_name="n_tok"))
+        .to_pandas()  # domain-bounded
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = float(t["n_tok"].sum())
+    pw = (t["n_tok"].to_numpy(np.float64) / n) ** alpha
+    return pd.DataFrame(
+        {
+            "source": t["source"],
+            "n_docs": t["n_docs"].astype("int64"),
+            "n_tok": t["n_tok"].astype("int64"),
+            "p": np.round(t["n_tok"].to_numpy(np.float64) / n, 6),
+            "weight": np.round(pw / pw.sum(), 6),
+        }
+    )
+
+
+SOURCE_MIXTURE_SQL = rf"""
+WITH t AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         SUM(len(regexp_extract_all(lower(coalesce(text, '')), '\S+')))::BIGINT
+           AS n_tok
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_tok)::DOUBLE AS n FROM t),
+w AS (
+  SELECT source, n_docs, n_tok,
+         POWER(n_tok / (SELECT n FROM tot), {MIX_ALPHA}) AS pw
+  FROM t
+)
+SELECT source, n_docs, n_tok,
+       ROUND(n_tok / (SELECT n FROM tot), 6) AS p,
+       ROUND(pw / (SELECT SUM(pw) FROM w), 6) AS weight
+FROM w ORDER BY source
 """

@@ -163,6 +163,7 @@ def _populate() -> None:
     )
     register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
     register("graph_triangle_count", GR.triangle_count, GR.TRIANGLE_COUNT_SQL)
+    register("graph_hits", GR.hits, GR.HITS_SQL)
     register(
         "agg_winsorized_prices", R.agg_winsorized_prices, R.AGG_WINSORIZED_SQL
     )
@@ -396,6 +397,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     # determinism + ranking invariants pinned in tests/test_webtext.py
     register("text_compression_topk", W.compression_ratio_topk)
     register("text_pmi_bigrams", W.pmi_bigrams, W.PMI_BIGRAMS_SQL)
+    register("sample_stratified", W.stratified_sample, W.STRATIFIED_SAMPLE_SQL)
+    register("corpus_source_mixture", W.source_mixture, W.SOURCE_MIXTURE_SQL)
+    register("text_bigram_perplexity", W.bigram_perplexity,
+             W.BIGRAM_PERPLEXITY_SQL)
     register("events_watermark_late", W.events_watermark_late,
              W.EVENTS_WATERMARK_LATE_SQL)
     register("multimodal_frame_plan", M.frame_plan, M.FRAME_PLAN_SQL)
@@ -449,6 +454,13 @@ SELECT
   (SELECT count(*) FROM read_parquet('{corpus}/golden_listings.parquet'))::BIGINT AS listings,
   0::BIGINT AS retried
 """,
+    )
+    from .crawl.recrawl import recrawl_schedule, recrawl_schedule_sql
+
+    register("crawl_recrawl_schedule", recrawl_schedule)
+    register_lazy_oracle(
+        "crawl_recrawl_schedule",
+        lambda corpus, art: recrawl_schedule_sql(corpus),
     )
     register("crawl_retry_counters", C.crawl_retry_counters)
     register_lazy_oracle(

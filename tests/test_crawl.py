@@ -742,3 +742,26 @@ def test_drain_plan_equivalence_with_retries(crawl_env):
     assert job_a.round == job_b.round
     assert job_a.seen.all_urls() == job_b.seen.all_urls()
     assert _politeness_lineage(a_dir) == _politeness_lineage(b_dir)
+
+
+def test_recrawl_schedule_oracle(ray_session):
+    """Freshness planner vs its window-function oracle over the same
+    corpus pages table (md5 class, fixed SCRAPED_AT clock)."""
+    import duckdb
+
+    from fundamental_ray.crawl.recrawl import (
+        RECRAWL_TOPK_PER_HOST,
+        recrawl_schedule,
+        recrawl_schedule_sql,
+    )
+
+    got = recrawl_schedule("/root/testdata/sf0.001")
+    corpus = materialize_corpus("sf0.001")
+    want = duckdb.sql(recrawl_schedule_sql(corpus)).df()
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+    # per-host quota respected and ranks contiguous from 1
+    for host, g in got.groupby("host"):
+        assert len(g) <= RECRAWL_TOPK_PER_HOST
+        assert g["rk"].tolist() == list(range(1, len(g) + 1))

@@ -551,3 +551,28 @@ def test_triangle_count_matches_networkx_free_brute(ray_session):
     assert got["n_edges"] == len(edges)
     assert got["n_wedges"] == wedges
     assert got["n_triangles"] == tri
+
+
+def test_graph_hits_oracle(ray_session):
+    import duckdb
+
+    from fundamental_ray.ops import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    got = G.hits(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.sql(G.HITS_SQL).df()
+    assert len(got) == len(want)
+    assert got["kind"].tolist() == want["kind"].tolist()
+    assert got["node"].tolist() == want["node"].tolist()
+    import pandas as pd
+
+    pd.testing.assert_series_equal(
+        got["score"], want["score"], check_names=False, rtol=0, atol=1e-12
+    )
+    # HITS invariants: scores in (0, 1], at least one node per class at
+    # the max-normalized ceiling
+    for kind in ("authority", "hub"):
+        s = got.loc[got["kind"] == kind, "score"]
+        assert (s > 0).all() and (s <= 1.0).all() and s.max() == 1.0

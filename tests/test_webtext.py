@@ -159,3 +159,53 @@ def test_events_watermark_late_oracle(ray_session, duck):
     # watermark is monotone in arrival order (max-minus-constant of a
     # growing set) over the late subsequence
     assert got["wm_us"].is_monotonic_increasing
+
+
+def test_stratified_sample_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.stratified_sample(SF)
+    want = duck.sql(W.STRATIFIED_SAMPLE_SQL).df()
+    assert len(got) > 0
+    _cmp(got, want)
+    # exact quota per stratum (or the whole stratum if smaller)
+    sizes = duck.sql("SELECT lang, COUNT(*) n FROM documents GROUP BY lang").df()
+    for lang, n in zip(sizes["lang"], sizes["n"]):
+        assert (got["lang"] == lang).sum() == min(int(n), W.STRAT_N)
+    # determinism: re-running returns the identical sample
+    pd.testing.assert_frame_equal(got, W.stratified_sample(SF))
+
+
+def test_bigram_perplexity_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.bigram_perplexity(SF)
+    want = duck.sql(W.BIGRAM_PERPLEXITY_SQL).df()
+    assert len(got) > 0
+    _cmp(got, want, float_cols=("ppl",))
+    assert (got["ppl"] > 1.0).all()  # a smoothed LM is never certain
+
+
+def test_source_mixture_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.source_mixture(SF)
+    want = duck.sql(W.SOURCE_MIXTURE_SQL).df()
+    assert len(got) > 1
+    _cmp(got, want, float_cols=("p", "weight"))
+    # temperature flattening: weights sum to 1 and the spread is strictly
+    # narrower than the raw shares' spread (α < 1 compresses)
+    assert abs(got["weight"].sum() - 1.0) < 1e-6
+    assert got["weight"].max() - got["weight"].min() <= got["p"].max() - got["p"].min()
+
+
+def test_watermark_bucket_span_invariance(ray_session, monkeypatch):
+    """The late-event set is a pure function of the stream, not of the
+    bucket decomposition: halving the arrival-bucket span must reproduce
+    the identical result (the pack.py scan-correctness property)."""
+    from fundamental_ray.ops import webtext as W
+
+    base = W.events_watermark_late(SF)
+    monkeypatch.setattr(W, "WM_BUCKET_SPAN_US", W.WM_BUCKET_SPAN_US // 4)
+    narrow = W.events_watermark_late(SF)
+    pd.testing.assert_frame_equal(base, narrow)
