@@ -761,3 +761,62 @@ SELECT source, n_docs, n_tok,
        ROUND(pw / (SELECT SUM(pw) FROM w), 6) AS weight
 FROM w ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Size-biased (PPS) document sampling ----------------------------------------
+# Poisson sampling with inclusion probability proportional to size — the
+# token-budget subsampling primitive ("give me ~10% of the TOKENS, not 10%
+# of the documents") with Horvitz-Thompson weights so downstream counts
+# stay unbiased. Deterministic: the coin is md5(doc_id) compared against
+# n_chars × RATE — a pure per-row predicate, embarrassingly parallel,
+# reproducible across runs/partitionings like the split op.
+PPS_MOD = 1 << 32
+PPS_RATE_NUM = 60_000  # inclusion prob = min(1, n_chars * NUM / 2^32)
+
+
+def pps_sample(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_chars, weight): the size-biased sample with its
+    Horvitz-Thompson weight 1/p rounded at 6 dp — both sides compute the
+    single division 2^32/(n_chars*NUM) on exact integer-valued doubles."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        h = np.array(
+            [
+                int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+                for d in ids
+            ],
+            dtype=np.int64,
+        )
+        thr = df["n_chars"].astype("int64").to_numpy() * PPS_RATE_NUM
+        keep = h < thr
+        w = np.maximum(PPS_MOD / thr[keep], 1.0)  # 1/p; p capped at certainty
+        return pd.DataFrame(
+            {
+                "doc_id": ids.to_numpy()[keep],
+                "n_chars": df["n_chars"].astype("int64").to_numpy()[keep],
+                "weight": np.round(w, 6),
+            }
+        )
+
+    return (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+PPS_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       ROUND(GREATEST({PPS_MOD}::DOUBLE / (n_chars * {PPS_RATE_NUM}), 1.0), 6)
+         AS weight
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      < n_chars * {PPS_RATE_NUM}
+ORDER BY doc_id
+"""

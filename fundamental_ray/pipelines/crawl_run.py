@@ -371,3 +371,63 @@ def crawl_polite_seen_set(sf_dir: str) -> pd.DataFrame:
         assert job.counters["deferred"] > 0  # the budget actually throttled
         _POLITE_MEMO[tag] = job
     return pd.DataFrame({"url": sorted(job.seen.all_urls())})
+
+
+def crawl_host_fairness(sf_dir: str) -> pd.DataFrame:
+    """Jain's fairness index over per-host fetched-URL counts — the
+    politeness scheduler's distributional audit (a fair crawler spreads
+    its budget; J = 1 means perfectly even, 1/n means one host starved
+    the rest). Computed DISTRIBUTED from the job's committed per-round
+    seen_claims deltas (the checkpoint artifacts a resumed run would
+    read), not the driver's in-memory set: per-batch (host, n) combiners,
+    one host-bounded exchange, scalar fold. Oracle: the same index over
+    the golden seen set — end-to-end engine verification, since the two
+    sets matching IS the crawl_frontier_seen_set contract.
+
+    All three products in J = (Σn)² / (k·Σn²) are integer-valued doubles
+    (exact below 2^53), so both sides perform ONE inexact division and
+    the 6-dp round mirrors."""
+    import glob
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    _, job_dir = run_crawl(scale_tag_of(sf_dir))
+    files = sorted(glob.glob(f"{job_dir}/round=*/seen_claims.parquet"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["url_norm"].str.split("://").str[1].str.split("/").str[0]
+        g = host.value_counts().rename_axis("host").reset_index(name="n")
+        return g.astype({"n": "int64"})
+
+    per_host = (
+        read_parquet_clean(files, columns=["url_norm"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # host-bounded
+    )
+    n = per_host["n"].to_numpy(np.float64)
+    s, k, sq = float(n.sum()), len(n), float((n * n).sum())
+    return pd.DataFrame(
+        {
+            "n_hosts": np.array([k], dtype=np.int64),
+            "total_urls": np.array([int(s)], dtype=np.int64),
+            "jain": np.array([round((s * s) / (k * sq), 6)], dtype=np.float64),
+        }
+    )
+
+
+def host_fairness_sql(corpus: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+         COUNT(*)::BIGINT AS n
+  FROM read_parquet('{corpus}/golden_seen_set.parquet') GROUP BY 1
+)
+SELECT COUNT(*)::BIGINT AS n_hosts, SUM(n)::BIGINT AS total_urls,
+       ROUND((SUM(n)::DOUBLE * SUM(n)::DOUBLE)
+             / (COUNT(*)::DOUBLE * SUM(n::DOUBLE * n::DOUBLE)), 6) AS jain
+FROM h
+"""

@@ -399,6 +399,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("text_pmi_bigrams", W.pmi_bigrams, W.PMI_BIGRAMS_SQL)
     register("sample_stratified", W.stratified_sample, W.STRATIFIED_SAMPLE_SQL)
     register("corpus_source_mixture", W.source_mixture, W.SOURCE_MIXTURE_SQL)
+    register("sample_pps", W.pps_sample, W.PPS_SAMPLE_SQL)
     register("text_bigram_perplexity", W.bigram_perplexity,
              W.BIGRAM_PERPLEXITY_SQL)
     register("events_watermark_late", W.events_watermark_late,
@@ -461,6 +462,11 @@ SELECT
     register_lazy_oracle(
         "crawl_recrawl_schedule",
         lambda corpus, art: recrawl_schedule_sql(corpus),
+    )
+    register("crawl_host_fairness", C.crawl_host_fairness)
+    register_lazy_oracle(
+        "crawl_host_fairness",
+        lambda corpus, art: C.host_fairness_sql(corpus),
     )
     register("crawl_retry_counters", C.crawl_retry_counters)
     register_lazy_oracle(

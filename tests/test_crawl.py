@@ -765,3 +765,24 @@ def test_recrawl_schedule_oracle(ray_session):
     for host, g in got.groupby("host"):
         assert len(g) <= RECRAWL_TOPK_PER_HOST
         assert g["rk"].tolist() == list(range(1, len(g) + 1))
+
+
+def test_host_fairness_oracle(ray_session):
+    """Distributed Jain index from committed claim deltas == oracle over
+    the golden seen set (set equality is the seen-set contract; this
+    checks the derived fairness metric end to end)."""
+    import duckdb
+
+    from fundamental_ray.pipelines.crawl_run import (
+        crawl_host_fairness,
+        host_fairness_sql,
+    )
+
+    got = crawl_host_fairness("/root/testdata/sf0.001")
+    corpus = materialize_corpus("sf0.001")
+    want = duckdb.sql(host_fairness_sql(corpus)).df()
+    assert got["n_hosts"].tolist() == want["n_hosts"].tolist()
+    assert got["total_urls"].tolist() == want["total_urls"].tolist()
+    assert got["jain"].tolist() == want["jain"].tolist()
+    j = got["jain"].iloc[0]
+    assert 1.0 / got["n_hosts"].iloc[0] <= j <= 1.0  # Jain bounds

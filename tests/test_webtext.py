@@ -209,3 +209,17 @@ def test_watermark_bucket_span_invariance(ray_session, monkeypatch):
     monkeypatch.setattr(W, "WM_BUCKET_SPAN_US", W.WM_BUCKET_SPAN_US // 4)
     narrow = W.events_watermark_late(SF)
     pd.testing.assert_frame_equal(base, narrow)
+
+
+def test_pps_sample_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.pps_sample(SF)
+    want = duck.sql(W.PPS_SAMPLE_SQL).df()
+    n_docs = duck.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_docs  # the predicate discriminates
+    _cmp(got, want, float_cols=("weight",))
+    # Horvitz-Thompson: weights >= 1, larger docs get smaller weights
+    assert (got["weight"] >= 1.0).all()
+    two = got.drop_duplicates("n_chars").sort_values("n_chars")
+    assert two["weight"].is_monotonic_decreasing
