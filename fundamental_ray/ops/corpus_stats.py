@@ -1144,3 +1144,77 @@ SELECT doc_id, n_grams, n_novel,
        ROUND(n_novel / n_grams::DOUBLE, 6) AS novelty
 FROM per
 """
+
+
+# ---------------------------------------------------------------- zipf_slope
+# Zipf-law audit: OLS slope of ln(tf) on ln(rank) over the top-N vocabulary
+# — the standard corpus-health diagnostic (natural text reads ≈ -1; a
+# boilerplate-flooded or template-generated corpus drifts flat). Term
+# counts come from the distributed combiner pass (_corpus_term_stats); the
+# regression runs on the driver over the vocab-bounded top-N.
+#
+# Float discipline: the four OLS sums are LEFT FOLDS IN RANK ORDER on both
+# sides — Python accumulates in rank order; the oracle uses running window
+# sums (ORDER BY rank ROWS UNBOUNDED PRECEDING), which DuckDB evaluates as
+# the same sequential fold — so slope/intercept are bit-identical before
+# the mirrored 6-dp round.
+ZIPF_TOPN = 1000
+
+
+def zipf_slope(sf_dir: str) -> pd.DataFrame:
+    import math
+
+    top = (
+        _corpus_term_stats(sf_dir)
+        .sort(["tf", "term"], descending=[True, False])
+        .limit(ZIPF_TOPN)
+        .to_pandas()
+    )
+    n = len(top)
+    sx = sy = sxy = sxx = 0.0
+    for rank, tf in enumerate(top["tf"].astype(int), start=1):
+        x, y = math.log(float(rank)), math.log(float(tf))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "n_terms": np.array([n], dtype=np.int64),
+            "slope": np.array([round(slope, 6)], dtype=np.float64),
+            "intercept": np.array([round(intercept, 6)], dtype=np.float64),
+        }
+    )
+
+
+ZIPF_SLOPE_SQL = rf"""
+WITH tf AS (
+  SELECT term, COUNT(*)::BIGINT AS tf
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rank, tf
+  FROM tf ORDER BY tf DESC, term LIMIT {ZIPF_TOPN}
+),
+xy AS (
+  SELECT rank, LN(rank::DOUBLE) AS x, LN(tf::DOUBLE) AS y FROM ranked
+),
+folds AS (
+  SELECT rank,
+         SUM(x)     OVER w AS sx,  SUM(y)   OVER w AS sy,
+         SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+         COUNT(*)   OVER w AS k
+  FROM xy
+  WINDOW w AS (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+),
+fin AS (SELECT * FROM folds ORDER BY rank DESC LIMIT 1)
+SELECT k::BIGINT AS n_terms,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+         AS intercept
+FROM fin
+"""

@@ -300,16 +300,13 @@ PAGERANK_SQL = pagerank_sql()
 TRI_BUCKETS = 64
 
 
-def triangle_count(sf_dir: str) -> pd.DataFrame:
-    """Two exchanges total: (1) (part, supplier) rows bucket by part —
-    exact dedup AND the per-part pair fan-out happen inside the bucket
-    fold; the resulting pair table is entity²-bounded and folds on the
-    driver (kmeans-partials contract). (2) edge incidence buckets by
-    middle node — the wedge fold counts closure against the broadcast
-    edge set in place (the edge set is the same entity²-bounded table).
-    For entity counts whose pair table exceeds driver memory, swap the
-    driver fold for a (x, y) count exchange and the broadcast for the
-    bucketed pair-key join — the exchange structure is unchanged."""
+def _cosupplier_edges(sf_dir: str) -> pd.DataFrame:
+    """Thresholded co-supplier projection shared by triangle_count and
+    link_prediction: (part, supplier) rows bucket by part — exact dedup
+    AND the per-part pair fan-out happen inside the bucket fold — and
+    pairs at or above the 75th-percentile co-occurrence count become
+    undirected edges (u < v). The pair table is entity²-bounded, so the
+    threshold folds on the driver (kmeans-partials contract)."""
     bip = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
         lambda df: df.rename(columns={"l_partkey": "p", "l_suppkey": "s"})
         .drop_duplicates()
@@ -350,13 +347,30 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
     )
     if not len(pairs):
         return pd.DataFrame(
+            {"u": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")}
+        )
+    thresh = float(np.percentile(pairs["c"].to_numpy(np.float64), 75, method="linear"))
+    return (
+        pairs[pairs["c"] >= thresh][["x", "y"]]
+        .rename(columns={"x": "u", "y": "v"})
+        .reset_index(drop=True)
+    )
+
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Two exchanges total: (1) the shared co-supplier projection
+    (_cosupplier_edges). (2) edge incidence buckets by middle node — the
+    wedge fold counts closure against the broadcast edge set in place
+    (the edge set is the same entity²-bounded table). For entity counts
+    whose pair table exceeds driver memory, swap the driver fold for a
+    (x, y) count exchange and the broadcast for the bucketed pair-key
+    join — the exchange structure is unchanged."""
+    edges = _cosupplier_edges(sf_dir)
+    if not len(edges):
+        return pd.DataFrame(
             {"n_edges": [0], "n_wedges": [0], "n_triangles": [0],
              "closure": [0.0]}
         ).astype({"n_edges": "int64", "n_wedges": "int64", "n_triangles": "int64"})
-    thresh = float(np.percentile(pairs["c"].to_numpy(np.float64), 75, method="linear"))
-    edges = pairs[pairs["c"] >= thresh][["x", "y"]].rename(
-        columns={"x": "u", "y": "v"}
-    ).reset_index(drop=True)
     n_edges = len(edges)
     edge_ref = ray.put(set(zip(edges["u"].tolist(), edges["v"].tolist())))
     eds = ray.data.from_pandas(edges)
@@ -569,3 +583,132 @@ ORDER BY kind, node"""
 
 
 HITS_SQL = hits_sql()
+
+
+# ------------------------------------------------------- link prediction
+# Common-neighbor / Jaccard link prediction on the thresholded
+# co-supplier projection (Liben-Nowell & Kleinberg 2003): for node pairs
+# NOT currently connected, score = |N(u) ∩ N(w)| / |N(u) ∪ N(w)| — the
+# crawler-adjacent use is "which hosts will link next" / related-entity
+# suggestion over a link graph. Scores are integer-exact until ONE final
+# division (cn, deg_u, deg_w are counts), so the 6-dp round mirrors.
+#
+# Scale shape: same bucketized-fold plan as triangle_count — symmetrized
+# edge incidence buckets by MIDDLE node (one exchange), each bucket fold
+# emits per-(x, y) partial common-neighbor counts vectorized
+# (np.triu_indices over each middle's sorted neighbor segment), one
+# (x, y) groupby-sum exchange merges them. The candidate table is
+# entity²-bounded (same documented bound as the pair/edge tables here);
+# existing edges and degrees broadcast as bounded dicts.
+LINKPRED_TOPK = 30
+
+
+def link_prediction(sf_dir: str) -> pd.DataFrame:
+    """Top-k non-edge pairs by Jaccard common-neighbor score (ties:
+    cn desc, then u, w asc — pinned on both sides)."""
+    edges = _cosupplier_edges(sf_dir)
+    if not len(edges):
+        return pd.DataFrame(
+            {"u": pd.Series([], dtype="int64"), "w": pd.Series([], dtype="int64"),
+             "cn": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    deg = (
+        pd.concat([edges["u"], edges["v"]]).value_counts().to_dict()
+    )
+    edge_set = set(zip(edges["u"].tolist(), edges["v"].tolist()))
+    eds = ray.data.from_pandas(edges.reset_index(drop=True))
+
+    def to_incidence(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "m": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "nb": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+            }
+        )
+        out["mb"] = (out["m"] % TRI_BUCKETS).astype("int64")
+        return out.astype({"m": "int64", "nb": "int64"})
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["m", "nb"])
+        ms = g["m"].to_numpy(np.int64)
+        nb = g["nb"].to_numpy(np.int64)
+        seg = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1], True])
+        xs, ys = [], []
+        for a, b in zip(seg[:-1], seg[1:]):
+            nbr = nb[a:b]
+            ii, jj = np.triu_indices(len(nbr), k=1)
+            xs.append(nbr[ii])
+            ys.append(nbr[jj])
+        x = np.concatenate(xs) if xs else np.array([], np.int64)
+        y = np.concatenate(ys) if ys else np.array([], np.int64)
+        out = (
+            pd.DataFrame({"x": x, "y": y})
+            .groupby(["x", "y"], as_index=False)
+            .size()
+            .rename(columns={"size": "cn"})
+        )
+        return out.astype({"x": "int64", "y": "int64", "cn": "int64"})
+
+    cn = (
+        eds.map_batches(to_incidence, batch_format="pandas")
+        .groupby("mb")
+        .map_groups(wedge_pairs, batch_format="pandas")
+        .to_pandas()  # entity²-bounded candidate table, documented
+        .groupby(["x", "y"], as_index=False)["cn"].sum()
+    )
+    cn = cn[~cn.apply(lambda r: (r["x"], r["y"]) in edge_set, axis=1)]
+    if not len(cn):
+        return pd.DataFrame(
+            {"u": pd.Series([], dtype="int64"), "w": pd.Series([], dtype="int64"),
+             "cn": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    du = cn["x"].map(deg).astype("int64")
+    dw = cn["y"].map(deg).astype("int64")
+    cnv = cn["cn"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "u": cn["x"].astype("int64"),
+            "w": cn["y"].astype("int64"),
+            "cn": cnv,
+            "jaccard": [
+                round(c / (a + b - c), 6)
+                for c, a, b in zip(cnv, du, dw)
+            ],
+        }
+    )
+    return (
+        out.sort_values(
+            ["jaccard", "cn", "u", "w"], ascending=[False, False, True, True]
+        )
+        .head(LINKPRED_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+LINK_PREDICTION_SQL = f"""
+WITH bip AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT a.s AS x, b.s AS y, COUNT(*) AS c
+  FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+med AS (SELECT quantile_cont(c, 0.75) AS m FROM pairs),
+e AS (SELECT x AS u, y AS v FROM pairs, med WHERE c >= m),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS n, COUNT(*)::BIGINT AS d FROM sym GROUP BY u),
+wedge AS (
+  SELECT s1.v AS x, s2.v AS y
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+),
+cn AS (SELECT x, y, COUNT(*)::BIGINT AS cn FROM wedge GROUP BY x, y),
+cand AS (
+  SELECT cn.* FROM cn LEFT JOIN e ON e.u = cn.x AND e.v = cn.y
+  WHERE e.u IS NULL
+)
+SELECT c.x AS u, c.y AS w, c.cn,
+       ROUND(c.cn::DOUBLE / (d1.d + d2.d - c.cn), 6) AS jaccard
+FROM cand c JOIN deg d1 ON d1.n = c.x JOIN deg d2 ON d2.n = c.y
+ORDER BY jaccard DESC, cn DESC, u, w LIMIT {LINKPRED_TOPK}
+"""

@@ -672,8 +672,6 @@ CONTAIN_MIN_SHARED = 25
 
 
 def containment_pairs(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
-
     from ..pipelines.analytics import r2
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -691,33 +689,63 @@ def containment_pairs(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def pair_fanout(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > CONTAIN_MAXDOCS:  # stop-hash: boilerplate, excluded
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-                 "na": pd.Series([], dtype="int64"), "nb": pd.Series([], dtype="int64"),
-                 "one": pd.Series([], dtype="int64")}
+    # Both exchanges use the bucketized-fold idiom: Ray's per-GROUP
+    # overhead (map_groups slicing / aggregate reduce) at winnow-hash or
+    # pair cardinality costs minutes where 256 vectorized pandas folds
+    # over the SAME one-exchange plans cost seconds (the basket_lift
+    # lesson, pipelines/relational.py). All rows of a hash land in one
+    # hb bucket, so the per-hash stop cap inside the fold is GLOBAL.
+    _FB = 256
+
+    def hash_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hb"] = (df["h"] % _FB).astype("int64")
+        return df
+
+    def hash_fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("h")["doc_id"].transform("size")
+        g = g[sizes <= CONTAIN_MAXDOCS]  # stop-hash: boilerplate, excluded
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = (
+            m.groupby(
+                ["doc_id_a", "doc_id_b", "nw_a", "nw_b"], as_index=False
             )
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(np.int64)
-        nws = g["nw"].to_numpy(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"a": ids[ii], "b": ids[jj], "na": nws[ii], "nb": nws[jj],
-             "one": np.ones(len(ii), dtype=np.int64)}
+            .size()
+            .rename(
+                columns={"doc_id_a": "a", "doc_id_b": "b",
+                         "nw_a": "na", "nw_b": "nb", "size": "c"}
+            )
+        )
+        return out.astype(
+            {"a": "int64", "b": "int64", "na": "int64", "nb": "int64",
+             "c": "int64"}
+        )
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = ((df["a"] * 1_000_003 + df["b"]) % _FB).astype("int64")
+        return df
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["a", "b", "na", "nb"], as_index=False)["c"].sum()
+        tot = tot.rename(columns={"c": "shared"})
+        # the pair's partials all land in this bucket, so the threshold
+        # applies HERE — only qualifying pairs ever reach the driver
+        return tot[tot["shared"] >= CONTAIN_MIN_SHARED].astype(
+            {"a": "int64", "b": "int64", "na": "int64", "nb": "int64",
+             "shared": "int64"}
         )
 
     pairs = (
         _read_docs(sf_dir)
         .map_batches(explode, batch_format="pandas")
-        .groupby("h")
-        .map_groups(pair_fanout, batch_format="pandas")
-        .groupby(["a", "b", "na", "nb"])
-        .aggregate(Sum("one", alias_name="shared"))
-        .map_batches(
-            lambda df: df[df["shared"] >= CONTAIN_MIN_SHARED],
-            batch_format="pandas",
-        )
+        .map_batches(hash_bucket, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(hash_fold, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pair_fold, batch_format="pandas")
         .to_pandas()  # only the ≥ threshold pairs reach the driver
     )
     pairs = pairs.copy()

@@ -820,3 +820,80 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
       < n_chars * {PPS_RATE_NUM}
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease audit per source --------------------------------------
+# The classic readability screen a curation pipeline runs next to the
+# Gopher rules: flesch = 206.835 − 1.015·(words/sentences) −
+# 84.6·(syllables/words), computed from corpus-exact integer totals per
+# source. Heuristics are regex-countable so BOTH sides run the identical
+# definition: words = [a-z]+ runs of the lowercased text, sentences =
+# [.!?]+ runs (min 1 per doc), syllables = [aeiouy]+ vowel-group runs
+# (vowel groups never span words, so the text-global count equals the
+# per-word sum; zero-vowel tokens count 0 — documented simplification).
+#
+# Scale shape: per-batch integer partial sums (source, n_docs, W, S, Y)
+# — text never leaves the batch — one source-bounded groupby-sum
+# exchange, then the two inexact divisions happen ONCE per source on
+# identical BIGINT totals, mirrored 6-dp.
+_FLESCH_WORD = r"[a-z]+"
+_FLESCH_SENT = r"[.!?]+"
+_FLESCH_SYLL = r"[aeiouy]+"
+
+
+def flesch_by_source(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        low = txt.str.lower()
+        w = low.str.count(_FLESCH_WORD).astype("int64")
+        s = txt.str.count(_FLESCH_SENT).astype("int64").clip(lower=1)
+        y = low.str.count(_FLESCH_SYLL).astype("int64")
+        g = (
+            pd.DataFrame({"source": df["source"], "w": w, "s": s, "y": y})
+            .groupby("source", as_index=False)
+            .agg(n_docs=("w", "size"), words=("w", "sum"),
+                 sentences=("s", "sum"), syllables=("y", "sum"))
+        )
+        return g.astype(
+            {"n_docs": "int64", "words": "int64",
+             "sentences": "int64", "syllables": "int64"}
+        )
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("words", alias_name="words"),
+            Sum("sentences", alias_name="sentences"),
+            Sum("syllables", alias_name="syllables"),
+        )
+        .to_pandas()  # source-bounded
+        .astype({c: "int64" for c in ("n_docs", "words", "sentences", "syllables")})
+    )
+    out["flesch"] = [
+        round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
+        for w, s, y in zip(out["words"], out["sentences"], out["syllables"])
+    ]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+FLESCH_BY_SOURCE_SQL = rf"""
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(len(regexp_extract_all(lower(COALESCE(text, '')), '{_FLESCH_WORD}')))::BIGINT AS words,
+       SUM(GREATEST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1))::BIGINT AS sentences,
+       SUM(len(regexp_extract_all(lower(COALESCE(text, '')), '{_FLESCH_SYLL}')))::BIGINT AS syllables,
+       ROUND(206.835
+             - 1.015 * (SUM(len(regexp_extract_all(lower(COALESCE(text, '')), '{_FLESCH_WORD}')))::DOUBLE
+                        / SUM(GREATEST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1)))
+             - 84.6 * (SUM(len(regexp_extract_all(lower(COALESCE(text, '')), '{_FLESCH_SYLL}')))::DOUBLE
+                       / SUM(len(regexp_extract_all(lower(COALESCE(text, '')), '{_FLESCH_WORD}')))), 6)
+         AS flesch
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -431,3 +431,126 @@ SELECT COUNT(*)::BIGINT AS n_hosts, SUM(n)::BIGINT AS total_urls,
              / (COUNT(*)::DOUBLE * SUM(n::DOUBLE * n::DOUBLE)), 6) AS jain
 FROM h
 """
+
+
+def crawl_bandwidth_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-host bandwidth accounting over the fetched page table — the
+    crawl-budget audit (which hosts cost the most bytes, what does a page
+    there cost on average). Scale shape: per-batch (host, n, bytes)
+    combiners over column-pruned reads (url + binary_length(html) only —
+    html bytes never leave the batch), ONE host-bounded groupby-sum
+    exchange, driver-side top-k over the host-bounded table. avg_bytes is
+    the single inexact division, 2-dp rounded on both sides."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    corpus = materialize_corpus(scale_tag_of(sf_dir))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "host": t.column("url")
+                .to_pandas()
+                .str.split("://").str[1].str.split("/").str[0],
+                "b": pc.binary_length(t.column("html")).to_pandas(),
+            }
+        )
+        g = df.groupby("host", as_index=False).agg(
+            n=("b", "size"), bytes=("b", "sum")
+        )
+        return g.astype({"n": "int64", "bytes": "int64"})
+
+    out = (
+        read_parquet_clean(f"{corpus}/pages.parquet", columns=["url", "html"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n"), Sum("bytes", alias_name="bytes"))
+        .to_pandas()  # host-bounded
+    )
+    out["avg_bytes"] = np.round(
+        out["bytes"].to_numpy(np.float64) / out["n"].to_numpy(np.float64), 2
+    )
+    return (
+        out.sort_values(["bytes", "host"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+        .astype({"n": "int64", "bytes": "int64"})
+    )
+
+
+def bandwidth_topk_sql(corpus: str) -> str:
+    return f"""
+SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+       COUNT(*)::BIGINT AS n, SUM(octet_length(html))::BIGINT AS bytes,
+       ROUND(SUM(octet_length(html))::DOUBLE / COUNT(*), 2) AS avg_bytes
+FROM read_parquet('{corpus}/pages.parquet')
+GROUP BY 1 ORDER BY bytes DESC, host LIMIT 20
+"""
+
+
+def crawl_trap_score(sf_dir: str) -> pd.DataFrame:
+    """Spider-trap / content-duplication audit: hosts whose URL space is
+    larger than their content space (many URLs, few distinct page texts)
+    are trap candidates — the crawler is burning budget re-fetching the
+    same content behind different URLs (session ids, calendar pages,
+    sort-order permutations). Per host: pages fetched, distinct text
+    fingerprints, and dup_ratio = 1 - distinct/pages.
+
+    Scale shape: the text column collapses to a 16-byte md5 INSIDE the
+    batch (page text never crosses an exchange); (host, fp) rows pay one
+    groupby exchange to dedupe, then the per-host rollup is a second
+    exchange over distinct-fingerprint-bounded rows. The ratio is the one
+    inexact division, 6-dp mirrored."""
+    import hashlib
+
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    corpus = materialize_corpus(scale_tag_of(sf_dir))
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": df["url"].str.split("://").str[1].str.split("/").str[0],
+                "fp": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in df["text"].fillna("")
+                ],
+            }
+        )
+
+    out = (
+        read_parquet_clean(f"{corpus}/pages.parquet", columns=["url", "text"])
+        .map_batches(fp, batch_format="pandas")
+        .groupby(["host", "fp"])
+        .aggregate(Count(alias_name="c"))
+        .groupby("host")
+        .aggregate(Sum("c", alias_name="n_pages"), Count(alias_name="n_distinct"))
+        .to_pandas()  # host-bounded
+        .astype({"n_pages": "int64", "n_distinct": "int64"})
+    )
+    out["dup_ratio"] = np.round(
+        1.0 - out["n_distinct"].to_numpy(np.float64) / out["n_pages"].to_numpy(np.float64),
+        6,
+    )
+    return (
+        out.sort_values(["dup_ratio", "host"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def trap_score_sql(corpus: str) -> str:
+    return f"""
+SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+       COUNT(*)::BIGINT AS n_pages,
+       COUNT(DISTINCT md5(COALESCE(text, '')))::BIGINT AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT md5(COALESCE(text, '')))::DOUBLE / COUNT(*), 6)
+         AS dup_ratio
+FROM read_parquet('{corpus}/pages.parquet')
+GROUP BY 1 ORDER BY dup_ratio DESC, host
+"""

@@ -1671,3 +1671,143 @@ n AS (SELECT user_id, COUNT(*)::BIGINT AS n_events FROM ev GROUP BY user_id)
 SELECT n.user_id, n.n_events, ROUND(f.ew, 6) AS ewma_value
 FROM n JOIN fin f ON f.user_id = n.user_id AND f.rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Market-basket lift: association mining over order baskets (Agrawal &
+# Srikant's support/lift framing) — the same count-ratio family as the PMI
+# collocation op (ops/webtext.py) but basket-scoped: which part PAIRS
+# co-occur in orders more than their popularities predict?
+#
+# Scale shape: orders are hash-bucketed (orderkey & 255 — each basket lands
+# in exactly ONE bucket, so bucket-local DISTINCT and pair fan-out are
+# globally exact). Inside a bucket everything is vectorized: dedupe
+# (order, part), self-merge on orderkey for pairs (bounded by basket size²,
+# ≤ 7 lineitems in this schema), value_counts for partials. One bucket
+# exchange + one (p1,p2) groupby-sum exchange over pair-vocab-sized
+# partials; item supports and the order total ride the SAME exchange as
+# sentinel rows (p2 = -1 / p1 = -1), so the raw lineitem stream crosses
+# exactly two exchanges and the score pass runs over the AGGREGATED pair
+# table with the catalog-bounded item-support dict broadcast once.
+# lift = (c_ab · N) / (c_a · c_b): integer-exact products, ONE inexact
+# division, 6-dp round mirrored in the oracle — hash-stable.
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPK = 25
+_BK = 256
+
+
+def basket_lift(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bk", pc.cast(pc.bit_wise_and(t["l_orderkey"], _BK - 1), pa.int32())
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        pairs = b.merge(b, on="l_orderkey", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["l_partkey_a"] < pairs["l_partkey_b"]]
+        pc_ = (
+            pairs.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .rename(columns={"l_partkey_a": "p1", "l_partkey_b": "p2"})
+        )
+        ic = (
+            b.groupby("l_partkey", sort=False).size().reset_index(name="c")
+            .rename(columns={"l_partkey": "p1"})
+        )
+        ic["p2"] = -1  # sentinel: item support
+        tot = pd.DataFrame(
+            {"p1": [-1], "p2": [-1], "c": [b["l_orderkey"].nunique()]}
+        )
+        out = pd.concat([pc_, ic[["p1", "p2", "c"]], tot], ignore_index=True)
+        return out.astype({"p1": "int64", "p2": "int64", "c": "int64"})
+
+    # merge pair partials across order buckets with the bucketized-fold
+    # idiom (hash the PAIR into ≤256 buckets, pandas groupby inside the
+    # fold): Ray's groupby().aggregate() pays per-GROUP overhead in the
+    # reduce, which at pair-vocabulary cardinality (~10^5 groups even at
+    # sf0.01) is two orders of magnitude slower than 256 vectorized folds
+    # over the same one exchange.
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = ((df["p1"] * 1_000_003 + df["p2"]) % _BK).astype("int64")
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["p1", "p2"], as_index=False)["c"].sum()
+        return out.rename(columns={"c": "cnt"}).astype(
+            {"p1": "int64", "p2": "int64", "cnt": "int64"}
+        )
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(pair_partials, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # pair-vocab-sized; reused for supports + score pass
+    )
+    side = (
+        agg.map_batches(
+            lambda df: df[df["p2"] == -1], batch_format="pandas"
+        ).to_pandas()  # catalog-bounded
+    )
+    n_orders = int(side.loc[side["p1"] == -1, "cnt"].iloc[0])
+    item = dict(
+        zip(side.loc[side["p1"] >= 0, "p1"], side.loc[side["p1"] >= 0, "cnt"])
+    )
+    import ray as _ray
+
+    item_ref = _ray.put(item)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ic = _ray.get(item_ref)
+        df = df[(df["p2"] >= 0) & (df["cnt"] >= BASKET_MIN_SUPPORT)]
+        lift = [
+            round((c * n_orders) / (ic[a] * ic[b]), 6)
+            for a, b, c in zip(df["p1"], df["p2"], df["cnt"])
+        ]
+        return pd.DataFrame(
+            {
+                "p1": df["p1"].astype("int64").to_numpy(),
+                "p2": df["p2"].astype("int64").to_numpy(),
+                "cnt": df["cnt"].astype("int64").to_numpy(),
+                "lift": np.array(lift, dtype=np.float64),
+            }
+        )
+
+    return (
+        agg.map_batches(score, batch_format="pandas")
+        .sort(["lift", "p1", "p2"], descending=[True, False, False])
+        .limit(BASKET_TOPK)
+        .to_pandas()
+        .astype({"p1": "int64", "p2": "int64", "cnt": "int64"})
+    )
+
+
+BASKET_LIFT_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n FROM b),
+item AS (SELECT l_partkey, COUNT(*)::BIGINT AS c FROM b GROUP BY 1),
+pair AS (
+  SELECT x.l_partkey AS p1, y.l_partkey AS p2, COUNT(*)::BIGINT AS cnt
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.p1, p.p2, p.cnt,
+       ROUND((p.cnt::DOUBLE * n.n) / (i1.c::DOUBLE * i2.c), 6) AS lift
+FROM pair p, n
+JOIN item i1 ON i1.l_partkey = p.p1
+JOIN item i2 ON i2.l_partkey = p.p2
+WHERE p.cnt >= {BASKET_MIN_SUPPORT}
+ORDER BY lift DESC, p1, p2 LIMIT {BASKET_TOPK}
+"""

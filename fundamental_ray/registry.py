@@ -144,6 +144,7 @@ def _populate() -> None:
         "events_cohort_retention", R.events_cohort_retention, R.EVENTS_COHORT_RETENTION_SQL
     )
     register("agg_skew_salted", R.agg_skew_salted, R.AGG_SKEW_SALTED_SQL)
+    register("agg_basket_lift", R.basket_lift, R.BASKET_LIFT_SQL)
     register("join_hash_segments", R.join_hash_segments, R.JOIN_HASH_SEGMENTS_SQL)
     register(
         "join_full_outer_daily", R.join_full_outer_daily, R.JOIN_FULL_OUTER_DAILY_SQL
@@ -164,6 +165,7 @@ def _populate() -> None:
     register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
     register("graph_triangle_count", GR.triangle_count, GR.TRIANGLE_COUNT_SQL)
     register("graph_hits", GR.hits, GR.HITS_SQL)
+    register("graph_link_prediction", GR.link_prediction, GR.LINK_PREDICTION_SQL)
     register(
         "agg_winsorized_prices", R.agg_winsorized_prices, R.AGG_WINSORIZED_SQL
     )
@@ -400,6 +402,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("sample_stratified", W.stratified_sample, W.STRATIFIED_SAMPLE_SQL)
     register("corpus_source_mixture", W.source_mixture, W.SOURCE_MIXTURE_SQL)
     register("sample_pps", W.pps_sample, W.PPS_SAMPLE_SQL)
+    register("text_flesch_by_source", W.flesch_by_source, W.FLESCH_BY_SOURCE_SQL)
+    register("text_zipf_slope", CS.zipf_slope, CS.ZIPF_SLOPE_SQL)
+
+    from .sources import partitioned_sink as PS
+
+    register("sink_partitioned_roundtrip", PS.sink_roundtrip, PS.SINK_ROUNDTRIP_SQL)
     register("text_bigram_perplexity", W.bigram_perplexity,
              W.BIGRAM_PERPLEXITY_SQL)
     register("events_watermark_late", W.events_watermark_late,
@@ -467,6 +475,16 @@ SELECT
     register_lazy_oracle(
         "crawl_host_fairness",
         lambda corpus, art: C.host_fairness_sql(corpus),
+    )
+    register("crawl_bandwidth_topk", C.crawl_bandwidth_topk)
+    register_lazy_oracle(
+        "crawl_bandwidth_topk",
+        lambda corpus, art: C.bandwidth_topk_sql(corpus),
+    )
+    register("crawl_trap_score", C.crawl_trap_score)
+    register_lazy_oracle(
+        "crawl_trap_score",
+        lambda corpus, art: C.trap_score_sql(corpus),
     )
     register("crawl_retry_counters", C.crawl_retry_counters)
     register_lazy_oracle(

@@ -23,7 +23,16 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
 
 
 def read_parquet_clean(paths, **kwargs) -> "ray.data.Dataset":
-    """``ray.data.read_parquet`` + zero-copy schema-metadata strip (fused)."""
+    """``ray.data.read_parquet`` + zero-copy schema-metadata strip.
+
+    The strip runs as the read's ``_block_udf`` so blocks are born clean
+    INSIDE each read task — the ``ReadParquet->SplitBlocks`` block unify
+    (where the warning storms originate) only ever sees hashable schemas.
+    (Passing a metadata-free ``schema=`` instead is broken in Ray 2.49 when
+    combined with ``columns=``: read_fragments rebuilds tables against the
+    unprojected schema.) The fused map-stage strip stays as a guard for
+    blocks from paths where the udf hook might not apply."""
+    kwargs.setdefault("_block_udf", _strip_schema_metadata)
     return ray.data.read_parquet(paths, **kwargs).map_batches(
         _strip_schema_metadata, batch_format="pyarrow"
     )

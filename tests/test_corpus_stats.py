@@ -388,3 +388,12 @@ def test_kl_price_drift_properties(ray_session):
     assert (got["kl_divergence"] >= 0).all()
     orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderstatus"])
     assert got["n_orders"].sum() == len(orders)
+
+
+def test_zipf_slope_matches_oracle(ray_session):
+    got = CS.zipf_slope(SF)
+    _eq(got, _oracle(CS.ZIPF_SLOPE_SQL))
+    # natural-ish synthetic text: slope is negative (frequency decays in
+    # rank) and the fit uses the whole (bounded) vocab
+    assert got["slope"].iloc[0] < 0
+    assert 0 < got["n_terms"].iloc[0] <= CS.ZIPF_TOPN

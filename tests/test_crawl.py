@@ -786,3 +786,33 @@ def test_host_fairness_oracle(ray_session):
     assert got["jain"].tolist() == want["jain"].tolist()
     j = got["jain"].iloc[0]
     assert 1.0 / got["n_hosts"].iloc[0] <= j <= 1.0  # Jain bounds
+
+
+def test_bandwidth_and_trap_oracles(ray_session):
+    """Per-host bandwidth accounting + spider-trap duplication audit vs
+    their DuckDB oracles over the same corpus pages table."""
+    import duckdb
+
+    from fundamental_ray.pipelines.crawl_run import (
+        bandwidth_topk_sql,
+        crawl_bandwidth_topk,
+        crawl_trap_score,
+        trap_score_sql,
+    )
+
+    corpus = materialize_corpus("sf0.001")
+
+    got = crawl_bandwidth_topk("/root/testdata/sf0.001")
+    want = duckdb.sql(bandwidth_topk_sql(corpus)).df()
+    pd.testing.assert_frame_equal(
+        got, want[got.columns], check_dtype=False
+    )
+    assert (got["bytes"].diff().dropna() <= 0).all()  # sorted by bytes desc
+
+    got = crawl_trap_score("/root/testdata/sf0.001")
+    want = duckdb.sql(trap_score_sql(corpus)).df()
+    a = got.sort_values("host").reset_index(drop=True)
+    b = want[got.columns].sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (got["n_distinct"] <= got["n_pages"]).all()
+    assert ((got["dup_ratio"] >= 0) & (got["dup_ratio"] < 1)).all()

@@ -420,3 +420,39 @@ def test_ewma_recurrence_semantics(ray_session):
             ew = (v + ew) / 2.0
         assert got.loc[uid, "ewma_value"] == round(ew, 6)
         assert got.loc[uid, "n_events"] == len(per)
+
+
+def test_basket_lift_oracle_and_semantics(ray_session):
+    got = R.basket_lift(SF)
+    _assert_matches(got, R.BASKET_LIFT_SQL)
+    assert 0 < len(got) <= R.BASKET_TOPK
+    assert (got["cnt"] >= R.BASKET_MIN_SUPPORT).all()
+    assert (got["p1"] < got["p2"]).all()  # canonical pair orientation
+    # lift re-derivation from raw data for the top row
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    b = li.drop_duplicates()
+    n = b["l_orderkey"].nunique()
+    r = got.iloc[0]
+    ca = (b["l_partkey"] == r["p1"]).sum()
+    cb = (b["l_partkey"] == r["p2"]).sum()
+    oa = set(b.loc[b["l_partkey"] == r["p1"], "l_orderkey"])
+    ob = set(b.loc[b["l_partkey"] == r["p2"], "l_orderkey"])
+    cab = len(oa & ob)
+    assert r["cnt"] == cab
+    assert r["lift"] == round(cab * n / (ca * cb), 6)
+
+
+def test_link_prediction_oracle_and_semantics(ray_session):
+    got = G.link_prediction(SF)
+    _assert_matches(got, G.LINK_PREDICTION_SQL)
+    assert len(got) > 0
+    assert (got["u"] < got["w"]).all()
+    assert (got["cn"] >= 1).all()
+    assert ((got["jaccard"] > 0) & (got["jaccard"] <= 1)).all()
+    # candidates must be NON-edges of the projection
+    edges = G._cosupplier_edges(SF)
+    eset = set(zip(edges["u"], edges["v"]))
+    assert not any((u, w) in eset for u, w in zip(got["u"], got["w"]))
+    # triangle_count still matches after the shared-projection refactor
+    tri = G.triangle_count(SF)
+    _assert_matches(tri, G.TRIANGLE_COUNT_SQL)

@@ -223,3 +223,14 @@ def test_pps_sample_oracle(ray_session, duck):
     assert (got["weight"] >= 1.0).all()
     two = got.drop_duplicates("n_chars").sort_values("n_chars")
     assert two["weight"].is_monotonic_decreasing
+
+
+def test_flesch_by_source_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.flesch_by_source(SF)
+    want = duck.sql(W.FLESCH_BY_SOURCE_SQL).df()
+    _cmp(got, want, float_cols=("flesch",))
+    # integer totals are internally consistent: every doc has >= 1 sentence
+    assert (got["sentences"] >= got["n_docs"]).all()
+    assert (got["syllables"] <= got["words"] * 10).all()  # sanity bound
