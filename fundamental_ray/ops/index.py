@@ -425,3 +425,75 @@ SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id
 
 
 PHRASE_SEARCH_SQL = phrase_search_sql()
+
+
+# ------------------------------------------------- boolean OR / AND NOT
+# The remaining boolean-retrieval connectives over the same
+# bucket-partitioned postings: docs matching (t1 OR t2) AND NOT t3 — the
+# classic filtered-disjunction query (include synonyms, exclude a
+# poisoning term). Point-reads only the query terms' bucket partitions
+# like search_and; the NOT term's postings are a subtraction set, NEVER a
+# corpus scan (critically: NOT is evaluated against the OR hit set, not
+# against the corpus, so the work is bounded by the query postings).
+SEARCH_OR_TERMS = ("window", "merge")
+SEARCH_NOT_TERM = "scan"
+
+
+def search_or_not(
+    sf_dir: str, or_terms=SEARCH_OR_TERMS, not_term: str = SEARCH_NOT_TERM
+) -> pd.DataFrame:
+    """doc_ids containing ANY of ``or_terms`` and NOT ``not_term``."""
+    import glob as _glob
+
+    index_dir = build_inverted_index(sf_dir)
+    terms = sorted({t.lower() for t in or_terms} | {not_term.lower()})
+    by_bucket: dict[int, list[str]] = {}
+    for t in terms:
+        by_bucket.setdefault(
+            zlib.crc32(t.encode("utf-8")) % INDEX_BUCKETS, []
+        ).append(t)
+
+    @ray.remote(num_cpus=1)
+    def read_postings(files: list[str], wanted: list[str]):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files, columns=["term", "doc_id"])
+        t = t.filter(pc.is_in(t.column("term"), value_set=pa.array(wanted)))
+        out = {}
+        for term, doc in zip(
+            t.column("term").to_pylist(), t.column("doc_id").to_pylist()
+        ):
+            out.setdefault(term, set()).add(doc)
+        return out
+
+    refs = []
+    for b, wanted in sorted(by_bucket.items()):
+        files = sorted(
+            _glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+        )
+        if files:
+            refs.append(read_postings.remote(files, sorted(wanted)))
+    posting: dict[str, set] = {}
+    for part in ray.get(refs):
+        for term, docs in part.items():
+            posting.setdefault(term, set()).update(docs)
+    hit = set.union(*(posting.get(t.lower(), set()) for t in or_terms))
+    hit -= posting.get(not_term.lower(), set())
+    return pd.DataFrame({"doc_id": sorted(hit)}).astype({"doc_id": "int64"})
+
+
+def search_or_not_sql(or_terms=SEARCH_OR_TERMS, not_term: str = SEARCH_NOT_TERM) -> str:
+    ors = " OR ".join(
+        f"list_contains(regexp_extract_all(lower(text), '\\S+'), '{t}')"
+        for t in _sql_safe_terms(or_terms)
+    )
+    (nt,) = _sql_safe_terms([not_term])
+    return f"""
+SELECT doc_id FROM documents
+WHERE ({ors})
+  AND NOT list_contains(regexp_extract_all(lower(text), '\\S+'), '{nt}')
+ORDER BY doc_id
+"""
+
+
+SEARCH_OR_NOT_SQL = search_or_not_sql()

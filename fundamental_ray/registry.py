@@ -258,6 +258,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
         CS.VOCAB_HEAVY_HITTERS_SQL,
     )
     register("index_search_and", IX.search_and, IX.SEARCH_AND_SQL)
+    register("index_search_or_not", IX.search_or_not, IX.SEARCH_OR_NOT_SQL)
     register("index_bm25_topk", IX.bm25_topk, IX.BM25_TOPK_SQL)
     register("index_phrase_search", IX.phrase_search, IX.PHRASE_SEARCH_SQL)
     register("text_gopher_filter", CS.gopher_filter, CS.GOPHER_FILTER_SQL)
@@ -408,6 +409,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     from .sources import partitioned_sink as PS
 
     register("sink_partitioned_roundtrip", PS.sink_roundtrip, PS.SINK_ROUNDTRIP_SQL)
+    register(
+        "sink_compacted_roundtrip", PS.sink_compacted_roundtrip, PS.SINK_ROUNDTRIP_SQL
+    )
     register("text_bigram_perplexity", W.bigram_perplexity,
              W.BIGRAM_PERPLEXITY_SQL)
     register("events_watermark_late", W.events_watermark_late,

@@ -69,6 +69,12 @@ def write_partitioned(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize pandas Categorical columns (Ray hands low-cardinality
+        # string columns over as categoricals after some exchanges) so
+        # every part file writes plain types and multi-file reads unify
+        for c in df.columns:
+            if isinstance(df[c].dtype, pd.CategoricalDtype):
+                df = df.assign(**{c: df[c].astype(df[c].cat.categories.dtype)})
         recs = []
         for kval, part in df.groupby(key, sort=False):
             pdir = os.path.join(out_dir, f"{key}={kval}")
@@ -147,3 +153,125 @@ SINK_ROUNDTRIP_SQL = """
 SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS n_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def compact_partitioned(out_dir: str, target_rows: int = 1_000_000) -> dict:
+    """Small-file compaction for a committed tree — the maintenance pass
+    every long-lived partitioned store needs (a 100-TB sink accretes one
+    file per (key, batch); readers want few large files). Per partition,
+    input files are coalesced in id order into runs of ≈``target_rows``
+    and rewritten as ``compact-<min_id>.parquet`` by one Ray task per
+    output file (partitions compact in parallel; a giant partition still
+    parallelizes across its runs). The NEW manifest swaps in atomically
+    (os.replace) and old files are removed only after the swap — a crash
+    anywhere leaves either the old or the new manifest in force, and
+    manifest-scoped reads never see orphans."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    man_path = os.path.join(out_dir, MANIFEST)
+    with open(man_path) as fh:
+        man = json.load(fh)
+    by_part: dict[str, list[dict]] = {}
+    for f in man["files"]:
+        by_part.setdefault(os.path.dirname(f["path"]), []).append(f)
+
+    import pyarrow as pa
+
+    def _undict(t: "pa.Table") -> "pa.Table":
+        # pandas Categorical blocks (Ray repartition of low-cardinality
+        # string columns) write dictionary<string> parquet columns while
+        # other batches write plain string — cast to the value type so
+        # multi-file reads unify
+        for i, f in enumerate(t.schema):
+            if pa.types.is_dictionary(f.type):
+                t = t.set_column(
+                    i, f.name, t.column(i).cast(f.type.value_type)
+                )
+        return t
+
+    @_ray.remote(num_cpus=1)
+    def compact_run(paths: list[str], rel_out: str) -> dict:
+        t = pa.concat_tables(
+            _undict(pq.read_table(os.path.join(out_dir, p))) for p in paths
+        )
+        tmp = os.path.join(out_dir, rel_out + ".tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(out_dir, rel_out))
+        return {"path": rel_out, "rows": t.num_rows}
+
+    plans = []  # (input paths, output rel path) per output file
+    keep = []  # files already at/above target: carried over untouched
+    for pdir, files in sorted(by_part.items()):
+        files = sorted(files, key=lambda f: f["path"])  # id order
+        run: list[dict] = []
+        run_rows = 0
+        for f in files:
+            run.append(f)
+            run_rows += f["rows"]
+            if run_rows >= target_rows:
+                plans.append(run)
+                run, run_rows = [], 0
+        if run:
+            plans.append(run)
+    out_files = []
+    refs = []
+    for run in plans:
+        if len(run) == 1:  # nothing to merge: carry over
+            keep.append(run[0])
+            continue
+        pdir = os.path.dirname(run[0]["path"])
+        min_id = os.path.basename(run[0]["path"]).split("-")[1].split(".")[0]
+        refs.append(
+            compact_run.remote(
+                [f["path"] for f in run],
+                os.path.join(pdir, f"compact-{min_id}.parquet"),
+            )
+        )
+    out_files.extend(_ray.get(refs))
+    old_paths = {f["path"] for f in man["files"]}
+    new_files = sorted(keep + out_files, key=lambda f: f["path"])
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"files": new_files}, fh)
+    os.replace(tmp, man_path)  # commit: new layout now in force
+    for p in old_paths - {f["path"] for f in new_files}:
+        os.remove(os.path.join(out_dir, p))  # post-commit cleanup
+    return {
+        "files_before": len(man["files"]),
+        "files_after": len(new_files),
+        "rows": sum(f["rows"] for f in new_files),
+    }
+
+
+def sink_compacted_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Registry query: write documents partitioned by source in MANY
+    small files (forced via repartition), compact each partition, read
+    the compacted tree back and aggregate — fidelity through the
+    write → compact → read chain vs the oracle over the original table."""
+    from ray.data.aggregate import Count, Sum
+
+    from fundamental_ray.state.diskcache import source_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    fp = source_fingerprint(src, extra="sink-compact-v1")
+    out_dir = f"/tmp/fr_sink/{fp}"
+    res = write_partitioned(
+        read_parquet_clean(src, columns=["doc_id", "source", "n_chars"])
+        .repartition(8),
+        out_dir,
+        key="source",
+        id_col="doc_id",
+    )
+    if not res["skipped"]:
+        compact_partitioned(out_dir)
+    return (
+        read_partitioned(out_dir)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+        .to_pandas()  # source-bounded
+        .astype({"n_docs": "int64", "n_chars": "int64"})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )

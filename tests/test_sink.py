@@ -88,3 +88,62 @@ def test_read_refuses_uncommitted_tree(ray_session, clean_out):
     os.makedirs(OUT, exist_ok=True)
     with pytest.raises(FileNotFoundError):
         read_partitioned(OUT)
+
+
+def test_compaction_preserves_data_and_shrinks_files(ray_session, clean_out):
+    from fundamental_ray.sources.partitioned_sink import compact_partitioned
+
+    res = write_partitioned(
+        read_parquet_clean(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ).repartition(8),
+        OUT,
+        key="source",
+        id_col="doc_id",
+    )
+    assert res["files"] > len(set(pd.read_parquet(f"{SF}/documents.parquet")["source"]))
+    stats = compact_partitioned(OUT)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == res["rows"]
+    # one file per partition at this scale (everything under target_rows)
+    man = json.load(open(os.path.join(OUT, MANIFEST)))
+    per_dir = {}
+    for f in man["files"]:
+        per_dir.setdefault(os.path.dirname(f["path"]), []).append(f)
+    assert all(len(v) == 1 for v in per_dir.values())
+    # old small files physically gone; data intact
+    back = read_partitioned(OUT).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert sorted(back["doc_id"]) == sorted(docs["doc_id"])
+    on_disk = {
+        os.path.relpath(os.path.join(r, fn), OUT)
+        for r, _, fns in os.walk(OUT)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    assert on_disk == {f["path"] for f in man["files"]}
+
+
+def test_search_or_not_oracle(ray_session):
+    import duckdb
+
+    from fundamental_ray.ops.index import (
+        SEARCH_OR_NOT_SQL,
+        SEARCH_OR_TERMS,
+        SEARCH_NOT_TERM,
+        search_and,
+        search_or_not,
+    )
+
+    got = search_or_not(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(SEARCH_OR_NOT_SQL).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert len(got) > 0
+    # OR/NOT semantics versus the AND query: conjunction of all three
+    # terms is excluded from the result (the NOT binds)
+    both = search_and(SF, terms=(*SEARCH_OR_TERMS, SEARCH_NOT_TERM))
+    assert not set(both["doc_id"]) & set(got["doc_id"])
