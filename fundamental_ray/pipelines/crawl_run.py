@@ -554,3 +554,64 @@ SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
 FROM read_parquet('{corpus}/pages.parquet')
 GROUP BY 1 ORDER BY dup_ratio DESC, host
 """
+
+
+def crawl_depth_profile(sf_dir: str) -> pd.DataFrame:
+    """URL path-depth histogram per host — the frontier-shape audit a
+    crawl operator reads before setting depth limits (a host whose mass
+    sits deep is pagination/trap-shaped; a flat host is hub-shaped).
+    depth = number of non-empty path segments after the host, query
+    string stripped; has_query counted separately (list pages paginate
+    via ?page=N here, exactly the split this surfaces). Scale shape:
+    per-batch (host, depth, has_query, n) combiners — URLs never leave
+    the batch — one bounded groupby-sum exchange (hosts × depths ×
+    2)."""
+    from ray.data.aggregate import Sum
+
+    corpus = materialize_corpus(scale_tag_of(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("://").str[1]
+        host = rest.str.split("/").str[0]
+        path = rest.str.partition("/")[2].str.partition("?")
+        depth = (
+            path[0].str.split("/").map(lambda segs: sum(1 for s in segs if s))
+        )
+        has_q = df["url"].str.contains("?", regex=False).astype("int64")
+        g = (
+            pd.DataFrame({"host": host, "depth": depth, "has_query": has_q})
+            .groupby(["host", "depth", "has_query"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype({"depth": "int64", "has_query": "int64", "n": "int64"})
+
+    return (
+        read_parquet_clean(f"{corpus}/pages.parquet", columns=["url"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["host", "depth", "has_query"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # hosts × depths × 2 — bounded
+        .astype({"depth": "int64", "has_query": "int64", "n": "int64"})
+        .sort_values(["host", "depth", "has_query"])
+        .reset_index(drop=True)
+    )
+
+
+def depth_profile_sql(corpus: str) -> str:
+    return f"""
+WITH u AS (
+  SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+         split_part(
+           CASE WHEN position('/' IN split_part(url, '://', 2)) = 0 THEN ''
+                ELSE substr(split_part(url, '://', 2),
+                            position('/' IN split_part(url, '://', 2)) + 1)
+           END, '?', 1) AS path,
+         (position('?' IN url) > 0)::BIGINT AS has_query
+  FROM read_parquet('{corpus}/pages.parquet')
+)
+SELECT host,
+       len(list_filter(string_split(path, '/'), s -> s <> ''))::BIGINT AS depth,
+       has_query, COUNT(*)::BIGINT AS n
+FROM u GROUP BY 1, 2, 3 ORDER BY host, depth, has_query
+"""

@@ -490,6 +490,11 @@ SELECT
         "crawl_trap_score",
         lambda corpus, art: C.trap_score_sql(corpus),
     )
+    register("crawl_depth_profile", C.crawl_depth_profile)
+    register_lazy_oracle(
+        "crawl_depth_profile",
+        lambda corpus, art: C.depth_profile_sql(corpus),
+    )
     register("crawl_retry_counters", C.crawl_retry_counters)
     register_lazy_oracle(
         # S4 transient-retry simulation: every md5-flaky claimed url fails

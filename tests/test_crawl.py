@@ -816,3 +816,19 @@ def test_bandwidth_and_trap_oracles(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert (got["n_distinct"] <= got["n_pages"]).all()
     assert ((got["dup_ratio"] >= 0) & (got["dup_ratio"] < 1)).all()
+
+
+def test_depth_profile_oracle(ray_session):
+    import duckdb
+
+    from fundamental_ray.pipelines.crawl_run import (
+        crawl_depth_profile,
+        depth_profile_sql,
+    )
+
+    corpus = materialize_corpus("sf0.001")
+    got = crawl_depth_profile("/root/testdata/sf0.001")
+    want = duckdb.sql(depth_profile_sql(corpus)).df()
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert got["n"].sum() == len(pd.read_parquet(f"{corpus}/pages.parquet"))
+    assert (got["depth"] >= 0).all() and got["depth"].max() >= 2
