@@ -832,3 +832,33 @@ def test_depth_profile_oracle(ray_session):
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
     assert got["n"].sum() == len(pd.read_parquet(f"{corpus}/pages.parquet"))
     assert (got["depth"] >= 0).all() and got["depth"].max() >= 2
+
+
+def test_launch_entrypoint_fresh_and_resume(tmp_path):
+    """launch.py (the `ray job submit` surface) runs standalone in a
+    subprocess: fresh run commits rounds, --resume restores from the last
+    _COMMITTED round and reports identical cumulative counters."""
+    import subprocess
+    import sys
+
+    jd = str(tmp_path / "job")
+    cmd = [
+        sys.executable, "/root/repo/launch.py", "--chains", "600",
+        "--hosts", "4", "--zipf", "1.2", "--job-dir", jd,
+    ]
+    out1 = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=240, cwd="/root/repo"
+    )
+    assert out1.returncode == 0, out1.stderr[-800:]
+    rec1 = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert rec1["counters"]["fetched"] > 0 and rec1["rounds"] > 0
+
+    out2 = subprocess.run(
+        cmd + ["--resume"], capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert out2.returncode == 0, out2.stderr[-800:]
+    rec2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert rec2["resumed"] and rec2["rounds"] == rec1["rounds"]
+    assert rec2["counters"]["fetched"] == rec1["counters"]["fetched"]
+    assert rec2["counters"]["listings"] == rec1["counters"]["listings"]
