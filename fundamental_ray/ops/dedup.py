@@ -727,7 +727,12 @@ def connected_components(
     large-star / small-star until the edge set reaches its fixed point
     (O(log² n) rounds proven; ~4 observed on near-dup graphs, whose
     components are small and dense). Returns a Dataset of
-    (doc_id, cluster_id) — corpus-sized, never collected here."""
+    (doc_id, cluster_id) — corpus-sized, never collected here.
+
+    Each round re-materializes the EDGE set (so the checksum fixed-point
+    test reads a settled snapshot) — cost per round is bounded by the
+    near-dup pair count, not the corpus: edges ≪ docs for any realistic
+    dup rate, and blocks spill to plasma/disk, never to the driver."""
 
     def canon(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1028,4 +1033,147 @@ kept AS (
 SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text_dedup,
        COUNT(*)::BIGINT AS n_kept
 FROM kept GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------ incremental dedup
+# Delta-vs-corpus exact dedup — the 100-TB operating mode: a crawl never
+# re-dedups the whole corpus when a new shard lands; it joins the DELTA
+# against a persistent bucket-partitioned fingerprint index of the BASE
+# corpus and only delta-sized data moves. Base = documents with
+# doc_id % 5 != 0, delta = doc_id % 5 == 0 (deterministic split standing
+# in for "yesterday's corpus" + "today's shard").
+#
+# Scale shape: the base index is built ONCE (md5(text) → min doc_id,
+# hash-bucket-partitioned parquet, content-fingerprinted cache like the
+# shingle/chunk indexes above); classification hash-buckets the delta the
+# SAME way and each bucket fold point-reads only ITS index partition —
+# per-task state is one bucket of the index, never the corpus; the only
+# exchange is the delta's own bucket groupby. Within-delta duplicates
+# resolve inside the fold (all rows of a hash land in one bucket).
+#
+# Reference analogy: store upserts dedup new scrapes against the existing
+# store by URL (store/merge.py, database.go's INSERT OR REPLACE); this is
+# the same contract content-addressed and delta-scaled.
+
+INCR_BUCKETS = 64
+_INCR_INDEX_VERSION = "v1"
+
+
+def build_base_hash_index(sf_dir: str, num_buckets: int = INCR_BUCKETS) -> str:
+    """Bucket-partitioned (text_hash, keep_doc_id) parquet index of the
+    BASE split; idempotent per (corpus fingerprint, params)."""
+    import os
+
+    from ray.data.aggregate import Min
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/fr_incr_index/{tag}-b{num_buckets}-{_INCR_INDEX_VERSION}"
+    fp = f"{_INCR_INDEX_VERSION}:{num_buckets}:" + source_fingerprint(
+        f"{sf_dir}/documents.parquet"
+    )
+    if cache_valid(out, fp):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 5 != 0]
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"].fillna("")]
+        b = np.array([int(x[:8], 16) for x in h], dtype=np.int64) & (num_buckets - 1)
+        return pd.DataFrame(
+            {"bucket": b, "text_hash": h, "doc_id": df["doc_id"].to_numpy()}
+        )
+
+    (
+        _read_docs(sf_dir)
+        .map_batches(key, batch_format="pandas")
+        .groupby(["bucket", "text_hash"])
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
+        .write_parquet(out, partition_cols=["bucket"])
+    )
+    mark_done(out, fp)
+    return out
+
+
+def incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Classify every DELTA doc against the base index:
+    (doc_id, text_hash, status ∈ {dup_of_base, dup_in_delta, new},
+    keep_doc_id). keep_doc_id = base min for dup_of_base, else the delta
+    group's min (== own id for 'new' first occurrences)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    index_dir = build_base_hash_index(sf_dir)
+    nb = INCR_BUCKETS
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 5 == 0]
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"].fillna("")]
+        b = np.array([int(x[:8], 16) for x in h], dtype=np.int64) & (nb - 1)
+        return pd.DataFrame(
+            {"bucket": b, "text_hash": h, "doc_id": df["doc_id"].to_numpy()}
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        files = glob.glob(f"{index_dir}/bucket={bucket}/*.parquet")
+        if files:
+            idx = pq.read_table(
+                files, columns=["text_hash", "keep_doc_id"]
+            ).to_pandas()
+        else:
+            idx = pd.DataFrame({"text_hash": [], "keep_doc_id": []})
+        g = g.merge(idx, on="text_hash", how="left")
+        delta_min = g.groupby("text_hash")["doc_id"].transform("min")
+        in_base = g["keep_doc_id"].notna()
+        status = np.where(
+            in_base,
+            "dup_of_base",
+            np.where(g["doc_id"].to_numpy() != delta_min.to_numpy(),
+                     "dup_in_delta", "new"),
+        )
+        keep = np.where(
+            in_base, g["keep_doc_id"].to_numpy(), delta_min.to_numpy()
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "text_hash": g["text_hash"].to_numpy(),
+                "status": status,
+                "keep_doc_id": keep,
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir)
+        .map_batches(key, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "keep_doc_id": "int64"}
+    )
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH delta AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS text_hash
+  FROM documents WHERE doc_id % 5 = 0
+),
+base AS (
+  SELECT md5(COALESCE(text, '')) AS text_hash, MIN(doc_id) AS base_keep
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+dmin AS (SELECT text_hash, MIN(doc_id) AS delta_keep FROM delta GROUP BY 1)
+SELECT d.doc_id, d.text_hash,
+       CASE WHEN b.base_keep IS NOT NULL THEN 'dup_of_base'
+            WHEN d.doc_id <> m.delta_keep THEN 'dup_in_delta'
+            ELSE 'new' END AS status,
+       COALESCE(b.base_keep, m.delta_keep)::BIGINT AS keep_doc_id
+FROM delta d
+LEFT JOIN base b USING (text_hash)
+JOIN dmin m USING (text_hash)
+ORDER BY doc_id
 """

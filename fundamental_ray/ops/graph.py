@@ -712,3 +712,131 @@ SELECT c.x AS u, c.y AS w, c.cn,
 FROM cand c JOIN deg d1 ON d1.n = c.x JOIN deg d2 ON d2.n = c.y
 ORDER BY jaccard DESC, cn DESC, u, w LIMIT {LINKPRED_TOPK}
 """
+
+
+# ------------------------------------------------------------------ OPIC
+# On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+# WWW 2003) — the classic CRAWL-ORDERING importance measure: each page
+# holds "cash"; visiting a page banks its cash into its history and
+# distributes it equally to its out-links; importance after k rounds is
+# (history + cash) / (total banked + 1). Unlike PageRank it needs no
+# damping and converges *online*, which is why production frontiers
+# (e.g. the original Xyleme crawler) use it to pick what to fetch next.
+# Here: the batch-synchronous variant — round t banks C_{t-1} and pushes
+# C_t[dst] = Σ_{src→dst} C_{t-1}[src]/deg[src] — so importance is the
+# average of the first k+1 cash iterates, oracle-checkable by the same
+# unrolled-CTE + per-iteration-rounding contract as pagerank above.
+#
+# Scale shape: identical to pagerank's rank-push — the edge index pays
+# its shuffle once at build; per round each src bucket point-reads ITS
+# edge partition and emits per-dst-bucket partial cash sums pre-routed
+# into plasma slices (num_returns=_B+1; the +1 slice carries the
+# bucket's own banked-history accumulator forward, so history never
+# crosses buckets and never touches the driver).
+#
+# Reference analogy: scheduler.go:209-243 orders the frontier by
+# depth/priority; OPIC is the authority-based priority a web-scale
+# deployment would feed that same queue (SURVEY.md §2.5 T7).
+
+OPIC_ITERS = 3
+
+
+@_ray.remote(num_cpus=1)
+def _opic_init(edge_dir: str, bucket: int, init: float):
+    e = _read_bucket_edges(edge_dir, bucket)
+    nodes = e["src"].unique()
+    acc = pd.Series(init, index=np.sort(nodes))
+    import pyarrow as pa
+
+    acc_t = pa.table({"node": acc.index.to_numpy(np.int64),
+                      "acc": acc.to_numpy(np.float64)})
+    return (*_push_slices(e, init), acc_t)
+
+
+@_ray.remote(num_cpus=1)
+def _opic_round(edge_dir: str, bucket: int, acc_t, *slices):
+    cash = _merge_rank(slices, 0.0, 1.0)  # round(Σ partials), no damping
+    acc = acc_t.to_pandas().set_index("node")["acc"].add(cash, fill_value=0.0)
+    import pyarrow as pa
+
+    acc_out = pa.table({"node": acc.index.to_numpy(np.int64),
+                        "acc": acc.to_numpy(np.float64)})
+    e = _read_bucket_edges(edge_dir, bucket)
+    return (*_push_slices(e, cash), acc_out)
+
+
+@_ray.remote(num_cpus=1)
+def _opic_final(acc_t, k: int, *slices):
+    cash = _merge_rank(slices, 0.0, 1.0)
+    acc = acc_t.to_pandas().set_index("node")["acc"].add(cash, fill_value=0.0)
+    import pyarrow as pa
+
+    imp = r2(acc.to_numpy(np.float64) / (k + 1), RANK_DECIMALS)
+    return pa.table({"node": acc.index.to_numpy(np.int64), "importance": imp})
+
+
+def opic_importance(sf_dir: str, iters: int = OPIC_ITERS) -> pd.DataFrame:
+    """(node, importance) — batch-OPIC over the symmetrized link graph;
+    importance = ROUND(mean of the k+1 per-round cash vectors, 12)."""
+    import pyarrow as pa
+    import ray
+
+    edge_dir = build_edge_index(sf_dir)
+    buckets = [b for b in range(_B) if _bucket_edge_files(edge_dir, b)]
+
+    n = sum(ray.get([_pr_node_count.remote(edge_dir, b) for b in buckets]))
+    init = float(r2(1.0 / n, RANK_DECIMALS))
+
+    opts = {"num_returns": _B + 1}
+    # outs[i] = (slice_0..slice_{B-1}, acc_ref) for bucket buckets[i]
+    outs = [_opic_init.options(**opts).remote(edge_dir, b, init) for b in buckets]
+    for _ in range(iters - 1):
+        outs = [
+            _opic_round.options(**opts).remote(
+                edge_dir, b, outs[i][_B], *[o[b] for o in outs]
+            )
+            for i, b in enumerate(buckets)
+        ]
+    finals = [
+        _opic_final.remote(outs[i][_B], iters, *[o[b] for o in outs])
+        for i, b in enumerate(buckets)
+    ]
+    out = pa.concat_tables(ray.get(finals)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def opic_sql(iters: int = OPIC_ITERS) -> str:
+    """Unrolled-CTE DuckDB mirror: same init, per-round rounding, and the
+    same left-to-right accumulation order for the final average."""
+    nd = RANK_DECIMALS
+    ctes = [
+        f"""e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT p AS src, s + {SUPPLIER_OFFSET} AS dst FROM e0
+  UNION ALL
+  SELECT s + {SUPPLIER_OFFSET} AS src, p AS dst FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+c0 AS (SELECT src AS node, ROUND(1.0 / (SELECT n FROM nn), {nd}) AS cash FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, ROUND(SUM(c.cash / dg.deg), {nd}) AS cash
+  FROM edges e
+  JOIN c{i - 1} c ON c.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    acc = " + ".join(f"c{i}.cash" for i in range(iters + 1))
+    joins = " ".join(f"JOIN c{i} USING (node)" for i in range(1, iters + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(({acc}) / {iters + 1}, {nd}) AS importance"
+        + f"\nFROM c0 {joins} ORDER BY node"
+    )
+
+
+OPIC_SQL = opic_sql()

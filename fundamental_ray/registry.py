@@ -163,6 +163,7 @@ def _populate() -> None:
         R.SET_OPS_USER_MEMBERSHIP_SQL,
     )
     register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
+    register("crawl_opic_priorities", GR.opic_importance, GR.OPIC_SQL)
     register("graph_triangle_count", GR.triangle_count, GR.TRIANGLE_COUNT_SQL)
     register("graph_hits", GR.hits, GR.HITS_SQL)
     register("graph_link_prediction", GR.link_prediction, GR.LINK_PREDICTION_SQL)
@@ -268,6 +269,7 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
     register("text_lang_entropy", CS.lang_entropy, CS.LANG_ENTROPY_SQL)
     register("cluster_kmeans", K.kmeans_clusters, K.KMEANS_CLUSTERS_SQL)
     register("dedup_exact", D.exact_dedup, D.EXACT_DEDUP_SQL)
+    register("dedup_incremental", D.incremental_dedup, D.INCREMENTAL_DEDUP_SQL)
     register(
         "dedup_embedding_neardup",
         lambda sf: D.embedding_neardup_pairs(sf, 0.35),

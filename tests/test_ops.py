@@ -576,3 +576,56 @@ def test_graph_hits_oracle(ray_session):
     for kind in ("authority", "hub"):
         s = got.loc[got["kind"] == kind, "score"]
         assert (s > 0).all() and (s <= 1.0).all() and s.max() == 1.0
+
+
+def test_incremental_dedup_all_three_statuses(ray_session, tmp_path):
+    """Delta-vs-base exact dedup on a corpus crafted to hit every status:
+    dup_of_base (incl. a base-internal dup group — index must keep the base
+    MIN), dup_in_delta (hash absent from base, repeated in delta), and new.
+    Cross-checked against the registry oracle SQL on the same corpus."""
+    import duckdb
+
+    mk = lambda i, t: {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                       "n_chars": len(t)}
+    rows = [
+        # base (doc_id % 5 != 0)
+        mk(1, "alpha beta gamma"), mk(2, "shared with delta five"),
+        mk(3, "unique base three"), mk(7, "base internal dup"),
+        mk(8, "base internal dup"), mk(11, "another base text"),
+        # delta (doc_id % 5 == 0)
+        mk(5, "shared with delta five"),      # dup_of_base -> keep 2
+        mk(10, "delta only repeated"),        # new (first)
+        mk(20, "delta only repeated"),        # dup_in_delta -> keep 10
+        mk(15, "delta unique fifteen"),       # new
+        mk(25, "base internal dup"),          # dup_of_base -> keep MIN(7,8)=7
+    ]
+    d = tmp_path / "incr"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    got = D.incremental_dedup(str(d))
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[5, "status"] == "dup_of_base" and by_id.loc[5, "keep_doc_id"] == 2
+    assert by_id.loc[25, "status"] == "dup_of_base" and by_id.loc[25, "keep_doc_id"] == 7
+    assert by_id.loc[10, "status"] == "new" and by_id.loc[10, "keep_doc_id"] == 10
+    assert by_id.loc[20, "status"] == "dup_in_delta" and by_id.loc[20, "keep_doc_id"] == 10
+    assert by_id.loc[15, "status"] == "new"
+    assert set(got["doc_id"]) == {5, 10, 15, 20, 25}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = con.sql(D.INCREMENTAL_DEDUP_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns.tolist()],
+        check_dtype=False,
+    )
+
+    # index cache is content-fingerprinted: rewriting the corpus in place
+    # (same path, different BASE content) must rebuild the base index, not
+    # reuse it — doc 31 lands in base and flips delta 15 to dup_of_base
+    rows2 = rows + [{"doc_id": 31, "text": "delta unique fifteen",
+                     "lang": "en", "source": "s", "n_chars": 20}]
+    pd.DataFrame(rows2).to_parquet(d / "documents.parquet")
+    got2 = D.incremental_dedup(str(d))
+    assert got2.set_index("doc_id").loc[15, "status"] == "dup_of_base"
+    assert got2.set_index("doc_id").loc[15, "keep_doc_id"] == 31

@@ -456,3 +456,21 @@ def test_link_prediction_oracle_and_semantics(ray_session):
     # triangle_count still matches after the shared-projection refactor
     tri = G.triangle_count(SF)
     _assert_matches(tri, G.TRIANGLE_COUNT_SQL)
+
+
+def test_opic_matches_oracle_and_conserves_cash(ray_session):
+    got = G.opic_importance(SF)
+    exp = _oracle(G.OPIC_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp[["node", "importance"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # cash is conserved each round (symmetric graph: no dangling loss), so
+    # the average of the k+1 unit-mass cash vectors also sums to 1
+    assert got["importance"].sum() == pytest.approx(1.0, abs=1e-6)
+    # OPIC and PageRank agree on the bipartite ordering: suppliers (high
+    # in-degree) accumulate more cash than parts
+    sup = got[got.node >= G.SUPPLIER_OFFSET]["importance"].mean()
+    part = got[got.node < G.SUPPLIER_OFFSET]["importance"].mean()
+    assert sup > part
