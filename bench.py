@@ -42,9 +42,17 @@ def run_bench() -> dict:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    init_kw = {}
+    # packed --scaling legs run several Ray sessions side by side: each gets
+    # an explicit object-store slice so 4 concurrent sessions don't each
+    # reserve the default ~40% of system memory in /dev/shm
+    if os.environ.get("FR_OBJECT_STORE_GB"):
+        init_kw["object_store_memory"] = int(
+            float(os.environ["FR_OBJECT_STORE_GB"]) * 2**30
+        )
     ray.init(
         address="local", num_cpus=num_cpus, include_dashboard=False,
-        logging_level="ERROR",
+        logging_level="ERROR", **init_kw,
     )
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
@@ -105,7 +113,10 @@ def run_bench() -> dict:
     best = None
     runs = []
     for rep in range(repeat):
-        job_dir = f"/tmp/fr_bench_job_{num_cpus}"
+        job_dir = (
+            f"/tmp/fr_bench_job_{num_cpus}"
+            + os.environ.get("FR_BENCH_JOB_TAG", "")
+        )
         shutil.rmtree(job_dir, ignore_errors=True)
         # FR_BENCH_BUDGET: the data-scale series holds per-host budget high
         # enough that the free-crawl regime (zero deferrals) is measured at
@@ -276,11 +287,11 @@ def _parse_slice(args):
 def run_scaling() -> dict:
     import subprocess
 
-    def one(ncpu: int) -> dict:
+    def _leg_cmd(ncpu: int, cpu_range: str | None, extra_env: dict) -> tuple:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), FR_BENCH_POLITE="0",
             FR_BENCH_REPEAT=os.environ.get("FR_BENCH_REPEAT", "2"),
-            FR_BENCH_CONTROL="1", FR_BENCH_SECONDARY="0",
+            FR_BENCH_CONTROL="1", FR_BENCH_SECONDARY="0", **extra_env,
         )
         cmd = [sys.executable, os.path.abspath(__file__)]
         # confine the whole leg (raylet, workers, num_cpus=0 actors, the
@@ -291,13 +302,76 @@ def run_scaling() -> dict:
         import shutil as _sh
 
         if _sh.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            cmd = ["taskset", "-c", cpu_range or f"0-{ncpu - 1}"] + cmd
+        return cmd, env
+
+    def one(ncpu: int, cpu_range: str | None = None, **extra_env) -> dict:
+        cmd, env = _leg_cmd(ncpu, cpu_range, extra_env)
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def packed_lo(lo: int, hi: int) -> list[dict]:
+        """The bandwidth-equalized LO leg: hi//lo CONCURRENT lo-cpu jobs on
+        disjoint cpusets filling the whole box. Rationale: a 4N-node
+        cluster has 4x the aggregate memory bandwidth / L3 of an N-node
+        cluster, but `taskset` pins only CPUs — a solo lo-cpu leg borrows
+        the idle cores' bandwidth and turbo headroom, an advantage no real
+        N-node cluster has over its 4N sibling (per node they're
+        identical). Packing the box with hi/lo simultaneous lo-cpu jobs
+        gives every job the same per-core memory system the hi-cpu leg
+        sees; per-job throughput is then the honest N-node-cluster rate.
+        Each job gets its own job dir and a proportional object-store
+        slice; the shared read-only corpus/index caches serve both legs
+        identically (warmed by the HI leg, which runs first)."""
+        k = hi // lo
+        procs = []
+        for i in range(k):
+            cmd, env = _leg_cmd(
+                lo, f"{i * lo}-{(i + 1) * lo - 1}",
+                dict(FR_BENCH_JOB_TAG=f"_p{i}", FR_OBJECT_STORE_GB="9"),
+            )
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            ))
+        outs = []
+        for p in procs:
+            stdout, stderr = p.communicate()
+            if p.returncode != 0:
+                raise RuntimeError(f"packed leg failed: {stderr[-500:]}")
+            outs.append(json.loads(stdout.strip().splitlines()[-1]))
+        return outs
+
     lo, hi = int(os.environ.get("FR_SCALE_LO", "2")), int(os.environ.get("FR_SCALE_HI", "8"))
+    if os.environ.get("FR_SCALE_PACKED") == "1":
+        if hi % lo:
+            raise SystemExit("FR_SCALE_PACKED needs hi divisible by lo")
+        r_hi = one(hi)  # full box first: warms corpus/index caches untimed
+        jobs = packed_lo(lo, hi)
+        tputs = [j["frontier_urls_per_sec"] for j in jobs]
+        tput_hi = r_hi["frontier_urls_per_sec"]
+        eff = tput_hi / sum(tputs)
+        return {
+            "metric": (
+                f"scaling efficiency (frontier urls/sec, packed: "
+                f"{hi // lo} concurrent {lo}-cpu jobs vs one {hi}-cpu job)"
+            ),
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "cpus_lo": lo, "cpus_hi": hi, "packed_jobs": hi // lo,
+            "urls_per_sec_lo_per_job": tputs,
+            "urls_per_sec_lo_aggregate": round(sum(tputs), 1),
+            "urls_per_sec_hi": tput_hi,
+            "crawl_sec_lo_per_job": [j["queries"]["crawl_frontier"] for j in jobs],
+            "crawl_sec_hi": r_hi["queries"]["crawl_frontier"],
+            "parse_control_pages_per_sec": {
+                "lo_per_job": [j["parse_control_pages_per_sec"] for j in jobs],
+                "hi": r_hi["parse_control_pages_per_sec"],
+            },
+            "sf": 0.1,
+        }
     # FR_SCALE_TRIALS > 1 runs the pair k times with ALTERNATING leg order
     # (LO,HI then HI,LO, ...) and reports the median of per-trial ratios.
     # Rationale: this host's minute-scale frequency/bandwidth weather is the
