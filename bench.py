@@ -348,28 +348,42 @@ def run_scaling() -> dict:
     if os.environ.get("FR_SCALE_PACKED") == "1":
         if hi % lo:
             raise SystemExit("FR_SCALE_PACKED needs hi divisible by lo")
-        r_hi = one(hi)  # full box first: warms corpus/index caches untimed
-        jobs = packed_lo(lo, hi)
-        tputs = [j["frontier_urls_per_sec"] for j in jobs]
-        tput_hi = r_hi["frontier_urls_per_sec"]
-        eff = tput_hi / sum(tputs)
+        trials = max(1, int(os.environ.get("FR_SCALE_TRIALS", "1")))
+        per_trial = []
+        for _ in range(trials):
+            r_hi = one(hi)  # full box first: warms corpus/index caches
+            jobs = packed_lo(lo, hi)
+            tputs = [j["frontier_urls_per_sec"] for j in jobs]
+            tput_hi = r_hi["frontier_urls_per_sec"]
+            per_trial.append({
+                "efficiency": round(tput_hi / sum(tputs), 3),
+                "urls_per_sec_lo_per_job": tputs,
+                "urls_per_sec_lo_aggregate": round(sum(tputs), 1),
+                "urls_per_sec_hi": tput_hi,
+                "crawl_sec_lo_per_job": [
+                    j["queries"]["crawl_frontier"] for j in jobs
+                ],
+                "crawl_sec_hi": r_hi["queries"]["crawl_frontier"],
+                "parse_control_pages_per_sec": {
+                    "lo_per_job": [
+                        j["parse_control_pages_per_sec"] for j in jobs
+                    ],
+                    "hi": r_hi["parse_control_pages_per_sec"],
+                },
+            })
+        effs = sorted(t["efficiency"] for t in per_trial)
+        med = effs[len(effs) // 2] if len(effs) % 2 else (
+            effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
         return {
             "metric": (
                 f"scaling efficiency (frontier urls/sec, packed: "
                 f"{hi // lo} concurrent {lo}-cpu jobs vs one {hi}-cpu job)"
             ),
-            "value": round(eff, 3),
+            "value": round(med, 3),
             "unit": "efficiency",
             "cpus_lo": lo, "cpus_hi": hi, "packed_jobs": hi // lo,
-            "urls_per_sec_lo_per_job": tputs,
-            "urls_per_sec_lo_aggregate": round(sum(tputs), 1),
-            "urls_per_sec_hi": tput_hi,
-            "crawl_sec_lo_per_job": [j["queries"]["crawl_frontier"] for j in jobs],
-            "crawl_sec_hi": r_hi["queries"]["crawl_frontier"],
-            "parse_control_pages_per_sec": {
-                "lo_per_job": [j["parse_control_pages_per_sec"] for j in jobs],
-                "hi": r_hi["parse_control_pages_per_sec"],
-            },
+            "trials": trials,
+            "per_trial": per_trial,
             "sf": 0.1,
         }
     # FR_SCALE_TRIALS > 1 runs the pair k times with ALTERNATING leg order
