@@ -408,6 +408,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("text_flesch_by_source", W.flesch_by_source, W.FLESCH_BY_SOURCE_SQL)
     register("text_zipf_slope", CS.zipf_slope, CS.ZIPF_SLOPE_SQL)
 
+    from .ops import mirror as MIR
+
+    register("crawl_mirror_sources", MIR.mirror_sources, MIR.MIRROR_SOURCES_SQL)
+    register(
+        "text_boilerplate_grams", MIR.boilerplate_grams, MIR.BOILERPLATE_GRAMS_SQL
+    )
+
     from .sources import partitioned_sink as PS
 
     register("sink_partitioned_roundtrip", PS.sink_roundtrip, PS.SINK_ROUNDTRIP_SQL)
