@@ -165,13 +165,17 @@ def _shingle_index(sf_dir: str, num_buckets: int = SHINGLE_INDEX_BUCKETS) -> str
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
-    def blob_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].astype("int64")
-        return pd.DataFrame(
+    def blob_bucket(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: pandas-born blocks would carry unhashable dict schema
+        # metadata into the bucket shuffle (see sources/parquet.py)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        return pa.table(
             {
-                "bucket": (ids % num_buckets).astype("int32"),
-                "doc_id": ids,
-                "sh": [_shingle_blob(t) for t in df["text"].fillna("")],
+                "bucket": pa.array((ids % num_buckets).astype("int32")),
+                "doc_id": pa.array(ids),
+                "sh": pa.array(
+                    [_shingle_blob(t) for t in df["text"].fillna("")], pa.binary()
+                ),
             }
         )
 
@@ -246,7 +250,11 @@ def minhash_lsh_pairs(
     index_dir = _shingle_index(sf_dir, num_buckets)
     docs = _read_docs(sf_dir)
 
-    def bands(df: pd.DataFrame) -> pd.DataFrame:
+    # both stages emit Arrow tables (not pandas) so the blocks entering the
+    # two shuffles below carry hashable metadata-free schemas — pandas-born
+    # blocks attach b'pandas' dict metadata and every reduce stage then
+    # logs "Failed to hash the schemas" and loses Ray's schema-dedup path
+    def bands(df: pd.DataFrame) -> pa.Table:
         rows = {"band": [], "band_hash": [], "doc_id": []}
         for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
             sig = minhash_signature(text)
@@ -255,18 +263,24 @@ def minhash_lsh_pairs(
                 rows["band"].append(b)
                 rows["band_hash"].append(zlib.crc32(chunk.tobytes()))
                 rows["doc_id"].append(doc_id)
-        return pd.DataFrame(rows)
+        return pa.table(
+            {
+                "band": pa.array(rows["band"], pa.int64()),
+                "band_hash": pa.array(rows["band_hash"], pa.int64()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            }
+        )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
         ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
         out = {"a": [], "b": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out["a"].append(ids[i])
                 out["b"].append(ids[j])
-        return pd.DataFrame(out).astype("int64")
+        return pa.table(
+            {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+        )
 
     # candidate (a, b) pairs, deduped across bands by a combiner groupby —
     # the same pair surfacing from multiple bands collapses in the shuffle
@@ -276,12 +290,18 @@ def minhash_lsh_pairs(
         .map_groups(pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
-        .drop_columns(["n_bands"])
+        # n_bands is dropped inside verify (not via .drop_columns, an
+        # Arrow-format op that would re-convert the aggregate's pandas
+        # blocks and re-attach the unhashable schema metadata)
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    # pandas IN (Ray 2.49's multi-key aggregate can emit pandas blocks;
+    # converting those to Arrow batches re-attaches unhashable b'pandas'
+    # schema metadata and the batch-assembly unify logs hash warnings),
+    # Arrow OUT (clean schema for the final collect)
+    def verify(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy(dtype=np.int64, copy=False)
+        b = df["b"].to_numpy(dtype=np.int64, copy=False)
         blobs = _lookup_blobs(index_dir, np.concatenate([a, b]), num_buckets)
         sims = _r6([_blob_jaccard(blobs[x], blobs[y]) for x, y in zip(a, b)])
         out = pa.table(
@@ -294,7 +314,7 @@ def minhash_lsh_pairs(
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     res = cand.map_batches(
-        verify, batch_format="pyarrow", batch_size=8192
+        verify, batch_format="pandas", batch_size=8192
     ).to_pandas()
     if len(res) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
