@@ -55,12 +55,20 @@ def exact_dedup_ds(sf_dir: str) -> ray.data.Dataset:
     collecting a driver-side keep map."""
     from ray.data.aggregate import Count, Min
 
-    def key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["text_hash"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"].fillna("")
-        ]
-        return df[["doc_id", "text_hash"]]
+    def key(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: keeps the groupby shuffle's schemas metadata-free
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                "text_hash": pa.array(
+                    [
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in df["text"].fillna("")
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
 
     return (
         _read_docs(sf_dir)
@@ -800,7 +808,14 @@ def duplicate_clusters_ds(
     pairs = minhash_lsh_pairs(sf_dir, threshold)
     if len(pairs) == 0:
         return None
-    edges = ray.data.from_pandas(pairs[["a", "b"]].rename(columns={"a": "u", "b": "v"}))
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(pairs["a"].to_numpy(dtype=np.int64)),
+                "v": pa.array(pairs["b"].to_numpy(dtype=np.int64)),
+            }
+        )
+    )
     return connected_components(edges)
 
 

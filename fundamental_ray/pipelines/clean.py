@@ -29,7 +29,7 @@ Scale shape — ONE streaming signal pass, then two HASH-PARTITIONED JOINS
 """
 
 from __future__ import annotations
-from fundamental_ray.sources.parquet import read_parquet_clean
+from fundamental_ray.sources.parquet import arrowize, read_parquet_clean
 
 import hashlib
 
@@ -95,14 +95,19 @@ def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
             [len(bgrams & grams_of(ts, DECON_N)) for ts in toks_cs],
             dtype=np.int64,
         )
-        return pd.DataFrame(
+        # Arrow out: pandas-born blocks would carry unhashable b'pandas'
+        # schema metadata into the hash-join aggregators (warning storms)
+        import pyarrow as pa
+
+        return pa.table(
             {
-                "doc_id": ids,
-                "text_hash": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in txt
-                ],
-                "rule_quality": rule_quality,
-                "rule_decontaminated": (~is_bench) & (overlap == 0),
+                "doc_id": pa.array(ids),
+                "text_hash": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in txt],
+                    pa.string(),
+                ),
+                "rule_quality": pa.array(np.asarray(rule_quality, dtype=bool)),
+                "rule_decontaminated": pa.array((~is_bench) & (overlap == 0)),
             }
         )
 
@@ -111,7 +116,10 @@ def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
     # -- hash-partitioned join 1: exact-dedup keep (text_hash partitions).
     # Every text_hash has exactly ONE aggregate row, so the inner join is
     # row-count-preserving; rule_exact_keep = (keep_doc_id == doc_id).
-    ed = exact_dedup_ds(sf_dir).drop_columns(["dup_count"])
+    # arrowize: the aggregate can emit pandas blocks whose implicit Arrow
+    # conversion inside the join aggregators re-attaches unhashable schema
+    # metadata (sources/parquet.py) — rebuild clean Arrow + prune columns
+    ed = arrowize(exact_dedup_ds(sf_dir), columns=["text_hash", "keep_doc_id"])
     sig = sig.join(
         ed, join_type="inner", num_partitions=join_partitions, on=("text_hash",)
     )
@@ -121,7 +129,7 @@ def clean_corpus(sf_dir: str, neardup_threshold: float = 0.5) -> pd.DataFrame:
     cl = duplicate_clusters_ds(sf_dir, neardup_threshold)
     if cl is not None:
         sig = sig.join(
-            cl,
+            arrowize(cl),
             join_type="left_outer",
             num_partitions=join_partitions,
             on=("doc_id",),

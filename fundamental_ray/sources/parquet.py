@@ -36,3 +36,22 @@ def read_parquet_clean(paths, **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(paths, **kwargs).map_batches(
         _strip_schema_metadata, batch_format="pyarrow"
     )
+
+
+def arrowize(ds: "ray.data.Dataset", columns: list | None = None) -> "ray.data.Dataset":
+    """Re-emit a Dataset as metadata-free Arrow blocks (optionally column-
+    pruned). Ray 2.49's sort/aggregate stages can emit PANDAS blocks; any
+    downstream Arrow-format consumer (drop_columns, hash-join aggregators,
+    pyarrow map_batches) then converts them via ``Table.from_pandas``,
+    which re-attaches the unhashable ``b'pandas'`` dict metadata this
+    module exists to strip. Consuming as pandas and rebuilding the Arrow
+    table explicitly keeps every downstream schema hashable."""
+
+    def to_clean(df) -> pa.Table:
+        if columns is not None:
+            df = df[columns]
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return ds.map_batches(to_clean, batch_format="pandas")
