@@ -3,16 +3,36 @@ ROBOTSTXT_OBEY = False, settings.py:12 — so obey=False reproduces reference
 parity and obey=True is the rebuild default).
 
 Rules are tiny per host → parsed once on the driver, broadcast via ray.put,
-checked inside map_batches (no shuffle). Supported directives (the subset
-the fixtures exercise, per the public robots.txt RFC 9309 semantics):
-``User-agent: *`` groups, ``Disallow:`` path prefixes, ``Allow:`` path
-prefixes (longest-prefix wins), ``Crawl-delay: N`` (folded into the per-host
-politeness budget)."""
+checked inside map_batches (no shuffle). Supported directives (RFC 9309
+semantics, the same set Scrapy's protego honors): ``User-agent: *`` groups,
+``Disallow:`` / ``Allow:`` path rules including the ``*`` wildcard and the
+``$`` end-of-path anchor, precedence by rule length (octets of the rule
+string) with Allow winning length ties, and ``Crawl-delay: N`` (folded into
+the per-host politeness budget).
+
+Rule matching is two-tier: plain prefix rules (the overwhelming majority of
+real robots files) stay on the numpy ``np.char.startswith`` fast path;
+rules containing ``*``/``$`` are compiled ONCE at parse time to anchored
+regexes and applied only to the gated hosts' rows.
+"""
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
+
+
+def _compile_rule(rule: str) -> "re.Pattern | None":
+    """RFC 9309 rule → anchored regex, or None for plain-prefix rules
+    (fast path). ``*`` matches any char sequence; a TRAILING ``$`` anchors
+    the end of the path; ``$`` anywhere else is a literal octet."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    if "*" not in body and not anchored:
+        return None
+    pat = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile("^" + pat + ("$" if anchored else ""))
 
 
 @dataclass
@@ -20,12 +40,24 @@ class HostRules:
     disallow: list[str] = field(default_factory=list)
     allow: list[str] = field(default_factory=list)
     crawl_delay: float | None = None
+    # parallel to disallow/allow: compiled regex for wildcard rules,
+    # None for plain prefixes
+    disallow_re: list = field(default_factory=list)
+    allow_re: list = field(default_factory=list)
+
+    def _match_len(self, path: str, rules, regexes) -> int:
+        best = -1
+        for rule, rx in zip(rules, regexes):
+            hit = rx.match(path) if rx is not None else path.startswith(rule)
+            if hit:
+                best = max(best, len(rule))
+        return best
 
     def allowed(self, path: str) -> bool:
-        d = max((len(p) for p in self.disallow if path.startswith(p)), default=-1)
+        d = self._match_len(path, self.disallow, self.disallow_re)
         if d < 0:
             return True
-        a = max((len(p) for p in self.allow if path.startswith(p)), default=-1)
+        a = self._match_len(path, self.allow, self.allow_re)
         return a >= d
 
 
@@ -44,9 +76,11 @@ def parse_robots(body: str) -> HostRules:
         elif in_star and key == "disallow":
             if val:
                 rules.disallow.append(val)
+                rules.disallow_re.append(_compile_rule(val))
         elif in_star and key == "allow":
             if val:
                 rules.allow.append(val)
+                rules.allow_re.append(_compile_rule(val))
         elif in_star and key == "crawl-delay":
             try:
                 rules.crawl_delay = float(val)
@@ -74,9 +108,10 @@ class RobotsTable:
         """Vectorized gate over parallel host/url arrays: host-level rule
         lookup first — hosts without rules (the overwhelming majority of a
         web-scale frontier) cost ZERO per-row work — then numpy prefix
-        matching of only the gated hosts' url paths against their
-        Allow/Disallow lists (longest-prefix wins, same semantics as the
-        scalar ``allowed``). Returns a numpy bool mask."""
+        matching (plain rules) / one compiled-regex pass per wildcard rule
+        of only the gated hosts' url paths (longest rule wins, Allow wins
+        ties — the same RFC 9309 semantics as the scalar ``allowed``).
+        Returns a numpy bool mask."""
         import numpy as np
         import pandas as pd
 
@@ -95,20 +130,25 @@ class RobotsTable:
             .replace("", "/")
             .to_numpy()
         )
+
+        def rule_lens(p: np.ndarray, rules, regexes) -> np.ndarray:
+            best = np.full(len(p), -1)
+            for rule, rx in zip(rules, regexes):
+                if rx is None:
+                    hit = np.char.startswith(p, rule)
+                else:
+                    hit = np.fromiter(
+                        (rx.match(x) is not None for x in p), bool, len(p)
+                    )
+                best = np.where(hit, np.maximum(best, len(rule)), best)
+            return best
+
         for h in gated:
             idx = np.nonzero(hosts == h)[0]
             r = self.rules[h]
             p = paths[idx].astype(str)
-            d_len = np.full(len(p), -1)
-            for pref in r.disallow:
-                d_len = np.where(
-                    np.char.startswith(p, pref), np.maximum(d_len, len(pref)), d_len
-                )
-            a_len = np.full(len(p), -1)
-            for pref in r.allow:
-                a_len = np.where(
-                    np.char.startswith(p, pref), np.maximum(a_len, len(pref)), a_len
-                )
+            d_len = rule_lens(p, r.disallow, r.disallow_re)
+            a_len = rule_lens(p, r.allow, r.allow_re)
             mask[idx] = (d_len < 0) | (a_len >= d_len)
         return mask
 

@@ -840,3 +840,156 @@ c0 AS (SELECT src AS node, ROUND(1.0 / (SELECT n FROM nn), {nd}) AS cash FROM de
 
 
 OPIC_SQL = opic_sql()
+
+
+# ----------------------------------------------------- label propagation
+# Community detection by synchronous label propagation (Raghavan et al.
+# 2007) over the same symmetrized part↔supplier graph — the "collapse
+# near-identical host communities" primitive of a crawl frontier (the
+# mirror_collapse cousin that needs no pairwise similarity, only edges).
+# Deterministic contract: every node starts labeled with its own id; each
+# round every node adopts the most frequent label among its NEIGHBORS,
+# ties broken by the smallest label; a fixed LPA_ITERS synchronous rounds
+# (integer counts — exactly reproducible, so the oracle is an unrolled
+# AS MATERIALIZED CTE chain). Scale shape identical to pagerank: the edge
+# list pays its shuffle once at index-build; per round, src-bucket tasks
+# emit per-(dst, label) COUNT partials pre-routed into one plasma slice
+# per dst bucket (num_returns=_B), dst-bucket tasks vote and push — zero
+# driver transit, no per-round edge exchange.
+LPA_ITERS = 3
+
+
+def _lpa_route(dst: np.ndarray, lab: np.ndarray) -> tuple:
+    import pyarrow as pa
+
+    part = (
+        pd.DataFrame({"dst": dst, "label": lab})
+        .groupby(["dst", "label"], sort=False)
+        .size()
+        .reset_index(name="c")
+    )
+    part["b"] = part["dst"].to_numpy() & (_B - 1)
+    by_b = dict(tuple(part.groupby("b", sort=False)))
+    out = []
+    for b in range(_B):
+        sub = by_b.get(b)
+        if sub is None:
+            out.append(
+                pa.table(
+                    {"dst": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64()),
+                     "c": pa.array([], pa.int64())}
+                )
+            )
+        else:
+            out.append(
+                pa.table(
+                    {"dst": sub["dst"].to_numpy(np.int64),
+                     "label": sub["label"].to_numpy(np.int64),
+                     "c": sub["c"].to_numpy(np.int64)}
+                )
+            )
+    return tuple(out)
+
+
+def _lpa_vote(slices) -> pd.Series:
+    """Winning label per dst from its addressed count partials: highest
+    summed count, ties -> smallest label (the oracle's ROW_NUMBER order)."""
+    import pyarrow as pa
+
+    df = pa.concat_tables(slices).to_pandas()
+    g = df.groupby(["dst", "label"], sort=False)["c"].sum().reset_index()
+    g = g.sort_values(
+        ["dst", "c", "label"], ascending=[True, False, True], kind="mergesort"
+    ).drop_duplicates("dst", keep="first")
+    return pd.Series(
+        g["label"].to_numpy(np.int64), index=g["dst"].to_numpy(np.int64)
+    )
+
+
+@_ray.remote(num_cpus=1)
+def _lpa_push_init(edge_dir: str, bucket: int):
+    e = _read_bucket_edges(edge_dir, bucket)
+    return _lpa_route(e["dst"].to_numpy(np.int64), e["src"].to_numpy(np.int64))
+
+
+@_ray.remote(num_cpus=1)
+def _lpa_vote_push(edge_dir: str, bucket: int, *slices):
+    labels = _lpa_vote(slices)
+    e = _read_bucket_edges(edge_dir, bucket)
+    return _lpa_route(
+        e["dst"].to_numpy(np.int64), e["src"].map(labels).to_numpy(np.int64)
+    )
+
+
+@_ray.remote(num_cpus=1)
+def _lpa_final(*slices):
+    import pyarrow as pa
+
+    labels = _lpa_vote(slices)
+    return pa.table(
+        {
+            "node": pa.array(labels.index.to_numpy(np.int64)),
+            "label": pa.array(labels.to_numpy(np.int64)),
+        }
+    )
+
+
+def label_propagation(sf_dir: str, iters: int = LPA_ITERS) -> pd.DataFrame:
+    """(node, label) after ``iters`` synchronous LPA rounds."""
+    import ray
+
+    edge_dir = build_edge_index(sf_dir)
+    buckets = [b for b in range(_B) if _bucket_edge_files(edge_dir, b)]
+    opts = {"num_returns": _B}
+    slices = [
+        _lpa_push_init.options(**opts).remote(edge_dir, b) for b in buckets
+    ]
+    for _ in range(iters - 1):
+        slices = [
+            _lpa_vote_push.options(**opts).remote(
+                edge_dir, b, *[s[b] for s in slices]
+            )
+            for b in buckets
+        ]
+    finals = [_lpa_final.remote(*[s[b] for s in slices]) for b in buckets]
+    import pyarrow as pa
+
+    out = pa.concat_tables(ray.get(finals)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def label_propagation_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled AS MATERIALIZED CTE chain — same init, vote and tie-break
+    each round (materialization per round, or DuckDB re-inlines the chain
+    exponentially; see the kmeans/BPE oracle contract)."""
+    ctes = [
+        f"""e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT p AS src, s + {SUPPLIER_OFFSET} AS dst FROM e0
+  UNION ALL
+  SELECT s + {SUPPLIER_OFFSET} AS src, p AS dst FROM e0
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.label
+           ) AS rn
+    FROM edges e JOIN l{i - 1} l ON l.node = e.src
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label::BIGINT AS label FROM l{iters} ORDER BY node"
+    )
+
+
+LABEL_PROPAGATION_SQL = label_propagation_sql()

@@ -497,3 +497,115 @@ ORDER BY doc_id
 
 
 SEARCH_OR_NOT_SQL = search_or_not_sql()
+
+
+# --------------------------------------------------- hybrid RRF retrieval
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_POOL = 20  # per-ranker candidate pool
+RRF_K = 10  # fused results returned
+
+
+def hybrid_rrf_topk(
+    sf_dir: str, terms=BM25_QUERY, k: int = RRF_K,
+    pool: int = RRF_POOL, c: int = RRF_C,
+) -> "pd.DataFrame":
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (query ``terms``) and the embedding-cosine semantic ranking
+    (query = vector 0, the corpus convention of ann.brute_force_topk;
+    vec_id ≡ doc_id in the synthetic corpus). rrf(d) = Σ 1/(c + rank_d)
+    over the rankers that retrieved d — the score-free fusion that needs
+    no cross-ranker calibration, which is why production hybrid search
+    uses it.
+
+    Scale shape: both rankers are the already-scale-shaped operators
+    (BM25: one stats pass + per-block top-k combiners; cosine: streamed
+    block matmuls against a broadcast query) — each returns a POOL-sized
+    list, and fusion is arithmetic on two pool-sized tables. Nothing new
+    crosses an exchange."""
+    import numpy as np
+
+    from ..pipelines.analytics import r2
+    from .ann import brute_force_topk
+
+    lex = bm25_topk(sf_dir, terms, k=pool)  # rank, doc_id, score
+    sem = brute_force_topk(sf_dir, k=pool, n_queries=1)  # query 0 only
+    lexm = dict(zip(lex["doc_id"], lex["rank"]))
+    semm = dict(zip(sem["neighbor_id"], sem["rank"]))
+    rows = []
+    for d in sorted(set(lexm) | set(semm)):
+        lt = 1.0 / (c + lexm[d]) if d in lexm else 0.0
+        st = 1.0 / (c + semm[d]) if d in semm else 0.0
+        rows.append(
+            {
+                "doc_id": int(d),
+                "rrf_score": float(r2(lt + st, 6)),
+                "bm25_rank": float(lexm.get(d, np.nan)),
+                "cos_rank": float(semm.get(d, np.nan)),
+            }
+        )
+    out = (
+        pd.DataFrame(rows)
+        .sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out.insert(0, "rank", pd.Series(range(1, len(out) + 1), dtype="int64"))
+    return out
+
+
+def hybrid_rrf_sql(
+    terms=BM25_QUERY, k: int = RRF_K, pool: int = RRF_POOL, c: int = RRF_C,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> str:
+    terms = _sql_safe_terms(terms)
+    per_term = " + ".join(
+        f"""(ln((s.n_docs - d.df_{t} + 0.5) / (d.df_{t} + 0.5) + 1.0)
+   * (t.tf_{t} * ({k1} + 1))
+   / (t.tf_{t} + {k1} * (1 - {b} + {b} * t.dl / s.avgdl)))"""
+        for t in terms
+    )
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (tf_{t} > 0)::BIGINT AS df_{t}" for t in terms
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+        FROM documents)
+), s AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM t
+), d AS (
+  SELECT {df_cols} FROM t
+), scored AS (
+  SELECT t.doc_id, ROUND({per_term}, 6) AS score FROM t, s, d
+), lex AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r, doc_id
+  FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {pool}
+), q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cr
+  FROM q, embeddings e WHERE e.vec_id <> 0
+), sem AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cr DESC, doc_id) AS r, doc_id
+  FROM sims ORDER BY cr DESC, doc_id LIMIT {pool}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({c} + lex.r), 0)
+               + COALESCE(1.0 / ({c} + sem.r), 0), 6) AS rrf_score,
+         lex.r::DOUBLE AS bm25_rank, sem.r::DOUBLE AS cos_rank
+  FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank,
+       doc_id, rrf_score, bm25_rank, cos_rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""
+
+
+HYBRID_RRF_SQL = hybrid_rrf_sql()

@@ -897,3 +897,138 @@ SELECT source, COUNT(*)::BIGINT AS n_docs,
          AS flesch
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity buckets ---------------------------------------------
+# CCNet (Wenzek et al. 2020) splits every language's documents into
+# head/middle/tail TERCILES of LM perplexity and trains on the head — the
+# canonical quality-curation step for Common-Crawl text. Here the LM is the
+# repo's add-one bigram model (text_bigram_perplexity) and the tercile is
+# the exact NTILE(3) within language, ordered by (ppl, doc_id).
+#
+# Scale shape (the select_corpus histogram-rank idiom): the per-doc ppl pass
+# is the streaming scorer; the tercile needs each doc's RANK within its
+# language, computed without any language-wide sort: a (lang, ⌊ppl⌋)
+# value-bucket histogram (lang × value-range bounded, ≪ corpus) folds to
+# the driver, cumulative offsets broadcast back, and each (lang, vbucket)
+# group sorts only ITS OWN rows — per-group size is value-skew-bounded,
+# not corpus-bounded. Docs never cross more than the one groupby exchange.
+CCNET_TILES = 3
+_CCNET_LABELS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def _ntile_of(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Exact SQL NTILE(k): first n%k tiles get ceil(n/k) rows."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    return np.where(
+        rank <= big,
+        (rank - 1) // (q + 1) + 1 if q + 1 > 0 else 1,
+        r + (np.maximum(rank - big - 1, 0) // max(q, 1)) + 1,
+    ).astype(np.int64)
+
+
+def ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, lang, ppl, bucket) — bucket ∈ head/middle/tail by the
+    language-local perplexity tercile (NTILE(3) ORDER BY ppl, doc_id)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from .corpus_stats import _corpus_term_stats
+    from .text import WORD_RE
+
+    uni = _corpus_term_stats(sf_dir).to_pandas()
+    n_uni = int(uni["tf"].sum())
+    v = len(uni)
+    bi = _bigram_counts(sf_dir).to_pandas()
+    uni_ref = ray.put(dict(zip(uni["term"], uni["tf"].astype(int))))
+    bi_ref = ray.put(
+        {(a, b): int(c) for a, b, c in zip(bi["w1"], bi["w2"], bi["cnt"])}
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # same association as bigram_perplexity's scorer, plus lang and the
+        # ⌊ppl⌋ value bucket for the rank lookup
+        tf, bc = ray.get(uni_ref), ray.get(bi_ref)
+        ids, langs, ppls = [], [], []
+        for did, lang, ts in zip(
+            df["doc_id"], df["lang"].fillna(""),
+            df["text"].fillna("").str.lower().str.findall(WORD_RE),
+        ):
+            if not ts:
+                continue
+            lp = math.log((tf[ts[0]] + 1.0) / (n_uni + v))
+            for a, b in zip(ts, ts[1:]):
+                lp += math.log((bc.get((a, b), 0) + 1.0) / (tf[a] + v))
+            ids.append(int(did))
+            langs.append(lang)
+            ppls.append(round(math.exp(-lp / len(ts)), 6))
+        ppl = np.array(ppls, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "lang": langs,
+                "ppl": ppl,
+                "vb": np.floor(ppl).astype(np.int64),
+            }
+        )
+
+    scored = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .map_batches(score, batch_format="pandas")
+        .materialize()  # narrow node-scale rows; read twice below
+    )
+
+    # (lang, vbucket) histogram — lang × value-range bounded, NOT corpus
+    hist = (
+        scored.groupby(["lang", "vb"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values(["lang", "vb"])
+    )
+    hist["start"] = hist.groupby("lang")["c"].cumsum() - hist["c"]
+    starts = {
+        (l, int(b)): int(s) for l, b, s in zip(hist["lang"], hist["vb"], hist["start"])
+    }
+    n_lang = hist.groupby("lang")["c"].sum().astype(int).to_dict()
+    sref = ray.put((starts, n_lang))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        starts_, n_lang_ = ray.get(sref)
+        g = g.sort_values(["ppl", "doc_id"], kind="mergesort").reset_index(drop=True)
+        lang, vb = g["lang"].iloc[0], int(g["vb"].iloc[0])
+        rank = starts_[(lang, vb)] + np.arange(1, len(g) + 1)
+        tile = _ntile_of(rank, n_lang_[lang], CCNET_TILES)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "lang": g["lang"],
+                "ppl": g["ppl"].astype("float64"),
+                "bucket": pd.Series(tile).map(_CCNET_LABELS),
+            }
+        )
+
+    return (
+        scored.groupby(["lang", "vb"])
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH p AS ({BIGRAM_PERPLEXITY_SQL}),
+dl AS (SELECT doc_id, lang FROM documents)
+SELECT p.doc_id, dl.lang, p.ppl,
+       CASE NTILE({CCNET_TILES}) OVER (
+              PARTITION BY dl.lang ORDER BY p.ppl, p.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM p JOIN dl USING (doc_id)
+ORDER BY p.doc_id
+"""

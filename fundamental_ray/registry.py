@@ -168,6 +168,9 @@ def _populate() -> None:
     register("graph_hits", GR.hits, GR.HITS_SQL)
     register("graph_link_prediction", GR.link_prediction, GR.LINK_PREDICTION_SQL)
     register(
+        "graph_label_propagation", GR.label_propagation, GR.LABEL_PROPAGATION_SQL
+    )
+    register(
         "agg_winsorized_prices", R.agg_winsorized_prices, R.AGG_WINSORIZED_SQL
     )
     register(
@@ -414,6 +417,26 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register(
         "text_boilerplate_grams", MIR.boilerplate_grams, MIR.BOILERPLATE_GRAMS_SQL
     )
+    register(
+        "text_boilerplate_fraction",
+        MIR.boilerplate_fraction,
+        MIR.BOILERPLATE_FRACTION_SQL,
+    )
+    register("crawl_mirror_collapse", MIR.mirror_collapse, MIR.MIRROR_COLLAPSE_SQL)
+
+    from .crawl import surt as SURT
+
+    register("crawl_surt_keys", SURT.surt_keys)
+    register_lazy_oracle(
+        "crawl_surt_keys", lambda corpus, art: SURT.surt_keys_sql(corpus)
+    )
+    register("crawl_surt_domain_counts", SURT.surt_domain_counts)
+    register_lazy_oracle(
+        "crawl_surt_domain_counts",
+        lambda corpus, art: SURT.surt_domain_counts_sql(corpus),
+    )
+
+    register("search_hybrid_rrf", IX.hybrid_rrf_topk, IX.HYBRID_RRF_SQL)
 
     from .sources import partitioned_sink as PS
 
@@ -421,6 +444,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register(
         "sink_compacted_roundtrip", PS.sink_compacted_roundtrip, PS.SINK_ROUNDTRIP_SQL
     )
+    register("text_ccnet_buckets", W.ccnet_buckets, W.CCNET_BUCKETS_SQL)
     register("text_bigram_perplexity", W.bigram_perplexity,
              W.BIGRAM_PERPLEXITY_SQL)
     register("events_watermark_late", W.events_watermark_late,

@@ -862,3 +862,39 @@ def test_launch_entrypoint_fresh_and_resume(tmp_path):
     assert rec2["resumed"] and rec2["rounds"] == rec1["rounds"]
     assert rec2["counters"]["fetched"] == rec1["counters"]["fetched"]
     assert rec2["counters"]["listings"] == rec1["counters"]["listings"]
+
+
+def test_robots_wildcard_rules():
+    # RFC 9309 '*' wildcard and '$' end anchor, precedence by rule length
+    # with Allow winning ties — scalar and vectorized paths must agree
+    import numpy as np
+
+    from fundamental_ray.crawl.robots import RobotsTable, parse_robots
+
+    r = parse_robots(
+        """
+User-agent: *
+Disallow: /private/*
+Allow: /private/ok$
+Disallow: /cgi*bin/
+Disallow: /exact$
+Allow: /
+"""
+    )
+    cases = {
+        "/private/x": False,   # wildcard disallow (len 10) beats Allow /
+        "/private/ok": True,   # $-anchored allow (len 12) wins
+        "/private/ok2": False, # anchor must not match a longer path
+        "/cgi-bin/x": False,   # mid-rule wildcard
+        "/exact": False,
+        "/exact2": True,       # $ means exact only
+        "/fine": True,
+    }
+    for p, want in cases.items():
+        assert r.allowed(p) == want, p
+    t = RobotsTable({"h.example": r})
+    urls = [f"https://h.example{p}" for p in cases]
+    mask = t.allowed_mask(["h.example"] * len(cases), urls)
+    assert list(mask) == list(cases.values())
+    # unruled hosts stay zero-cost allowed
+    assert t.allowed_mask(["other.example"], ["https://other.example/private/x"])[0]

