@@ -438,6 +438,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 
     register("search_hybrid_rrf", IX.hybrid_rrf_topk, IX.HYBRID_RRF_SQL)
 
+    from .crawl import redirects as RED
+
+    register("crawl_redirect_resolve", RED.resolve_redirects)
+    register_lazy_oracle(
+        "crawl_redirect_resolve",
+        lambda corpus, art: RED.resolve_redirects_sql(corpus),
+    )
+
     from .sources import partitioned_sink as PS
 
     register("sink_partitioned_roundtrip", PS.sink_roundtrip, PS.SINK_ROUNDTRIP_SQL)

@@ -149,3 +149,26 @@ def test_ccnet_buckets_oracle(ray_session, duck):
         assert g.loc[g["bucket"] == "head", "ppl"].max() <= g.loc[
             g["bucket"] == "tail", "ppl"
         ].min() + 1e-9
+
+
+def test_redirect_resolve_oracle(ray_session, duck):
+    from fundamental_ray.crawl import redirects as RED
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = RED.resolve_redirects(SF)
+    want = duck.sql(RED.resolve_redirects_sql(corpus)).df()
+    _cmp(got, want)
+    assert len(got) > 0
+    # contract: every resolution terminates at a REAL corpus url (https,
+    # no alias host, no tracking param), never at another alias
+    assert got["resolved_url"].str.startswith("https://").all()
+    assert not got["resolved_url"].str.contains("://m.").any()
+    assert not got["resolved_url"].str.contains("utm_source").any()
+    # chains: a 3-hop alias resolves through BOTH intermediates, which
+    # themselves appear as 2- and 1-hop rows with the same terminal
+    h3 = got[got["hops"] == 3]
+    assert len(h3) > 0
+    merged = h3.merge(got[got["hops"] == 2], on="resolved_url")
+    assert len(merged) >= len(h3)
+    assert set(got["hops"]) == {1, 2, 3}
