@@ -73,6 +73,7 @@ def run_bench() -> dict:
     from fundamental_ray.ops import sketch as SK
     from fundamental_ray.ops import text as T
     from fundamental_ray.ops import webtext as WT
+    from fundamental_ray.crawl import anchors as ANC
     from fundamental_ray.pipelines import analytics as A
     from fundamental_ray.pipelines import clean as CL
     from fundamental_ray.pipelines.extract import extract_listings_dataset
@@ -184,6 +185,7 @@ def run_bench() -> dict:
         ("text_pmi_bigrams", lambda: WT.pmi_bigrams(sf_dir)),
         ("text_bigram_perplexity", lambda: WT.bigram_perplexity(sf_dir)),
         ("events_watermark_late", lambda: WT.events_watermark_late(sf_dir)),
+        ("crawl_anchor_texts", lambda: ANC.anchor_texts(sf_dir)),
     ]
     for name, fn in secondary:
         t0 = time.time()

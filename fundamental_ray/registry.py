@@ -446,6 +446,34 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         lambda corpus, art: RED.resolve_redirects_sql(corpus),
     )
 
+    from .crawl import anchors as ANC
+
+    register("crawl_anchor_texts", ANC.anchor_texts)
+    register_lazy_oracle(
+        "crawl_anchor_texts", lambda corpus, art: ANC.anchor_texts_sql(corpus)
+    )
+    register("crawl_host_graph", ANC.host_graph)
+    register_lazy_oracle(
+        "crawl_host_graph", lambda corpus, art: ANC.host_graph_sql(corpus)
+    )
+
+    from .crawl import sharding as SHD
+
+    register("crawl_shard_rendezvous", SHD.shard_assignments)
+    register_lazy_oracle(
+        "crawl_shard_rendezvous",
+        lambda corpus, art: SHD.shard_assignments_sql(corpus),
+    )
+    register("crawl_shard_load", SHD.shard_load)
+    register_lazy_oracle(
+        "crawl_shard_load", lambda corpus, art: SHD.shard_load_sql(corpus)
+    )
+    register("crawl_shard_migration", SHD.shard_migration)
+    register_lazy_oracle(
+        "crawl_shard_migration",
+        lambda corpus, art: SHD.shard_migration_sql(corpus),
+    )
+
     from .sources import partitioned_sink as PS
 
     register("sink_partitioned_roundtrip", PS.sink_roundtrip, PS.SINK_ROUNDTRIP_SQL)
