@@ -351,13 +351,22 @@ def run_scaling() -> dict:
         if hi % lo:
             raise SystemExit("FR_SCALE_PACKED needs hi divisible by lo")
         trials = max(1, int(os.environ.get("FR_SCALE_TRIALS", "1")))
+        # FR_SCALE_SANDWICH=1: run the HI leg BOTH before and after the
+        # packed-LO block and score efficiency against the MEAN of the two.
+        # Rationale: legs run ~8 minutes apart, and this host's minute-scale
+        # weather means each trial's ratio inherits one window transition
+        # at full force when HI is sampled once; bracketing the LO block
+        # with two HI samples averages the windows on either side, halving
+        # the transition variance (both single-leg ratios are also
+        # reported, so a glitched bracket is visible).
+        sandwich = os.environ.get("FR_SCALE_SANDWICH") == "1"
         per_trial = []
         for _ in range(trials):
             r_hi = one(hi)  # full box first: warms corpus/index caches
             jobs = packed_lo(lo, hi)
             tputs = [j["frontier_urls_per_sec"] for j in jobs]
             tput_hi = r_hi["frontier_urls_per_sec"]
-            per_trial.append({
+            row = {
                 "efficiency": round(tput_hi / sum(tputs), 3),
                 "urls_per_sec_lo_per_job": tputs,
                 "urls_per_sec_lo_aggregate": round(sum(tputs), 1),
@@ -372,7 +381,18 @@ def run_scaling() -> dict:
                     ],
                     "hi": r_hi["parse_control_pages_per_sec"],
                 },
-            })
+            }
+            if sandwich:
+                r_hi2 = one(hi)
+                t2 = r_hi2["frontier_urls_per_sec"]
+                row["urls_per_sec_hi_post"] = t2
+                row["crawl_sec_hi_post"] = r_hi2["queries"]["crawl_frontier"]
+                row["efficiency_pre"] = row["efficiency"]
+                row["efficiency_post"] = round(t2 / sum(tputs), 3)
+                row["efficiency"] = round(
+                    (tput_hi + t2) / 2 / sum(tputs), 3
+                )
+            per_trial.append(row)
         effs = sorted(t["efficiency"] for t in per_trial)
         med = effs[len(effs) // 2] if len(effs) % 2 else (
             effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
