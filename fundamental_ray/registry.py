@@ -474,6 +474,25 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         lambda corpus, art: SHD.shard_migration_sql(corpus),
     )
 
+    from .crawl import wet as WET
+
+    register("crawl_wet_extract", WET.wet_extract)
+    register_lazy_oracle(
+        "crawl_wet_extract", lambda corpus, art: WET.wet_extract_sql(corpus)
+    )
+
+    register("pipeline_web_corpus", WET.web_corpus)
+    register_lazy_oracle(
+        "pipeline_web_corpus", lambda corpus, art: WET.web_corpus_sql(corpus)
+    )
+
+    from .crawl import revisit as REV
+
+    register("crawl_revisit_records", REV.revisit_records)
+    register_lazy_oracle(
+        "crawl_revisit_records", lambda corpus, art: REV.revisit_records_sql(corpus)
+    )
+
     from .sources import partitioned_sink as PS
 
     register("sink_partitioned_roundtrip", PS.sink_roundtrip, PS.SINK_ROUNDTRIP_SQL)

@@ -260,3 +260,63 @@ def test_shard_migration_oracle(ray_session, duck):
     assert all(b == S.N_SHARDS for _, b in moved)
     frac = len(moved) / len(hosts)
     assert 0.05 < frac < 0.20, frac  # ~1/9 expected
+
+
+def test_wet_extract_oracle(ray_session, duck):
+    from fundamental_ray.crawl import wet as W
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = W.wet_extract(SF)
+    want = duck.sql(W.wet_extract_sql(corpus)).df()
+    _cmp(got, want, float_cols=("text_ratio",))
+    assert len(got) > 0
+    # contract: no tags or script payloads survive; whitespace collapsed
+    assert not got["text"].str.contains("<").any()
+    assert not got["text"].str.contains("ld+json", regex=False).any()
+    assert not got["text"].str.contains("  ").any()
+    # list pages carry street names in visible text; every page accounted
+    assert got["text"].str.contains("Koopwoningen").any()
+    assert (got["text_bytes"] <= got["html_bytes"]).all()
+
+
+def test_revisit_records_oracle(ray_session, duck):
+    from fundamental_ray.crawl import revisit as R
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = R.revisit_records(SF)
+    want = duck.sql(R.revisit_records_sql(corpus)).df()
+    _cmp(got, want)
+    # WARC 1.1 contract: exactly one response per digest; revisits point
+    # at it; the canonical capture is the digest's (warc_ts, url) min
+    assert (got.groupby("digest")["record_type"].apply(lambda s: (s == "response").sum()) == 1).all()
+    rv = got[got["record_type"] == "revisit"]
+    assert len(rv) > 0  # the corpus has mirrored/blank duplicate payloads
+    assert rv["refers_to_url"].notna().all() and rv["refers_to_ts"].notna().all()
+    resp = got[got["record_type"] == "response"]
+    assert resp["refers_to_url"].isna().all()
+    joined = rv.merge(resp, left_on="digest", right_on="digest", suffixes=("", "_c"))
+    assert (joined["refers_to_url"] == joined["url_c"]).all()
+    assert (
+        (joined["warc_ts"] > joined["warc_ts_c"])
+        | ((joined["warc_ts"] == joined["warc_ts_c"]) & (joined["url"] > joined["url_c"]))
+    ).all()
+
+
+def test_web_corpus_oracle(ray_session, duck):
+    from fundamental_ray.crawl import wet as W
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = W.web_corpus(SF)
+    want = duck.sql(W.web_corpus_sql(corpus)).df()
+    _cmp(got, want)
+    assert 0 < len(got)
+    # gates actually bit: some pages were dropped (lang/length/dedup)
+    full = W.wet_extract(SF)
+    assert len(got) < len(full)
+    # production contract: nl only, >= 15 words, texts globally unique
+    assert (got["lang"] == "nl").all()
+    assert (got["n_words"] >= 15).all()
+    assert got["text"].is_unique
