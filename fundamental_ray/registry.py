@@ -411,6 +411,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("text_flesch_by_source", W.flesch_by_source, W.FLESCH_BY_SOURCE_SQL)
     register("text_zipf_slope", CS.zipf_slope, CS.ZIPF_SLOPE_SQL)
 
+    from .ops import spans as SP
+
+    register(
+        "dedup_substring_spans",
+        SP.dedup_substring_spans,
+        SP.DEDUP_SUBSTRING_SPANS_SQL,
+    )
+    register(
+        "text_source_quality_filter",
+        SP.source_quality_filter,
+        SP.SOURCE_QUALITY_FILTER_SQL,
+    )
+    register("corpus_temperature_mix", SP.temperature_mix, SP.TEMPERATURE_MIX_SQL)
+
     from .ops import mirror as MIR
 
     register("crawl_mirror_sources", MIR.mirror_sources, MIR.MIRROR_SOURCES_SQL)
