@@ -319,3 +319,189 @@ SELECT lang, n_docs, share,
        FLOOR(share * {MIX_BUDGET})::BIGINT AS expected_docs
 FROM s ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking dedup ---------------------------------------------
+
+CDC_D = 8  # boundary divisor: a word ends a chunk when md5_60(word) % D == 0
+
+
+def _cdc_boundary(words: list[str]) -> np.ndarray:
+    return np.array([_h60(w) % CDC_D == 0 for w in words], dtype=bool)
+
+
+def _cdc_chunks(text: str) -> list[str]:
+    """Word-gear-hash content-defined chunking: a chunk runs up to AND
+    INCLUDING each boundary word. Boundaries are a pure function of word
+    CONTENT, so inserting a word resynchronizes at the next boundary —
+    only the containing chunk changes (the CDC property fixed-width
+    chunking lacks; rsync/LBFS idiom at word granularity)."""
+    words = text.split(" ")
+    b = _cdc_boundary(words)
+    out: list[str] = []
+    start = 0
+    for end in np.flatnonzero(b):
+        out.append(" ".join(words[start : end + 1]))
+        start = end + 1
+    if start < len(words):
+        out.append(" ".join(words[start:]))
+    return out
+
+
+def dedup_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide duplicated CDC chunks: (chunk_hash, n_words, n_occ,
+    n_docs) for every chunk text occurring more than once.
+
+    Dataflow: per-batch explode to narrow (chunk_hash, doc_id) rows —
+    chunk text reduces to its md5 inside the explode stage — then
+    groupby(hash, doc) Count (one exchange) and a tiny second groupby on
+    hash for the occurrence/doc rollup. chunk_hash is the full md5 hex
+    here so the oracle compares digests directly; at the 100-TB point
+    carry the (hi, lo) int64 pair instead (ops/dedup.py:860 convention)."""
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        hs: list[str] = []
+        ids: list[int] = []
+        nw: list[int] = []
+        for doc_id, text in zip(
+            df["doc_id"].to_numpy(dtype=np.int64), df["text"].fillna("")
+        ):
+            for ch in _cdc_chunks(text):
+                hs.append(hashlib.md5(ch.encode("utf-8")).hexdigest())
+                ids.append(int(doc_id))
+                nw.append(ch.count(" ") + 1)
+        return pa.table(
+            {
+                "chunk_hash": pa.array(hs, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    per_doc = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby(["chunk_hash", "doc_id"])
+        .aggregate(Count(alias_name="occ"), Max("n_words", alias_name="n_words"))
+    )
+    rolled = (
+        arrowize(per_doc, columns=["chunk_hash", "occ", "n_words"])
+        .groupby("chunk_hash")
+        .aggregate(
+            Sum("occ", alias_name="n_occ"),
+            Count(alias_name="n_docs"),
+            Max("n_words", alias_name="n_words"),
+        )
+        .to_pandas()
+    )
+    out = rolled[rolled["n_occ"] > 1][
+        ["chunk_hash", "n_words", "n_occ", "n_docs"]
+    ].astype({"n_words": "int64", "n_occ": "int64", "n_docs": "int64"})
+    return out.sort_values("chunk_hash").reset_index(drop=True)
+
+
+DEDUP_CDC_CHUNKS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, u.i AS pos, ws[u.i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  JOIN LATERAL unnest(range(1, len(ws) + 1)) u(i) ON true
+),
+f AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN ('0x' || substr(md5(word), 1, 15))::BIGINT % {CDC_D} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM w
+),
+c AS (
+  SELECT doc_id, pos, word,
+         COALESCE(SUM(b) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM f
+),
+ch AS (
+  SELECT doc_id, cid, string_agg(word, ' ' ORDER BY pos) AS chunk
+  FROM c GROUP BY doc_id, cid
+),
+agg AS (
+  SELECT md5(chunk) AS chunk_hash,
+         MIN(len(string_split(chunk, ' ')))::BIGINT AS n_words,
+         COUNT(*)::BIGINT AS n_occ,
+         COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM ch GROUP BY 1
+)
+SELECT chunk_hash, n_words, n_occ, n_docs
+FROM agg WHERE n_occ > 1 ORDER BY chunk_hash
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle ranks ------------------------------------------
+
+SHUFFLE_BUCKETS = 256  # ordered range partitions: first md5 hex byte
+
+
+def shuffle_ranks(sf_dir: str) -> pd.DataFrame:
+    """Global training-order assignment: every doc gets the dense rank of
+    its md5(doc_id) key — the deterministic corpus shuffle a multi-epoch
+    training run recomputes bit-identically on any cluster.
+
+    NO global sort: the md5 key's first byte is an ORDERED range
+    partition, so rank = (exclusive prefix over the 256 bucket counts —
+    a constant-size driver fold) + local rank within the bucket (one
+    groupby exchange + per-bucket sort). The same two-pass scan shape as
+    text_pack_sequences (ops/pack.py)."""
+
+    def keyed(df: pd.DataFrame) -> pa.Table:
+        ks = [
+            hashlib.md5(str(int(d)).encode()).hexdigest()
+            for d in df["doc_id"].to_numpy(dtype=np.int64)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "key": pa.array(ks, pa.string()),
+                "bucket": pa.array([int(k[:2], 16) for k in ks], pa.int64()),
+            }
+        )
+
+    keys = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(keyed, batch_format="pandas")
+        .materialize()  # narrow (id, 32-char key, bucket); scanned twice
+    )
+    counts = (
+        keys.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+        .sort_values("bucket")
+    )
+    counts["base"] = counts["n"].cumsum() - counts["n"]
+    base_ref = ray.put(dict(zip(counts["bucket"].astype(int), counts["base"].astype(int))))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("key", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "shuffle_rank": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        keys.groupby("bucket")
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()
+        .sort_values("shuffle_rank")
+        .reset_index(drop=True)
+    )
+
+
+SHUFFLE_RANKS_SQL = """
+SELECT doc_id,
+       (ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1)::BIGINT
+         AS shuffle_rank
+FROM documents ORDER BY shuffle_rank
+"""

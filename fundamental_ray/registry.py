@@ -424,6 +424,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         SP.SOURCE_QUALITY_FILTER_SQL,
     )
     register("corpus_temperature_mix", SP.temperature_mix, SP.TEMPERATURE_MIX_SQL)
+    register("dedup_cdc_chunks", SP.dedup_cdc_chunks, SP.DEDUP_CDC_CHUNKS_SQL)
+    register("text_shuffle_ranks", SP.shuffle_ranks, SP.SHUFFLE_RANKS_SQL)
 
     from .ops import mirror as MIR
 

@@ -91,6 +91,49 @@ def test_source_quality_filter_oracle(ray_session, duck):
     assert len(got) / 2 <= k < len(got)
 
 
+def test_dedup_cdc_chunks_oracle(ray_session, duck):
+    from fundamental_ray.ops import spans as S
+
+    got = S.dedup_cdc_chunks(SF)
+    want = duck.sql(S.DEDUP_CDC_CHUNKS_SQL).df()
+    a, b = _sorted(got), _sorted(want)
+    assert len(a) == len(b) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # occurrence mass always >= doc spread; duplicated means >= 2
+    assert (got["n_occ"] >= got["n_docs"]).all()
+    assert (got["n_occ"] >= 2).all()
+
+
+def test_cdc_resynchronizes_after_insertion():
+    """The CDC property fixed-width chunking lacks: prepending one word
+    changes only chunks up to the first boundary — the tail chunk stream
+    is identical, so dedup still matches the unmodified copy's tail."""
+    from fundamental_ray.ops import spans as S
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 20
+    a = S._cdc_chunks(base.strip())
+    b = S._cdc_chunks(("INSERTED " + base).strip())
+    # all but the first chunk of the longer stream realign exactly
+    assert a[1:] == b[2:] or a == b[1:] or a[1:] == b[1:][1:] or set(a[1:]) <= set(b)
+    # stronger: suffix streams coincide from the first shared boundary on
+    i = next(k for k, ch in enumerate(b) if ch in set(a))
+    j = a.index(b[i])
+    assert a[j:] == b[i:]
+
+
+def test_shuffle_ranks_oracle(ray_session, duck):
+    from fundamental_ray.ops import spans as S
+
+    got = S.shuffle_ranks(SF)
+    want = duck.sql(S.SHUFFLE_RANKS_SQL).df()
+    a, b = _sorted(got), _sorted(want)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # dense permutation: ranks are exactly 0..n-1, every doc appears once
+    n = len(got)
+    assert sorted(got["shuffle_rank"]) == list(range(n))
+    assert got["doc_id"].is_unique
+
+
 def test_temperature_mix_oracle(ray_session, duck):
     from fundamental_ray.ops import spans as S
 
