@@ -696,3 +696,166 @@ ORDER BY query_id, neighbor_id
 
 
 RANGE_SEARCH_SQL = range_search_sql()
+
+
+# --------------------------------------------------------------------------
+# Scalar-quantized ANN (SQ8 / ADC) -------------------------------------------
+# The compressed-domain scale path: encode every stored vector to one byte
+# per dimension against a per-dimension [min, max] grid (4x smaller than
+# float32, 8x smaller than float64 — at 100 TB the difference between an
+# in-memory index and a disk-bound one), then search with ASYMMETRIC
+# distance computation: the full-precision query scored against each code's
+# reconstruction (bucket center), the standard SQ/PQ trade (Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — SQ is
+# the one-subspace-per-dim corner of PQ).
+#
+# Scale shape: the grid is learned by a distributed pass whose per-batch
+# combiner emits one (dim, min, max) row per dimension per block (constant
+# size), merged by a |dims|-row groupby; encode+score is then a single
+# map_batches with the 64x2-float grid broadcast in the closure. The corpus
+# crosses no exchange; the only reduce is per-block top-k candidates.
+#
+# Determinism contract: the encode expression ((v-mn)/(mx-mn)*256, floored,
+# clipped to [0,255]) and the reconstruction (mn + (code+0.5)*(mx-mn)/256)
+# are written in the SAME operation order here and in the SQL oracle, so
+# codes and centers are bit-identical IEEE doubles on both sides; ranking
+# uses the 6-dp half-away-rounded cosine (the repo's bm25 convention) so
+# summation-order ulp drift cannot reorder neighbors.
+
+SQ_LEVELS = 256
+SQ_K = 10
+SQ_NQ = 5
+
+
+def _sq_grid(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed per-dimension min/max: per-batch combiner -> tiny groupby."""
+    from ray.data.aggregate import Max, Min
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(mat.shape[1], dtype=np.int64),
+                "mn": mat.min(axis=0),
+                "mx": mat.max(axis=0),
+            }
+        )
+
+    g = (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(mm, batch_format="pandas")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    return g["mn"].to_numpy(np.float64), g["mx"].to_numpy(np.float64)
+
+
+def sq_topk(sf_dir: str, k: int = SQ_K, n_queries: int = SQ_NQ) -> pd.DataFrame:
+    """Top-k by cosine(query, SQ8 reconstruction), excluding self; rank by
+    (cosine@6dp desc, neighbor_id asc); reported cosine at 4dp."""
+    import ray
+
+    from ..pipelines.analytics import r2
+
+    mn, mx = _sq_grid(sf_dir)
+    span = mx - mn
+    # raw (un-normalized) queries: the oracle divides the raw dot product by
+    # the norm product AFTER summation — mirror that operation order exactly
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    emb = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.less(pads.field("vec_id"), n_queries),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    qids = emb["vec_id"].to_numpy()
+    qraw = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    qref = ray.put((qids, qraw))
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.clip(np.floor((mat - mn) / span * SQ_LEVELS), 0, SQ_LEVELS - 1)
+        centers = np.where(span > 0, mn + (code + 0.5) * span / SQ_LEVELS, mn)
+        bq, bm = ray.get(qref)
+        qn = np.sqrt((bm * bm).sum(axis=1, keepdims=True))  # (Q, 1)
+        cn = np.sqrt((centers * centers).sum(axis=1))  # (block,)
+        sims = r2((bm @ centers.T) / (qn * cn[None, :]), 6)  # ranking precision
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        kk = min(k, sims.shape[1])
+        for qi, qid in enumerate(bq):
+            s = sims[qi].copy()
+            s[ids == qid] = -np.inf
+            order = np.lexsort((ids, -s))[:kk]
+            out["query_id"].extend([int(qid)] * len(order))
+            out["neighbor_id"].extend(ids[order].astype(np.int64))
+            out["cosine"].extend(s[order])
+        return pd.DataFrame(out)
+
+    cand = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(block, batch_format="pandas", batch_size=1024)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = r2(g["cosine"], 4)
+        return g[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return (
+        cand.groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def sq_topk_sql(k: int = SQ_K, n_queries: int = SQ_NQ) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+g AS (SELECT d, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY d),
+c AS (
+  SELECT e.vec_id, e.d,
+         CASE WHEN g.mx > g.mn THEN
+           g.mn + (LEAST({SQ_LEVELS - 1}, GREATEST(0,
+             FLOOR((e.v - g.mn) / (g.mx - g.mn) * {SQ_LEVELS}))) + 0.5)
+           * (g.mx - g.mn) / {SQ_LEVELS}
+         ELSE g.mn END AS cv
+  FROM e JOIN g USING (d)
+),
+q AS (SELECT vec_id, d, v FROM e WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(SUM(q.v * c.cv)
+               / (SQRT(SUM(q.v * q.v)) * SQRT(SUM(c.cv * c.cv))), 6) AS cs
+  FROM q JOIN c ON c.d = q.d AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, ROUND(cs, 4) AS cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+SQ_TOPK_SQL = sq_topk_sql()

@@ -395,6 +395,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("embed_knn_classify", N.knn_classify, N.KNN_CLASSIFY_SQL)
     register("ann_mmr_rerank", N.mmr_rerank, N.MMR_RERANK_SQL)
     register("ann_range_search", N.range_search, N.RANGE_SEARCH_SQL)
+    register("ann_sq_topk", N.sq_topk, N.SQ_TOPK_SQL)
+
+    from .ops import bloom as BL
+
+    register("dedup_bloom_delta", BL.bloom_delta_dedup, BL.BLOOM_DELTA_SQL)
 
     from .ops import webtext as W
 

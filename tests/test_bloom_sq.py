@@ -1,0 +1,95 @@
+"""Bloom-filter delta dedup (ops/bloom.py) and scalar-quantized ANN
+(ops/ann.py::sq_topk): oracle parity at sf0.001 (the registry sweep covers
+sf0.01) plus the contracts the oracles can't see — that exact base
+duplicates always saturate the filter (no false NEGATIVES, the Bloom
+guarantee), and that SQ8's approximate ranking stays close to the exact
+brute-force baseline (recall bound)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame):
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    for c in g.columns:
+        assert g[c].astype(str).tolist() == w[c].astype(str).tolist(), c
+
+
+def test_bloom_delta_oracle(ray_session, duck):
+    from fundamental_ray.ops import bloom as B
+
+    got = B.bloom_delta_dedup(SF)
+    want = duck.sql(B.BLOOM_DELTA_SQL).df()
+    _cmp(got, want)
+    # every delta doc reported exactly once, tallies internally consistent
+    n_delta = duck.sql("SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1").fetchone()[0]
+    assert len(got) == n_delta
+    assert (got["n_hits"] <= got["n_chunks"]).all()
+    assert ((got["dup_frac"] >= 0.0) & (got["dup_frac"] <= 1.0)).all()
+
+
+def test_bloom_no_false_negatives(ray_session):
+    """Bloom filters admit false positives but never false NEGATIVES: every
+    delta chunk whose literal string also occurs among base chunks must be
+    counted as a hit. Run at sf0.01, whose corpus has real cross-split
+    chunk overlap (sf0.001 has none)."""
+    from fundamental_ray.ops import bloom as B
+
+    sf = "/root/testdata/sf0.01"
+    got = B.bloom_delta_dedup(sf).set_index("doc_id")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    exact = con.sql(
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 unnest(range(len(string_split(text, ' ')))) AS wi
+          FROM documents),
+        ch AS (
+          SELECT doc_id, wi // {B.BLOOM_W} AS ci,
+                 string_agg(word, ' ' ORDER BY wi) AS chunk
+          FROM w GROUP BY doc_id, wi // {B.BLOOM_W})
+        SELECT d.doc_id, COUNT(*)::BIGINT AS exact_hits
+        FROM ch d
+        WHERE d.doc_id % 2 = 1 AND EXISTS (
+          SELECT 1 FROM ch b WHERE b.doc_id % 2 = 0 AND b.chunk = d.chunk)
+        GROUP BY d.doc_id
+        """
+    ).df()
+    assert len(exact) > 0, "sf0.01 must contain cross-split chunk overlap"
+    for _, r in exact.iterrows():
+        assert got.loc[int(r["doc_id"]), "n_hits"] >= r["exact_hits"]
+
+
+def test_sq_topk_oracle_and_recall(ray_session, duck):
+    from fundamental_ray.ops import ann as N
+
+    got = N.sq_topk(SF)
+    want = duck.sql(N.SQ_TOPK_SQL).df()
+    _cmp(got, want)
+    # quantization fidelity: SQ8 top-10 should recover most of the exact
+    # brute-force top-10 (64 dims, 256 levels -> high-resolution grid)
+    exact = duck.sql(N.brute_force_topk_sql()).df()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        s = set(got.loc[got["query_id"] == qid, "neighbor_id"])
+        recalls.append(len(e & s) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
