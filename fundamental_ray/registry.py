@@ -397,6 +397,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("ann_range_search", N.range_search, N.RANGE_SEARCH_SQL)
     register("ann_sq_topk", N.sq_topk, N.SQ_TOPK_SQL)
 
+    from .ops import pq as PQ
+
+    register("ann_pq_topk", PQ.pq_topk, PQ.PQ_TOPK_SQL)
+
     from .ops import bloom as BL
 
     register("dedup_bloom_delta", BL.bloom_delta_dedup, BL.BLOOM_DELTA_SQL)

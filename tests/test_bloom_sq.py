@@ -93,3 +93,36 @@ def test_sq_topk_oracle_and_recall(ray_session, duck):
         s = set(got.loc[got["query_id"] == qid, "neighbor_id"])
         recalls.append(len(e & s) / len(e))
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_topk_oracle_and_recall(ray_session, duck):
+    from fundamental_ray.ops import ann as N
+    from fundamental_ray.ops import pq as P
+
+    got = P.pq_topk(SF)
+    want = duck.sql(P.PQ_TOPK_SQL).df()
+    _cmp(got, want)
+    # 32x32 codebooks (5-bit codes): coarser than SQ8, but top-10 must
+    # still recover most of the exact brute-force top-10 (deterministic
+    # 0.80 at this corpus; margin for future corpus regeneration)
+    exact = duck.sql(N.brute_force_topk_sql()).df()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        s = set(got.loc[got["query_id"] == qid, "neighbor_id"])
+        recalls.append(len(e & s) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_pq_codebook_contract(ray_session):
+    """Training determinism: two independent runs produce bit-identical
+    codebooks (the rounded-Lloyd contract the SQL oracle relies on), and
+    codes cover at most k_sub distinct values per subspace."""
+    import numpy as np
+
+    from fundamental_ray.ops import pq as P
+
+    b1 = P.train_codebooks(SF)
+    b2 = P.train_codebooks(SF)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (P.PQ_M, P.PQ_KSUB, 64 // P.PQ_M)
