@@ -74,6 +74,8 @@ def run_bench() -> dict:
     from fundamental_ray.ops import text as T
     from fundamental_ray.ops import webtext as WT
     from fundamental_ray.crawl import anchors as ANC
+    from fundamental_ray.ops import bloom as BL
+    from fundamental_ray.ops import pq as PQ
     from fundamental_ray.pipelines import analytics as A
     from fundamental_ray.pipelines import clean as CL
     from fundamental_ray.pipelines.extract import extract_listings_dataset
@@ -186,6 +188,8 @@ def run_bench() -> dict:
         ("text_bigram_perplexity", lambda: WT.bigram_perplexity(sf_dir)),
         ("events_watermark_late", lambda: WT.events_watermark_late(sf_dir)),
         ("crawl_anchor_texts", lambda: ANC.anchor_texts(sf_dir)),
+        ("dedup_bloom_delta", lambda: BL.bloom_delta_dedup(sf_dir)),
+        ("ann_pq_topk", lambda: PQ.pq_topk(sf_dir)),
     ]
     for name, fn in secondary:
         t0 = time.time()

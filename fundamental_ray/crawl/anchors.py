@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -217,4 +218,124 @@ SELECT target_url,
        COUNT(DISTINCT txt)::BIGINT AS n_texts,
        array_to_string(list_sort(list_distinct(list(txt))), '|') AS anchor_texts
 FROM r GROUP BY target_url ORDER BY target_url
+"""
+
+
+# --------------------------------------------------------------------------
+# Focused (best-first) crawl prioritization ----------------------------------
+# The classic anchor-relevance frontier ordering (Cho, Garcia-Molina & Page,
+# "Efficient crawling through URL ordering", WWW 1998; Chakrabarti et al.'s
+# focused crawler): rather than BFS depth or OPIC cash, score every anchor
+# TARGET by how well the text of the links pointing at it matches a topic
+# term set, and schedule the frontier best-first. This is the third crawl-
+# ordering policy in the repo next to priority/seq (reference semantics) and
+# crawl_opic_priorities (importance-driven) — the one a vertical crawl at
+# 10^10 URLs uses to spend fetch budget on-topic.
+#
+# Scale shape: anchor extraction + per-(target) topic scoring is the
+# anchor_texts per-batch combiner (counts collapse within the batch before
+# the one groupby exchange); the ranked cut is a per-block top-k over the
+# aggregated table, so only k rows per block reach the driver — the target
+# universe itself is never collected.
+
+FOCUS_TERMS = (
+    "prinsengracht",
+    "keizersgracht",
+    "herengracht",
+    "singel",
+    "rozengracht",
+)
+FOCUS_TOPK = 25
+
+
+def focused_priorities(sf_dir: str) -> pd.DataFrame:
+    """Top-``FOCUS_TOPK`` frontier schedule (rank, target_url, score,
+    n_links): score = Σ over inbound links of |distinct topic terms among
+    the link text's lowercase tokens|; ties broken by target_url."""
+    from ray.data.aggregate import Sum
+
+    corpus = materialize_corpus(scale_tag_of(sf_dir))
+    terms = set(FOCUS_TERMS)
+
+    def extract(df: pd.DataFrame) -> pa.Table:
+        tgt, sc = [], []
+        for url, html in zip(df["url"], df["html"]):
+            h = (
+                html.decode("utf-8", "replace")
+                if isinstance(html, (bytes, bytearray))
+                else str(html)
+            )
+            if "<a " not in h:
+                continue
+            host = url.split("://", 1)[1].split("/", 1)[0]
+            for href, text in ANCHOR_RE.findall(h):
+                tgt.append(href if href.startswith("http") else f"https://{host}{href}")
+                sc.append(len(set(text.lower().split(" ")) & terms))
+        part = pd.DataFrame({"target_url": tgt, "score": sc})
+        out = part.groupby("target_url", as_index=False).agg(
+            score=("score", "sum"), n_links=("score", "size")
+        )
+        return pa.table(
+            {
+                "target_url": pa.array(out["target_url"], pa.string()),
+                "score": pa.array(out["score"].to_numpy(dtype="int64")),
+                "n_links": pa.array(out["n_links"].to_numpy(dtype="int64")),
+            }
+        )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["score"] > 0]
+        return df.sort_values(
+            ["score", "target_url"], ascending=[False, True]
+        ).head(FOCUS_TOPK)
+
+    cand = (
+        read_parquet_clean(f"{corpus}/pages.parquet", columns=["url", "html"])
+        .map_batches(extract, batch_format="pandas")
+        .groupby("target_url")
+        .aggregate(Sum("score", alias_name="score"), Sum("n_links", alias_name="n_links"))
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    final = (
+        cand.sort_values(["score", "target_url"], ascending=[False, True])
+        .head(FOCUS_TOPK)
+        .reset_index(drop=True)
+    )
+    final.insert(0, "rank", np.arange(1, len(final) + 1, dtype=np.int64))
+    return final.astype({"score": "int64", "n_links": "int64"})
+
+
+def focused_priorities_sql(corpus: str) -> str:
+    pat = r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    terms = ", ".join(f"'{t}'" for t in FOCUS_TERMS)
+    return f"""
+WITH p AS (
+  SELECT url, decode(html) AS h
+  FROM read_parquet('{corpus}/pages.parquet')
+  WHERE contains(decode(html), '<a ')
+), m AS (
+  SELECT url,
+         split_part(split_part(url, '://', 2), '/', 1) AS host,
+         regexp_extract_all(h, '{pat}', 1) AS hrefs,
+         regexp_extract_all(h, '{pat}', 2) AS txts
+  FROM p
+), z AS (
+  SELECT host, unnest(hrefs) AS href, unnest(txts) AS txt FROM m
+), r AS (
+  SELECT CASE WHEN href LIKE 'http%' THEN href
+              ELSE 'https://' || host || href END AS target_url,
+         len(list_intersect(string_split(lower(txt), ' '),
+                            [{terms}])) AS hits
+  FROM z
+), s AS (
+  SELECT target_url, SUM(hits)::BIGINT AS score, COUNT(*)::BIGINT AS n_links
+  FROM r GROUP BY target_url
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY score DESC, target_url)::BIGINT AS rank,
+         target_url, score, n_links
+  FROM s WHERE score > 0
+)
+SELECT rank, target_url, score, n_links
+FROM ranked WHERE rank <= {FOCUS_TOPK} ORDER BY rank
 """

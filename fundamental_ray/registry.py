@@ -481,6 +481,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register_lazy_oracle(
         "crawl_host_graph", lambda corpus, art: ANC.host_graph_sql(corpus)
     )
+    register("crawl_focused_priorities", ANC.focused_priorities)
+    register_lazy_oracle(
+        "crawl_focused_priorities",
+        lambda corpus, art: ANC.focused_priorities_sql(corpus),
+    )
 
     from .crawl import sharding as SHD
 

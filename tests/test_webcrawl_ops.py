@@ -320,3 +320,21 @@ def test_web_corpus_oracle(ray_session, duck):
     assert (got["lang"] == "nl").all()
     assert (got["n_words"] >= 15).all()
     assert got["text"].is_unique
+
+
+def test_focused_priorities_oracle(ray_session):
+    """Best-first anchor-relevance frontier: oracle parity at sf0.001 plus
+    the ordering contract (scores weakly decreasing, ranks 1..k, every
+    scheduled target's slug actually contains a topic term)."""
+    from fundamental_ray.crawl import anchors as A
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = A.focused_priorities(SF)
+    want = duckdb.sql(A.focused_priorities_sql(corpus)).df()
+    _cmp(got, want)
+    assert len(got) == A.FOCUS_TOPK
+    assert (got["score"].to_numpy()[:-1] >= got["score"].to_numpy()[1:]).all()
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    # anchor texts are street names that also appear in the detail slug
+    assert got["target_url"].str.contains("|".join(A.FOCUS_TERMS)).all()
