@@ -207,3 +207,110 @@ FROM s LEFT JOIN c
  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL {RANGE_WINDOW_HOURS} HOUR
 GROUP BY s.event_id, s.user_id, s.ts
 """
+
+
+# --------------------------------------------------------------------------
+# Band (epsilon) self-join ----------------------------------------------------
+# The third temporal/ordered join shape: |value(a) - value(b)| <= eps.
+# Ray Data has no native inequality join, and a hash join cannot express
+# it; the classic distributed plan is VALUE-BUCKETIZATION (DeWitt et al.'s
+# band join, VLDB 1991): bucket width = eps, every qualifying pair then
+# lives either inside one bucket or across two ADJACENT buckets, so each
+# row fans out to its own bucket and the one below and every pair is
+# evaluated (and counted exactly once) in the bucket of its LOWER member.
+# Per-group work is bounded by the value density around that bucket —
+# the documented partitioning assumption; a skewed value (one price held
+# by millions of rows) would need a salt on the bucket key, exactly like
+# agg_skew_salted.
+#
+# Exactness: prices are compared in integer CENTS (|c_a - c_b| <= eps_c)
+# on both sides, so the band boundary cannot flip on a float ulp.
+
+BAND_EPS_CENTS = 20  # +/- 0.20 on p_retailprice
+
+
+def band_join_parts(sf_dir: str) -> pd.DataFrame:
+    """For every part with at least one band-neighbor: (p_partkey, n_band,
+    min_neighbor) where neighbors are OTHER parts within ±eps retail
+    price. Pairs enumerate once in the lower bucket; per-part tallies then
+    merge in one part-keyed groupby of pair-bounded partials."""
+    import numpy as np
+    from ray.data.aggregate import Min, Sum
+
+    eps = BAND_EPS_CENTS
+
+    def fanout(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t.column("p_partkey").to_numpy()
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(t.column("p_retailprice"), 100.0)), pa.int64())
+        )
+        b = cents // eps
+        return pa.table(
+            {
+                "g": np.concatenate([b, b - 1]),
+                "p_partkey": np.concatenate([key, key]),
+                "cents": np.concatenate([cents, cents]),
+                "b": np.concatenate([b, b]),
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        gid = int(g["g"].iloc[0])
+        g = g.sort_values(["cents", "p_partkey"]).reset_index(drop=True)
+        cents = g["cents"].to_numpy(np.int64)
+        keys = g["p_partkey"].to_numpy(np.int64)
+        bs = g["b"].to_numpy(np.int64)
+        hi = np.searchsorted(cents, cents + eps, side="right")
+        lo = np.arange(len(g)) + 1  # j > i: each unordered pair once
+        cnt = np.maximum(hi - lo, 0)
+        ii = np.repeat(np.arange(len(g)), cnt)
+        jj = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) if cnt.sum() else np.empty(0, np.int64)
+        # pair belongs to THIS group iff its lower bucket is gid
+        keep = np.minimum(bs[ii], bs[jj]) == gid
+        ii, jj = ii[keep], jj[keep]
+        ks = np.concatenate([keys[ii], keys[jj]])
+        ns = np.concatenate([keys[jj], keys[ii]])
+        out = pd.DataFrame({"p_partkey": ks, "neighbor": ns})
+        if len(out) == 0:
+            return pd.DataFrame(
+                {"p_partkey": pd.Series([], dtype="int64"),
+                 "n_part": pd.Series([], dtype="int64"),
+                 "min_part": pd.Series([], dtype="int64")}
+            )
+        agg = out.groupby("p_partkey", as_index=False).agg(
+            n_part=("neighbor", "size"), min_part=("neighbor", "min")
+        )
+        return agg.astype({"p_partkey": "int64", "n_part": "int64", "min_part": "int64"})
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+        )
+        .map_batches(fanout, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(per_group, batch_format="pandas")
+        .groupby("p_partkey")
+        .aggregate(Sum("n_part", alias_name="n_band"), Min("min_part", alias_name="min_neighbor"))
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    return out.astype({"p_partkey": "int64", "n_band": "int64", "min_neighbor": "int64"})
+
+
+BAND_JOIN_PARTS_SQL = f"""
+WITH pr AS (
+  SELECT p_partkey, CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS cents
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS k1, b.p_partkey AS k2
+  FROM pr a JOIN pr b
+    ON a.p_partkey <> b.p_partkey
+   AND abs(a.cents - b.cents) <= {BAND_EPS_CENTS}
+)
+SELECT k1 AS p_partkey, COUNT(*)::BIGINT AS n_band, MIN(k2)::BIGINT AS min_neighbor
+FROM pairs GROUP BY k1 ORDER BY p_partkey
+"""

@@ -428,3 +428,115 @@ WHERE l_orderkey IN (
   SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
 )
 """
+
+
+# ----------------------------------------------------------- count-min sketch
+# Count-min (Cormode & Muthukrishnan, J. Algorithms 2005): the THIRD sketch
+# shape next to HLL (distinct) and Misra-Gries (heavy hitters, corpus_stats)
+# — point-frequency estimation in fixed memory with a one-sided error: the
+# estimate never undercounts, and overcounts only by hash-collision mass.
+# A 100-TB pipeline uses it where the term/URL/key universe outgrows even
+# the Misra-Gries candidate set but per-key frequency lookups are needed
+# (e.g. frequency-capped sampling, trap-URL rate limits).
+#
+# Scale shape: each batch folds its token counts into (row, bucket, cnt)
+# partials — at most CMS_D x CMS_W rows per block, CONSTANT in corpus and
+# vocabulary size — merged by one tiny groupby; the estimate pass probes
+# the broadcast (CMS_D x CMS_W)-int table per term. Everything is integer
+# arithmetic on md5-derived positions, so the SQL oracle reproduces the
+# EXACT sketch — collisions, overestimates and all — the dedup_bloom_delta
+# contract applied to counting.
+
+CMS_D = 3  # sketch depth (independent rows)
+CMS_W = 32  # buckets per row — sized BELOW the ~31-term synthetic vocab so
+#             collisions really occur and the min/overestimate path is live
+
+def _cms_positions(term: str) -> np.ndarray:
+    import hashlib
+
+    hx = hashlib.md5(term.encode("utf-8")).hexdigest()
+    h1 = int(hx[:8], 16)
+    h2 = int(hx[8:16], 16) * 2 + 1
+    return (h1 + np.arange(CMS_D, dtype=np.int64) * h2) % CMS_W
+
+
+def sketch_count_min_terms(sf_dir: str) -> pd.DataFrame:
+    """(term, tf_exact, tf_est, overestimate) for every corpus term: the
+    exact distributed term frequency next to its count-min estimate from a
+    CMS_D x CMS_W sketch of the same token stream."""
+    from ray.data.aggregate import Sum
+
+    from .corpus_stats import _corpus_term_stats, _partial_term_counts
+
+    def cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = _partial_term_counts(df)
+        rows = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for t, c in zip(part["term"], part["tf_part"]):
+            rows[np.arange(CMS_D), _cms_positions(t)] += int(c)
+        i, pos = np.nonzero(rows)
+        return pd.DataFrame(
+            {"i": i.astype(np.int64), "pos": pos.astype(np.int64),
+             "cnt": rows[i, pos]}
+        )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cms = (
+        docs.map_batches(cms_partial, batch_format="pandas")
+        .groupby(["i", "pos"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    table[cms["i"].to_numpy(np.int64), cms["pos"].to_numpy(np.int64)] = cms[
+        "cnt"
+    ].to_numpy(np.int64)
+    tref = ray.put(table)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        tab = ray.get(tref)
+        est = np.array(
+            [tab[np.arange(CMS_D), _cms_positions(t)].min() for t in df["term"]],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "term": df["term"],
+                "tf_exact": df["tf"].astype("int64"),
+                "tf_est": est,
+                "overestimate": est - df["tf"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _corpus_term_stats(sf_dir)
+        .map_batches(probe, batch_format="pandas")
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
+SKETCH_COUNT_MIN_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term
+), h AS (
+  SELECT term, tf,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(term), 9, 8))::BIGINT * 2 + 1 AS h2
+  FROM tf
+), cms AS (
+  SELECT i.i AS i, (h1 + i.i * h2) % {CMS_W} AS pos, SUM(tf)::BIGINT AS cnt
+  FROM h CROSS JOIN (SELECT unnest(range({CMS_D})) AS i) i
+  GROUP BY 1, 2
+), est AS (
+  SELECT h.term, h.tf, MIN(c.cnt)::BIGINT AS tf_est
+  FROM h CROSS JOIN (SELECT unnest(range({CMS_D})) AS i) i
+  JOIN cms c ON c.i = i.i AND c.pos = (h.h1 + i.i * h.h2) % {CMS_W}
+  GROUP BY h.term, h.tf
+)
+SELECT term, tf AS tf_exact, tf_est, (tf_est - tf)::BIGINT AS overestimate
+FROM est ORDER BY term
+"""

@@ -118,12 +118,14 @@ def _populate() -> None:
 
     register("join_asof_prior_view", J.asof_prior_view, J.ASOF_PRIOR_VIEW_SQL)
     register("join_range_click_window", J.range_click_window, J.RANGE_CLICK_WINDOW_SQL)
+    register("join_band_parts", J.band_join_parts, J.BAND_JOIN_PARTS_SQL)
 
     from .ops import sketch as SK
 
     register("sketch_distinct_users_daily", SK.distinct_users_daily, SK.DISTINCT_USERS_DAILY_SQL)
     register("join_bloom_semi_urgent", SK.bloom_semi_join_urgent, SK.BLOOM_SEMI_JOIN_SQL)
     register("sketch_quantiles_price", SK.sketch_quantiles_price, SK.SKETCH_QUANTILES_SQL)
+    register("sketch_count_min_terms", SK.sketch_count_min_terms, SK.SKETCH_COUNT_MIN_SQL)
     register("merge_latest_wins", A.latest_wins_merge, A.LATEST_WINS_MERGE_SQL)
     register("events_sessionize", A.events_sessionize, A.EVENTS_SESSIONIZE_SQL)
     register("events_tumbling_window", A.events_tumbling_window, A.EVENTS_TUMBLING_SQL)

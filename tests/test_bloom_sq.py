@@ -126,3 +126,23 @@ def test_pq_codebook_contract(ray_session):
     b2 = P.train_codebooks(SF)
     assert np.array_equal(b1, b2)
     assert b1.shape == (P.PQ_M, P.PQ_KSUB, 64 // P.PQ_M)
+
+
+def test_count_min_oracle_and_one_sided_error(ray_session, duck):
+    """Count-min: oracle parity at sf0.001 plus the sketch's defining
+    one-sided error — estimates never undercount, and at the registered
+    width (32 < vocab) some overestimates must actually occur."""
+    from fundamental_ray.ops import sketch as SK
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    got = SK.sketch_count_min_terms(SF)
+    want = con.sql(SK.SKETCH_COUNT_MIN_SQL).df()
+    _cmp(got, want)
+    assert (got["tf_est"] >= got["tf_exact"]).all()
+    assert (got["overestimate"] > 0).any(), "width must force live collisions"
+    # total mass conservation per sketch row: sum of exact tfs == row sum
+    assert got["tf_exact"].sum() == duckdb.sql(
+        f"SELECT count(*) FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) "
+        f"FROM read_parquet('{SF}/documents.parquet'))"
+    ).fetchone()[0]

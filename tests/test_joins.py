@@ -106,3 +106,30 @@ def test_range_window_edges(ray_session, micro_events):
     got = J.range_click_window(micro_events).set_index("event_id")
     assert got.loc[7, "n_clicks_6h"] == 1            # only the ts==start click
     assert got.loc[7, "click_value_6h"] == 3.0
+
+
+def test_band_join_parts_brute(ray_session):
+    """Band self-join vs an O(n^2) integer-cents brute force at sf0.001,
+    plus the symmetry contract (every pair contributes to both endpoints:
+    total n_band is even and equals 2x the unordered pair count)."""
+    import pyarrow.parquet as pq
+
+    got = J.band_join_parts(SF)
+    t = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey", "p_retailprice"])
+    keys = t.column("p_partkey").to_numpy()
+    cents = np.round(t.column("p_retailprice").to_numpy() * 100.0).astype(np.int64)
+    rows = {}
+    for i in range(len(keys)):
+        d = np.abs(cents - cents[i]) <= J.BAND_EPS_CENTS
+        d[i] = False
+        nb = keys[d]
+        if len(nb):
+            rows[int(keys[i])] = (len(nb), int(nb.min()))
+    want = pd.DataFrame(
+        [(k, n, mn) for k, (n, mn) in sorted(rows.items())],
+        columns=["p_partkey", "n_band", "min_neighbor"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+    assert got["n_band"].sum() % 2 == 0
