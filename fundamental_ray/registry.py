@@ -120,6 +120,11 @@ def _populate() -> None:
     register("join_range_click_window", J.range_click_window, J.RANGE_CLICK_WINDOW_SQL)
     register("join_band_parts", J.band_join_parts, J.BAND_JOIN_PARTS_SQL)
 
+    from .ops import fuzzy as FZ
+
+    register("join_fuzzy_terms", FZ.fuzzy_term_pairs, FZ.FUZZY_TERM_PAIRS_SQL)
+    register("embed_random_projection", FZ.random_projection, FZ.RANDOM_PROJECTION_SQL)
+
     from .ops import sketch as SK
 
     register("sketch_distinct_users_daily", SK.distinct_users_daily, SK.DISTINCT_USERS_DAILY_SQL)
