@@ -993,3 +993,149 @@ l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"""
 
 
 LABEL_PROPAGATION_SQL = label_propagation_sql()
+
+
+# ------------------------------------------------------- personalized pagerank
+# PPR (Page et al. 1999 §6; Haveliwala's topic-sensitive variant): the
+# teleport mass lands on a SEED SET instead of uniformly — the canonical
+# seed-biased crawl-importance measure (schedule fetches by proximity to
+# trusted hubs; TrustRank is exactly this with a spam-free seed basket).
+# Same once-shuffled bucket edge index, pre-routed plasma push and
+# per-iteration 12-dp rounding contract as pagerank; only the base term
+# changes from (1-d)/N to (1-d)/|S| · 1[v ∈ S], so the unrolled-CTE
+# oracle mirrors the full iteration as before.
+
+PPR_SEED_MAX = 10  # seeds = part-side nodes with key <= 10
+
+
+def _ppr_base(index: "np.ndarray", seeds: tuple, base: float) -> "np.ndarray":
+    return np.where(np.isin(index, np.asarray(seeds, dtype=np.int64)), base, 0.0)
+
+
+def _merge_rank_ppr(slices, seeds: tuple, base: float, d: float) -> pd.Series:
+    import pyarrow as pa
+
+    df = pa.concat_tables(slices).to_pandas()
+    s = df.groupby("dst", sort=False)["c"].sum()
+    idx = s.index.to_numpy(np.int64)
+    return pd.Series(
+        r2(_ppr_base(idx, seeds, base) + d * s.to_numpy(), RANK_DECIMALS), index=idx
+    )
+
+
+@_ray.remote(num_cpus=1)
+def _ppr_seed_nodes(edge_dir: str, bucket: int) -> list:
+    e = _read_bucket_edges(edge_dir, bucket)
+    u = e["src"].unique()
+    return sorted(int(x) for x in u[u <= PPR_SEED_MAX])
+
+
+@_ray.remote(num_cpus=1)
+def _ppr_push_init(edge_dir: str, bucket: int, seeds: tuple, init: float):
+    e = _read_bucket_edges(edge_dir, bucket)
+    srcs = e["src"].unique()
+    rank = pd.Series(
+        np.where(np.isin(srcs, np.asarray(seeds, dtype=np.int64)), init, 0.0),
+        index=srcs.astype(np.int64),
+    )
+    return _push_slices(e, rank)
+
+
+@_ray.remote(num_cpus=1)
+def _ppr_merge_push(edge_dir: str, bucket: int, seeds: tuple, base: float,
+                    d: float, *slices):
+    rank = _merge_rank_ppr(slices, seeds, base, d)
+    return _push_slices(_read_bucket_edges(edge_dir, bucket), rank)
+
+
+@_ray.remote(num_cpus=1)
+def _ppr_merge_final(seeds: tuple, base: float, d: float, *slices):
+    import pyarrow as pa
+
+    rank = _merge_rank_ppr(slices, seeds, base, d)
+    return pa.table(
+        {"node": rank.index.to_numpy(np.int64), "rank": rank.to_numpy(np.float64)}
+    )
+
+
+def personalized_pagerank(
+    sf_dir: str, iters: int = PAGERANK_ITERS, d: float = PAGERANK_D
+) -> pd.DataFrame:
+    """(node, rank) after ``iters`` seed-teleport rank-push rounds."""
+    import ray
+
+    edge_dir = build_edge_index(sf_dir)
+    buckets = [b for b in range(_B) if _bucket_edge_files(edge_dir, b)]
+
+    seeds = tuple(
+        sorted(
+            x
+            for part in ray.get([_ppr_seed_nodes.remote(edge_dir, b) for b in buckets])
+            for x in part
+        )
+    )
+    ns = len(seeds)
+    base = (1.0 - d) / ns
+    init = float(r2(1.0 / ns, RANK_DECIMALS))
+
+    opts = {"num_returns": _B}
+    slices = [
+        _ppr_push_init.options(**opts).remote(edge_dir, b, seeds, init)
+        for b in buckets
+    ]
+    for _ in range(iters - 1):
+        slices = [
+            _ppr_merge_push.options(**opts).remote(
+                edge_dir, b, seeds, base, d, *[s[b] for s in slices]
+            )
+            for b in buckets
+        ]
+    finals = [
+        _ppr_merge_final.remote(seeds, base, d, *[s[b] for s in slices])
+        for b in buckets
+    ]
+    import pyarrow as pa
+
+    out = pa.concat_tables(ray.get(finals)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def personalized_pagerank_sql(
+    iters: int = PAGERANK_ITERS, d: float = PAGERANK_D
+) -> str:
+    nd = RANK_DECIMALS
+    ctes = [
+        f"""e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT p AS src, s + {SUPPLIER_OFFSET} AS dst FROM e0
+  UNION ALL
+  SELECT s + {SUPPLIER_OFFSET} AS src, p AS dst FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ns AS (SELECT COUNT(*)::DOUBLE AS n FROM deg WHERE src <= {PPR_SEED_MAX}),
+r0 AS (
+  SELECT src AS node,
+         CASE WHEN src <= {PPR_SEED_MAX}
+              THEN ROUND(1.0 / (SELECT n FROM ns), {nd}) ELSE 0.0 END AS rank
+  FROM deg
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         ROUND(CASE WHEN e.dst <= {PPR_SEED_MAX}
+                    THEN (1.0 - {d}) / (SELECT n FROM ns) ELSE 0.0 END
+               + {d} * SUM(r.rank / dg.deg), {nd}) AS rank
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters} ORDER BY node"
+    )
+
+
+PERSONALIZED_PAGERANK_SQL = personalized_pagerank_sql()

@@ -1032,3 +1032,80 @@ SELECT p.doc_id, dl.lang, p.ppl,
 FROM p JOIN dl USING (doc_id)
 ORDER BY p.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick) ----------------------------------------
+# Weinberger et al., "Feature Hashing for Large Scale Multitask Learning"
+# (ICML 2009): map each token to one of FH_DIM buckets with a +/-1 sign so
+# the hashed bag-of-words is an unbiased inner-product sketch — the
+# fixed-width, vocabulary-free featurization a 100-TB pipeline feeds to
+# linear quality models (ops/model.py) when even a pruned vocabulary
+# broadcast is unwanted. The sparse sibling of embed_random_projection.
+#
+# Scale shape: pure map, zero exchange, no vocabulary state of any kind —
+# bucket and sign are md5 functions of the token. All-integer output, so
+# the SQL oracle (conditional sums per bucket) is exact with no rounding
+# contract needed.
+
+FH_DIM = 16
+
+
+def _fh_bucket_sign(tok: str) -> tuple[int, int]:
+    hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+    return int(hx[:8], 16) % FH_DIM, 1 if int(hx[8:16], 16) % 2 == 0 else -1
+
+
+def feature_hashing(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, f0..f{FH_DIM-1}): signed hashed token counts."""
+    from .text import WORD_RE
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(WORD_RE)
+        vecs = np.zeros((len(df), FH_DIM), dtype=np.int64)
+        n_tok = np.zeros(len(df), dtype=np.int64)
+        for r, ts in enumerate(toks):
+            n_tok[r] = len(ts)
+            for t in ts:
+                b, s = _fh_bucket_sign(t)
+                vecs[r, b] += s
+        out = {"doc_id": df["doc_id"].astype("int64"), "n_tokens": n_tok}
+        for j in range(FH_DIM):
+            out[f"f{j}"] = vecs[:, j]
+        return pd.DataFrame(out)
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(block, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def feature_hashing_sql(d: int = FH_DIM) -> str:
+    cols = ",\n       ".join(
+        f"COALESCE(SUM(CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % {d} = {j}"
+        f" THEN CASE WHEN ('0x' || substr(md5(tok), 9, 8))::BIGINT % 2 = 0"
+        f" THEN 1 ELSE -1 END ELSE 0 END), 0)::BIGINT AS f{j}"
+        for j in range(d)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+)
+SELECT d.doc_id,
+       COALESCE(t.n, 0)::BIGINT AS n_tokens,
+       {{cols}}
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+) t ON t.doc_id = d.doc_id
+LEFT JOIN toks k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id, t.n
+ORDER BY d.doc_id
+""".replace("{cols}", cols)
+
+
+FEATURE_HASHING_SQL = feature_hashing_sql()

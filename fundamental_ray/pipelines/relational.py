@@ -1674,6 +1674,85 @@ FROM n JOIN fin f ON f.user_id = n.user_id AND f.rn = 1
 
 
 # --------------------------------------------------------------------------
+# Per-user Holt double exponential smoothing (level + trend) — the EWMA
+# op's big sibling: forecast-capable streaming smoothing (capacity
+# planning, rate trend alarms). alpha = beta = 1/2 keeps every operation a
+# dyadic halving, so the coupled (level, trend) recurrence is bit-identical
+# across engines with NO rounding slack needed until the final 6-dp
+# presentation round — the EWMA/autothrottle determinism contract extended
+# to a two-variable state. Same bucketized per-user ordered fold (ONE
+# exchange); oracle is a recursive CTE carrying the (level, trend) pair.
+# Init: level_0 = v_0, trend_0 = 0; for t >= 1:
+#   level_t = (v_t + (level_{t-1} + trend_{t-1})) / 2
+#   trend_t = ((level_t - level_{t-1}) + trend_{t-1}) / 2
+
+
+def events_holt_smoothing(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = (df["user_id"].astype("int64") % EWMA_BUCKETS).astype("int64")
+        return df
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = {"user_id": [], "n_events": [], "level": [], "trend": [],
+               "forecast": []}
+        for uid, per in g.groupby("user_id", sort=False):
+            vs = per["value"].to_numpy(np.float64)
+            lev, tr = vs[0], 0.0
+            for v in vs[1:]:
+                nlev = (v + (lev + tr)) / 2.0
+                tr = ((nlev - lev) + tr) / 2.0
+                lev = nlev
+            out["user_id"].append(int(uid))
+            out["n_events"].append(len(per))
+            out["level"].append(round(lev, 6))
+            out["trend"].append(round(tr, 6))
+            out["forecast"].append(round(lev + tr, 6))
+        return pd.DataFrame(out).astype({"user_id": "int64", "n_events": "int64"})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_HOLT_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS seq,
+         value
+  FROM events
+),
+rec(user_id, seq, lev, tr) AS (
+  SELECT user_id, 0::BIGINT, value::DOUBLE, 0.0::DOUBLE
+  FROM ev WHERE seq = 0
+  UNION ALL
+  SELECT rec.user_id, e.seq,
+         (e.value + (rec.lev + rec.tr)) / 2.0,
+         (((e.value + (rec.lev + rec.tr)) / 2.0 - rec.lev) + rec.tr) / 2.0
+  FROM rec JOIN ev e ON e.user_id = rec.user_id AND e.seq = rec.seq + 1
+),
+fin AS (
+  SELECT user_id, lev, tr,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM rec
+),
+n AS (SELECT user_id, COUNT(*)::BIGINT AS n_events FROM ev GROUP BY user_id)
+SELECT n.user_id, n.n_events, ROUND(f.lev, 6) AS level,
+       ROUND(f.tr, 6) AS trend, ROUND(f.lev + f.tr, 6) AS forecast
+FROM n JOIN fin f ON f.user_id = n.user_id AND f.rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Market-basket lift: association mining over order baskets (Agrawal &
 # Srikant's support/lift framing) — the same count-ratio family as the PMI
 # collocation op (ops/webtext.py) but basket-scoped: which part PAIRS
@@ -1810,4 +1889,91 @@ JOIN item i1 ON i1.l_partkey = p.p1
 JOIN item i2 ON i2.l_partkey = p.p2
 WHERE p.cnt >= {BASKET_MIN_SUPPORT}
 ORDER BY lift DESC, p1, p2 LIMIT {BASKET_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles) —
+# the classic direct-marketing segmentation (Hughes 1994), and the repo's
+# demonstration of the dimension-bounded two-stage window: the order
+# STREAM reduces to one row per customer via a distributed groupby of
+# integer-exact partials (cents), and the NTILE(5) scoring then runs over
+# the CUSTOMER-dim table — bounded like corpus_source_mixture's domain
+# fold, not by order volume. At 10^9 customers the scoring pass would
+# swap to the select_corpus histogram-rank cut; the aggregate stage is
+# unchanged. Tie-break: (dimension DESC, o_custkey) mirrors NTILE's
+# first-buckets-get-extra rule deterministically.
+
+RFM_K = 5
+
+
+def _ntile_desc(df: pd.DataFrame, col: str, k: int = RFM_K) -> pd.Series:
+    order = df.sort_values([col, "o_custkey"], ascending=[False, True]).index
+    n = len(df)
+    base, extra = n // k, n % k
+    codes = np.empty(n, dtype=np.int64)
+    start = 0
+    for b in range(k):
+        size = base + (1 if b < extra else 0)
+        codes[start : start + size] = b + 1
+        start += size
+    return pd.Series(codes, index=order).sort_index()
+
+
+def agg_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Max("o_orderdate", alias_name="last_order"),
+            Sum("cents", alias_name="total_cents"),
+        )
+        .to_pandas()  # customer-dim bounded (see header)
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    cust["n_orders"] = cust["n_orders"].astype("int64")
+    cust["total_cents"] = cust["total_cents"].astype("int64")
+    cust["r_score"] = _ntile_desc(cust, "last_order")
+    cust["f_score"] = _ntile_desc(cust, "n_orders")
+    cust["m_score"] = _ntile_desc(cust, "total_cents")
+    cust["rfm_code"] = (
+        cust["r_score"] * 100 + cust["f_score"] * 10 + cust["m_score"]
+    ).astype("int64")
+    return cust
+
+
+AGG_RFM_SQL = f"""
+WITH c AS (
+  SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
+         MAX(o_orderdate) AS last_order,
+         SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))::BIGINT AS total_cents
+  FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT o_custkey, n_orders, last_order, total_cents,
+         NTILE({RFM_K}) OVER (ORDER BY last_order DESC, o_custkey)::BIGINT AS r_score,
+         NTILE({RFM_K}) OVER (ORDER BY n_orders DESC, o_custkey)::BIGINT AS f_score,
+         NTILE({RFM_K}) OVER (ORDER BY total_cents DESC, o_custkey)::BIGINT AS m_score
+  FROM c
+)
+SELECT o_custkey, n_orders, last_order, total_cents, r_score, f_score, m_score,
+       (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm_code
+FROM s ORDER BY o_custkey
 """

@@ -146,6 +146,8 @@ def _populate() -> None:
     register("events_windowed_topk", R.events_windowed_topk, R.EVENTS_WINDOWED_TOPK_SQL)
     register("agg_benford_deviation", R.agg_benford_deviation, R.AGG_BENFORD_SQL)
     register("events_ewma_value", R.events_ewma_value, R.EVENTS_EWMA_SQL)
+    register("events_holt_smoothing", R.events_holt_smoothing, R.EVENTS_HOLT_SQL)
+    register("agg_rfm_segments", R.agg_rfm_segments, R.AGG_RFM_SQL)
     register("window_moving_avg", R.window_moving_avg, R.WINDOW_MOVING_AVG_SQL)
     register(
         "events_cohort_retention", R.events_cohort_retention, R.EVENTS_COHORT_RETENTION_SQL
@@ -170,6 +172,11 @@ def _populate() -> None:
         R.SET_OPS_USER_MEMBERSHIP_SQL,
     )
     register("graph_pagerank", GR.pagerank, GR.PAGERANK_SQL)
+    register(
+        "graph_personalized_pagerank",
+        GR.personalized_pagerank,
+        GR.PERSONALIZED_PAGERANK_SQL,
+    )
     register("crawl_opic_priorities", GR.opic_importance, GR.OPIC_SQL)
     register("graph_triangle_count", GR.triangle_count, GR.TRIANGLE_COUNT_SQL)
     register("graph_hits", GR.hits, GR.HITS_SQL)
@@ -425,6 +432,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("corpus_source_mixture", W.source_mixture, W.SOURCE_MIXTURE_SQL)
     register("sample_pps", W.pps_sample, W.PPS_SAMPLE_SQL)
     register("text_flesch_by_source", W.flesch_by_source, W.FLESCH_BY_SOURCE_SQL)
+    register("text_feature_hashing", W.feature_hashing, W.FEATURE_HASHING_SQL)
     register("text_zipf_slope", CS.zipf_slope, CS.ZIPF_SLOPE_SQL)
 
     from .ops import spans as SP
@@ -521,6 +529,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     register("pipeline_web_corpus", WET.web_corpus)
     register_lazy_oracle(
         "pipeline_web_corpus", lambda corpus, art: WET.web_corpus_sql(corpus)
+    )
+    register("crawl_wat_records", WET.wat_records)
+    register_lazy_oracle(
+        "crawl_wat_records", lambda corpus, art: WET.wat_records_sql(corpus)
     )
 
     from .crawl import revisit as REV

@@ -474,3 +474,53 @@ def test_opic_matches_oracle_and_conserves_cash(ray_session):
     sup = got[got.node >= G.SUPPLIER_OFFSET]["importance"].mean()
     part = got[got.node < G.SUPPLIER_OFFSET]["importance"].mean()
     assert sup > part
+
+
+def test_personalized_pagerank_matches_and_seeds_dominate(ray_session):
+    got = G.personalized_pagerank(SF)
+    exp = _oracle(G.PERSONALIZED_PAGERANK_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp[["node", "rank"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # teleport goes to the seed basket: seeds average strictly above
+    # non-seed parts (proximity bias is the point of PPR)
+    seeds = got[got.node <= G.PPR_SEED_MAX]["rank"]
+    rest = got[(got.node > G.PPR_SEED_MAX) & (got.node < G.SUPPLIER_OFFSET)]["rank"]
+    assert len(seeds) > 0
+    assert seeds.mean() > rest.mean()
+    # mass conserved (symmetric graph, no dangling nodes)
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_holt_smoothing_matches_and_reduces_to_ewma_on_flat_trend(ray_session):
+    got = R.events_holt_smoothing(SF)
+    want = _oracle(R.EVENTS_HOLT_SQL).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns.tolist()], check_dtype=False
+    )
+    # single-event users: level == the value, trend == 0, forecast == level
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    singles = ev["user_id"].value_counts()
+    singles = set(singles[singles == 1].index)
+    if singles:
+        sub = got[got["user_id"].isin(singles)]
+        assert (sub["trend"] == 0.0).all()
+        assert (sub["forecast"] == sub["level"]).all()
+    # forecast is always level + trend at 6 dp
+    import numpy as np
+    assert np.allclose(got["forecast"], (got["level"] + got["trend"]).round(6), atol=2e-6)
+
+
+def test_rfm_segments_matches_and_quintiles_balanced(ray_session):
+    got = R.agg_rfm_segments(SF)
+    want = _oracle(R.AGG_RFM_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns.tolist()], check_dtype=False
+    )
+    # NTILE(5) balance: bucket sizes differ by at most one, in every dim
+    for c in ("r_score", "f_score", "m_score"):
+        sizes = got[c].value_counts()
+        assert set(sizes.index) == {1, 2, 3, 4, 5}
+        assert sizes.max() - sizes.min() <= 1

@@ -338,3 +338,22 @@ def test_focused_priorities_oracle(ray_session):
     assert got["rank"].tolist() == list(range(1, len(got) + 1))
     # anchor texts are street names that also appear in the detail slug
     assert got["target_url"].str.contains("|".join(A.FOCUS_TERMS)).all()
+
+
+def test_wat_records_oracle(ray_session):
+    """WAT metadata sidecar: oracle parity at sf0.001 plus the structural
+    contract (internal+external == links; detail pages are leaf nodes,
+    list pages fan out)."""
+    from fundamental_ray.crawl import wet as W
+    from fundamental_ray.synth.materialize import materialize_corpus, scale_tag_of
+
+    corpus = materialize_corpus(scale_tag_of(SF))
+    got = W.wat_records(SF)
+    want = duckdb.sql(W.wat_records_sql(corpus)).df()
+    _cmp(got, want)
+    assert (got["n_internal"] + got["n_external"] == got["n_links"]).all()
+    detail = got[got["url"].str.contains("/detail/")]
+    lists = got[got["url"].str.contains("/zoeken/")]
+    assert (detail["n_links"] == 0).all()
+    assert (lists["n_links"] > 0).all()
+    assert (lists["title"].str.len() > 0).all()

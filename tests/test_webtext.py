@@ -234,3 +234,18 @@ def test_flesch_by_source_oracle(ray_session, duck):
     # integer totals are internally consistent: every doc has >= 1 sentence
     assert (got["sentences"] >= got["n_docs"]).all()
     assert (got["syllables"] <= got["words"] * 10).all()  # sanity bound
+
+
+def test_feature_hashing_oracle_and_mass(ray_session, duck):
+    """Hashing trick: oracle parity (all-integer, no rounding contract)
+    plus mass conservation — sum of |bucket| counts <= n_tokens with
+    equality iff no in-doc sign cancellation, and the signed total equals
+    the sum of per-token signs."""
+    from fundamental_ray.ops import webtext as W
+
+    got = W.feature_hashing(SF)
+    want = duck.sql(W.FEATURE_HASHING_SQL).df()
+    _cmp(got, want)
+    f = got[[c for c in got.columns if c.startswith("f")]]
+    assert (f.abs().sum(axis=1) <= got["n_tokens"]).all()
+    assert (f.abs().sum(axis=1) % 2 == got["n_tokens"] % 2).all()  # parity
