@@ -1212,3 +1212,42 @@ LEFT JOIN base b USING (text_hash)
 JOIN dmin m USING (text_hash)
 ORDER BY doc_id
 """
+
+
+# -------------------------------------------------- cross-method dedup audit
+# The method-comparison table of Lee et al. (ACL'22 §5) / the Dolma paper's
+# dedup ablations: run every dedup detector over the SAME corpus and report
+# how many documents each one implicates — the number a pipeline owner
+# reads before choosing which (combination of) detectors to pay for at
+# 100 TB. Pure composition: each constituent keeps its own scale shape
+# (bucketed index joins, block-pair fan-outs, broadcast bloom); this op
+# adds only per-method COUNT folds over their outputs.
+
+
+def dedup_method_report(sf_dir: str) -> pd.DataFrame:
+    """(method, n_docs, param): documents implicated per dedup method —
+    members of a >1 exact-hash group; endpoints of verified minhash /
+    simhash / embedding near-dup pairs; bloom-flagged delta docs."""
+    from .bloom import BLOOM_DUP_FRAC, bloom_delta_dedup
+
+    rows = []
+    ex = exact_dedup(sf_dir)
+    rows.append(
+        ("exact", int(ex.loc[ex["dup_count"] > 1, "dup_count"].sum()), "md5(text)")
+    )
+    mh = minhash_lsh_pairs(sf_dir, 0.5)
+    rows.append(("minhash_lsh", len(set(mh["a"]) | set(mh["b"])), "jaccard>=0.5"))
+    sh = simhash_pairs(sf_dir, 6)
+    rows.append(("simhash", len(set(sh["a"]) | set(sh["b"])), "hamming<=6"))
+    em = embedding_neardup_pairs(sf_dir, 0.35)
+    rows.append(("embedding", len(set(em["a"]) | set(em["b"])), "cosine>=0.35"))
+    bl = bloom_delta_dedup(sf_dir)
+    rows.append(
+        ("bloom_delta", int(bl["is_dup"].sum()), f"chunk_frac>={BLOOM_DUP_FRAC}")
+    )
+    out = pd.DataFrame(rows, columns=["method", "n_docs", "param"])
+    return (
+        out.astype({"n_docs": "int64"})
+        .sort_values("method")
+        .reset_index(drop=True)
+    )

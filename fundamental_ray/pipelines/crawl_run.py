@@ -615,3 +615,53 @@ SELECT host,
        has_query, COUNT(*)::BIGINT AS n
 FROM u GROUP BY 1, 2, 3 ORDER BY host, depth, has_query
 """
+
+
+def crawl_nearest_metro(sf_dir: str) -> pd.DataFrame:
+    """Nearest-metro-center assignment for every successfully geocoded
+    property: (url, nearest_city, dist2) — the spatial broadcast join a
+    geo-partitioned store shards by (assign each point to a region owner,
+    then partition by the owner). Distance is SQUARED DEGREE distance —
+    pure arithmetic in the same operation order as the SQL oracle, so the
+    argmin is bit-deterministic (no trig, no ulp slack); ties break on
+    city name. Centers are the 6-row metro table, broadcast in the
+    closure; assignment is a zero-exchange vectorized map over the
+    geocoded store."""
+    import numpy as np
+    import ray.data
+
+    from ..ops.geometry import metro_centers
+
+    geo = crawl_geocoded(sf_dir)
+    geo = geo[geo["latitude"].notna()].reset_index(drop=True)
+    centers = metro_centers(crawl_listings(sf_dir).to_pandas())
+    cities = centers["city"].to_numpy()
+    order = np.argsort(cities)  # tie-break: city asc wins at equal d2
+    cities = cities[order]
+    clat = centers["center_lat"].to_numpy(np.float64)[order]
+    clng = centers["center_lng"].to_numpy(np.float64)[order]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lat = df["latitude"].to_numpy(np.float64)
+        lng = df["longitude"].to_numpy(np.float64)
+        d2 = (lat[:, None] - clat[None, :]) * (lat[:, None] - clat[None, :]) + (
+            lng[:, None] - clng[None, :]
+        ) * (lng[:, None] - clng[None, :])
+        from .analytics import r2
+
+        best = np.argmin(d2, axis=1)  # first (city-asc) index wins ties
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "nearest_city": cities[best],
+                "dist2": r2(d2[np.arange(len(df)), best], 6),
+            }
+        )
+
+    return (
+        ray.data.from_pandas(geo[["url", "latitude", "longitude"]])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )

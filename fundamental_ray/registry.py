@@ -26,6 +26,14 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> Non
         _ORACLES[name] = sql
 
 
+def _bloom_subq() -> str:
+    """BLOOM_DELTA_SQL as an embeddable derived-table body (DuckDB accepts
+    a WITH inside a parenthesized subquery)."""
+    from .ops.bloom import BLOOM_DELTA_SQL
+
+    return BLOOM_DELTA_SQL.strip()
+
+
 def register_lazy_oracle(name: str, build: Callable[[str, str], str]) -> None:
     """``build(corpus_dir, artifact_dir) -> SQL`` — resolved at oracle_sql()
     time so path-embedded oracles never force corpus/artifact builds on
@@ -397,6 +405,74 @@ JOIN read_parquet('{art}/sh_sigs.parquet') b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,
     )
+    register("dedup_method_report", D.dedup_method_report)
+    register_lazy_oracle(
+        # cross-method audit: counts composed from the constituent oracles
+        # (documents view for exact/bloom; shingle/band/simhash artifacts
+        # for the near-dup pair methods)
+        "dedup_method_report",
+        lambda corpus, art: f"""
+WITH exg AS (SELECT COUNT(*)::BIGINT AS dup_count FROM documents GROUP BY md5(text)),
+sh AS (SELECT doc_id, shingles FROM read_parquet('{art}/doc_shingles.parquet')),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM read_parquet('{art}/mh_bands.parquet') x
+  JOIN read_parquet('{art}/mh_bands.parquet') y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+mhp AS (
+  SELECT a, b FROM (
+    SELECT p.a, p.b,
+           CASE WHEN len(sa.shingles) = 0 AND len(sb.shingles) = 0 THEN 1.0
+                WHEN len(sa.shingles) = 0 OR len(sb.shingles) = 0 THEN 0.0
+                ELSE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles)))
+           END AS jac
+    FROM cand p
+    JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
+  ) WHERE ROUND(jac, 6) >= 0.5
+),
+shp AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM read_parquet('{art}/sh_sigs.parquet') a
+  JOIN read_parquet('{art}/sh_sigs.parquet') b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+emp AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+),
+blm AS (SELECT * FROM ({_bloom_subq()}) t)
+SELECT * FROM (
+  SELECT 'bloom_delta' AS method,
+         (SELECT COUNT(*) FILTER (is_dup) FROM blm)::BIGINT AS n_docs,
+         'chunk_frac>=0.8' AS param
+  UNION ALL
+  SELECT 'embedding',
+         (SELECT COUNT(DISTINCT d) FROM
+            (SELECT a AS d FROM emp UNION SELECT b FROM emp))::BIGINT,
+         'cosine>=0.35'
+  UNION ALL
+  SELECT 'exact',
+         (SELECT COALESCE(SUM(dup_count) FILTER (dup_count > 1), 0)
+          FROM exg)::BIGINT,
+         'md5(text)'
+  UNION ALL
+  SELECT 'minhash_lsh',
+         (SELECT COUNT(DISTINCT d) FROM
+            (SELECT a AS d FROM mhp UNION SELECT b FROM mhp))::BIGINT,
+         'jaccard>=0.5'
+  UNION ALL
+  SELECT 'simhash',
+         (SELECT COUNT(DISTINCT d) FROM
+            (SELECT a AS d FROM shp UNION SELECT b FROM shp))::BIGINT,
+         'hamming<=6'
+) ORDER BY method
+""",
+    )
+
     register("ann_brute_force_topk", N.brute_force_topk, N.brute_force_topk_sql())
     # probe width chosen so recall is exactly 1.0 at the driver scale —
     # the brute-force SQL is then a hard oracle for the bucketed dataflow;
@@ -707,6 +783,41 @@ FROM g
 """,
     )
     register("crawl_district_hulls", C.crawl_district_hulls)
+    register("crawl_nearest_metro", C.crawl_nearest_metro)
+    register_lazy_oracle(
+        # composes the md5 geocode resolver (crawl_geocoded's oracle) with
+        # the metro-centers artifact: squared-degree-distance argmin in the
+        # SAME operation order as the Ray side, tie-break city asc
+        "crawl_nearest_metro",
+        lambda corpus, art: f"""
+WITH g AS (
+  SELECT url,
+         street IS NOT NULL AND postal_code IS NOT NULL AND city IS NOT NULL AS eligible,
+         md5(street || '|' || postal_code || '|' || city) AS h
+  FROM read_parquet('{corpus}/golden_listings.parquet')
+), geo AS (
+  SELECT url,
+    50.75 + (('0x' || substr(h, 1, 8))::UBIGINT % 300000) / 100000.0 AS latitude,
+    3.2 + (('0x' || substr(h, 9, 8))::UBIGINT % 400000) / 100000.0 AS longitude
+  FROM g
+  WHERE eligible AND ('0x' || substr(h, 17, 2))::UBIGINT % 10 <> 0
+), c AS (
+  SELECT city, center_lat, center_lng
+  FROM read_parquet('{art}/metro_expected.parquet')
+), d AS (
+  SELECT geo.url, c.city,
+         (geo.latitude - c.center_lat) * (geo.latitude - c.center_lat)
+       + (geo.longitude - c.center_lng) * (geo.longitude - c.center_lng) AS d2
+  FROM geo CROSS JOIN c
+), r AS (
+  SELECT url, city, d2,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY d2, city) AS rn
+  FROM d
+)
+SELECT url, city AS nearest_city, ROUND(d2, 6) AS dist2
+FROM r WHERE rn = 1 ORDER BY url
+""",
+    )
     register_lazy_oracle(
         "crawl_district_hulls",
         lambda corpus, art: f"SELECT * FROM read_parquet('{art}/hulls_expected.parquet')",

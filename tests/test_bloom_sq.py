@@ -146,3 +146,17 @@ def test_count_min_oracle_and_one_sided_error(ray_session, duck):
         f"SELECT count(*) FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) "
         f"FROM read_parquet('{SF}/documents.parquet'))"
     ).fetchone()[0]
+
+
+def test_dedup_method_report_invariants(ray_session):
+    """Cross-method audit: exact duplicates are jaccard-1.0 and hamming-0
+    pairs, so the exact count can never exceed the minhash or simhash
+    counts (recall-1.0 subsumption at identical text)."""
+    from fundamental_ray.ops import dedup as D
+
+    got = D.dedup_method_report(SF).set_index("method")["n_docs"]
+    assert set(got.index) == {"exact", "minhash_lsh", "simhash", "embedding",
+                              "bloom_delta"}
+    assert (got >= 0).all()
+    assert got["exact"] <= got["minhash_lsh"]
+    assert got["exact"] <= got["simhash"]

@@ -357,3 +357,35 @@ def test_wat_records_oracle(ray_session):
     assert (detail["n_links"] == 0).all()
     assert (lists["n_links"] > 0).all()
     assert (lists["title"].str.len() > 0).all()
+
+
+def test_nearest_metro_brute_and_contract(ray_session):
+    """Nearest-metro assignment vs an independent per-row brute force at
+    sf0.001, plus the contract: every geocoded property is assigned, to a
+    real metro, with the minimal squared-degree distance."""
+    import numpy as np
+
+    from fundamental_ray.ops.geometry import metro_centers
+    from fundamental_ray.pipelines.crawl_run import (
+        crawl_geocoded,
+        crawl_listings,
+        crawl_nearest_metro,
+    )
+
+    got = crawl_nearest_metro(SF)
+    geo = crawl_geocoded(SF)
+    geo = geo[geo["latitude"].notna()].reset_index(drop=True)
+    centers = metro_centers(crawl_listings(SF).to_pandas())
+    assert len(got) == len(geo)
+    assert set(got["nearest_city"]) <= set(centers["city"])
+    byurl = got.set_index("url")
+    cl = centers.set_index("city")
+    for _, r in geo.sample(50, random_state=7).iterrows():
+        d2 = (
+            (r["latitude"] - cl["center_lat"]) ** 2
+            + (r["longitude"] - cl["center_lng"]) ** 2
+        )
+        want_city = d2.sort_index().idxmin()
+        row = byurl.loc[r["url"]]
+        assert row["nearest_city"] == want_city, r["url"]
+        assert abs(row["dist2"] - d2.min()) < 2e-6
