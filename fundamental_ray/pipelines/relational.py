@@ -1977,3 +1977,75 @@ SELECT o_custkey, n_orders, last_order, total_cents, r_score, f_score, m_score,
        (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm_code
 FROM s ORDER BY o_custkey
 """
+
+
+# --------------------------------------------------------------------------
+# Per-user inter-arrival gap statistics — the traffic-model primitive under
+# the politeness/autothrottle family (server-side rate planning reads the
+# CLIENT's arrival process the same way AutoThrottle reads latency). Gaps
+# are integer seconds (date_diff — exact), the median of an even count is
+# a dyadic half-sum (exact in double), so the oracle needs no rounding
+# contract at all. Same bucketized per-user ordered fold as EWMA/Holt:
+# ONE hash exchange, group-local numpy, no driver state.
+
+
+def events_interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = (df["user_id"].astype("int64") % EWMA_BUCKETS).astype("int64")
+        return df
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = {"user_id": [], "n_gaps": [], "min_gap_s": [], "median_gap_s": [],
+               "max_gap_s": []}
+        for uid, per in g.groupby("user_id", sort=False):
+            t = per["ts"].to_numpy("datetime64[s]").astype(np.int64)
+            if len(t) < 2:
+                continue  # no gaps: row omitted (oracle mirrors via HAVING)
+            gaps = np.diff(t)
+            s = np.sort(gaps)
+            n = len(s)
+            med = (
+                float(s[n // 2])
+                if n % 2
+                else (float(s[n // 2 - 1]) + float(s[n // 2])) / 2.0
+            )
+            out["user_id"].append(int(uid))
+            out["n_gaps"].append(n)
+            out["min_gap_s"].append(int(s[0]))
+            out["median_gap_s"].append(med)
+            out["max_gap_s"].append(int(s[-1]))
+        return pd.DataFrame(out).astype(
+            {"user_id": "int64", "n_gaps": "int64", "min_gap_s": "int64",
+             "max_gap_s": "int64"}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, date_diff('second', prev, ts)::BIGINT AS gap
+  FROM o WHERE prev IS NOT NULL
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+       MIN(gap)::BIGINT AS min_gap_s,
+       MEDIAN(gap)::DOUBLE AS median_gap_s,
+       MAX(gap)::BIGINT AS max_gap_s
+FROM g GROUP BY user_id
+ORDER BY user_id
+"""

@@ -156,6 +156,11 @@ def _populate() -> None:
     register("events_ewma_value", R.events_ewma_value, R.EVENTS_EWMA_SQL)
     register("events_holt_smoothing", R.events_holt_smoothing, R.EVENTS_HOLT_SQL)
     register("agg_rfm_segments", R.agg_rfm_segments, R.AGG_RFM_SQL)
+    register(
+        "events_interarrival_stats",
+        R.events_interarrival_stats,
+        R.EVENTS_INTERARRIVAL_SQL,
+    )
     register("window_moving_avg", R.window_moving_avg, R.WINDOW_MOVING_AVG_SQL)
     register(
         "events_cohort_retention", R.events_cohort_retention, R.EVENTS_COHORT_RETENTION_SQL

@@ -524,3 +524,19 @@ def test_rfm_segments_matches_and_quintiles_balanced(ray_session):
         sizes = got[c].value_counts()
         assert set(sizes.index) == {1, 2, 3, 4, 5}
         assert sizes.max() - sizes.min() <= 1
+
+
+def test_interarrival_stats_matches_and_bounds(ray_session):
+    got = R.events_interarrival_stats(SF)
+    want = _oracle(R.EVENTS_INTERARRIVAL_SQL).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns.tolist()], check_dtype=False
+    )
+    assert (got["min_gap_s"] <= got["median_gap_s"]).all()
+    assert (got["median_gap_s"] <= got["max_gap_s"]).all()
+    # users with >=2 events each contribute exactly n_events-1 gaps
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    vc = ev["user_id"].value_counts()
+    multi = vc[vc >= 2]
+    assert got["n_gaps"].sum() == int((multi - 1).sum())
+    assert set(got["user_id"]) == set(multi.index)
