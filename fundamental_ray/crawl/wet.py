@@ -222,9 +222,12 @@ def wat_records(sf_dir: str) -> pd.DataFrame:
             host = url.split("://", 1)[1].split("/", 1)[0]
             m = _TITLE_RE.search(h)
             hrefs = _HREF_RE.findall(h)
+            # Guard on '://' (not startswith('http')): a scheme-less href like
+            # "httpdocs/x" counts as internal on both sides, matching the SQL
+            # oracle's split_part (which returns '' for no-delimiter input).
             internal = sum(
                 (href.split("://", 1)[1].split("/", 1)[0] == host)
-                if href.startswith("http")
+                if "://" in href
                 else True
                 for href in hrefs
             )
@@ -271,7 +274,7 @@ WITH p AS (
   FROM p
 ), cls AS (
   SELECT url,
-         CASE WHEN href LIKE 'http%'
+         CASE WHEN href LIKE '%://%'
               THEN split_part(split_part(href, '://', 2), '/', 1)
                    = (SELECT host FROM p p2 WHERE p2.url = cls0.url)
               ELSE TRUE END AS internal

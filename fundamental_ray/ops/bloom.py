@@ -47,8 +47,12 @@ BLOOM_K = 3  # probes per chunk
 BLOOM_DUP_FRAC = 0.8  # doc flagged dup when >= 80% of its chunks hit
 
 
-def _chunks(text: str) -> list[str]:
-    w = (text or "").split(" ")
+def _chunks(text) -> list[str]:
+    # Null texts are filtered out by callers BEFORE this (matching the SQL
+    # oracle, where string_split(NULL) unnests to zero rows so the doc
+    # vanishes); str() guards any residual non-string (NaN is truthy, so
+    # `text or ''` alone would not).
+    w = ("" if text is None else str(text)).split(" ")
     return [" ".join(w[i : i + BLOOM_W]) for i in range(0, len(w), BLOOM_W)]
 
 
@@ -76,7 +80,7 @@ def bloom_delta_dedup(sf_dir: str) -> pd.DataFrame:
 
     # ---- pass 1: distinct base positions -> packed bitmap -----------------
     def base_positions(df: pd.DataFrame) -> pa.Table:
-        df = df[df["doc_id"] % 2 == 0]
+        df = df[(df["doc_id"] % 2 == 0) & df["text"].notna()]
         pos: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
         for t in df["text"]:
             pos.extend(_positions(c) for c in _chunks(t))
@@ -98,7 +102,9 @@ def bloom_delta_dedup(sf_dir: str) -> pd.DataFrame:
 
     # ---- pass 2: probe delta docs (no exchange) ---------------------------
     def probe(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["doc_id"] % 2 == 1]
+        # Null-text delta docs are dropped, matching the oracle where
+        # string_split(NULL) unnests to zero rows and the doc never appears.
+        df = df[(df["doc_id"] % 2 == 1) & df["text"].notna()]
         packed = ray.get(packed_ref)
         out = {"doc_id": [], "n_chunks": [], "n_hits": []}
         for d, t in zip(df["doc_id"], df["text"]):

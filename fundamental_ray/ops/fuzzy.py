@@ -129,7 +129,16 @@ ORDER BY term_a, term_b
 # ship; any worker, any engine, any year regenerates it bit-identically),
 # so the pass is one vectorized map_batches with zero exchange.
 # Determinism: Y = X @ R / sqrt(JL_DIM) rounded half-away at 6 dp; the
-# oracle regenerates R in SQL from the same md5 and mirrors the rounding.
+# oracle regenerates R in SQL from the same md5 and applies the same
+# half-away 6-dp rounding. KNOWN REPO-WIDE CONVENTION (shared with
+# ann_sq_topk / ann_pq_topk cosines): the pre-round double is a 64-term
+# float sum — numpy matmul may associate pairwise/BLAS-order while DuckDB
+# SUM folds sequentially, so a sum landing within an ulp of a 6-dp
+# boundary could in principle flip the rounded digit. Accepted risk: the
+# synthetic embeddings are ~1-ulp-stable at 6 dp (verified oracle-green
+# at sf0.001/0.01/0.1); pinning the accumulation order would force a
+# scalar Python fold in the hot map, a 50x slowdown not worth the
+# theoretical tie.
 
 JL_DIM = 8
 

@@ -1634,7 +1634,7 @@ def events_ewma_value(sf_dir: str) -> pd.DataFrame:
                 ew = (v + ew) / 2.0
             out["user_id"].append(int(uid))
             out["n_events"].append(len(per))
-            out["ewma_value"].append(round(ew, 6))
+            out["ewma_value"].append(float(r2(ew, 6)))
         return pd.DataFrame(out).astype({"user_id": "int64", "n_events": "int64"})
 
     return (
@@ -1708,9 +1708,9 @@ def events_holt_smoothing(sf_dir: str) -> pd.DataFrame:
                 lev = nlev
             out["user_id"].append(int(uid))
             out["n_events"].append(len(per))
-            out["level"].append(round(lev, 6))
-            out["trend"].append(round(tr, 6))
-            out["forecast"].append(round(lev + tr, 6))
+            out["level"].append(float(r2(lev, 6)))
+            out["trend"].append(float(r2(tr, 6)))
+            out["forecast"].append(float(r2(lev + tr, 6)))
         return pd.DataFrame(out).astype({"user_id": "int64", "n_events": "int64"})
 
     return (
