@@ -246,6 +246,10 @@ def _bench_polite(num_cpus, idx, queries, extra):
     queries["crawl_frontier_polite"] = round(_t.time() - t0, 2)
     extra["polite_deferred"] = counters_p["deferred"]
     extra["polite_rounds"] = job_p.round
+    # scale gauge: max rows the politeness path materialized ON THE DRIVER
+    # in any round — bounded by hosts × budget (the backlog itself lives in
+    # per-bucket object-store blocks / drain actors, never on the driver)
+    extra["polite_driver_max_pending_rows"] = job_p.driver_max_pending_rows
 
 
 def _parse_control(nproc: int) -> float:

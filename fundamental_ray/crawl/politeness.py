@@ -184,6 +184,40 @@ def _host_budgets(t, run_starts, budget_per_host, crawl_delays, base_delay):
     return budgets
 
 
+def host_bucket_array(hosts, num_buckets: int):
+    """crc32(host) % B for a host column (pyarrow array / list / numpy) —
+    the backlog partition key. Vectorized over UNIQUE hosts (the host set
+    is tiny next to the request set), then broadcast by dictionary code."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.asarray(hosts, dtype=object))
+    per_uniq = np.array(
+        [zlib.crc32(h.encode("utf-8")) % num_buckets for h in uniq],
+        dtype=np.int64,
+    )
+    return per_uniq[codes] if len(codes) else np.empty(0, dtype=np.int64)
+
+
+def split_by_host_bucket(table, num_buckets: int):
+    """REQUEST table → list of B per-bucket tables (driver/resume path and
+    the per-round retry routing; both are small — the BULK backlog is
+    partitioned inside the bucket scheduler tasks and never comes here)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if table.num_rows == 0:
+        return [table.slice(0, 0) for _ in range(num_buckets)]
+    b = host_bucket_array(table.column("host").to_numpy(zero_copy_only=False),
+                          num_buckets)
+    return [
+        table.filter(pa.array(b == i)) if (b == i).any() else table.slice(0, 0)
+        for i in range(num_buckets)
+    ]
+
+
 class DrainPlan:
     """Precomputed schedule for the post-discovery DRAIN phase of a crawl.
 

@@ -39,6 +39,22 @@ _SLOTS = 4
 _MAX_KICKS = 500
 
 
+def seen_claims_paths(rdir: str) -> list[str]:
+    """Parquet files of one round's novel-claim checkpoint: the per-bucket
+    parts dir (seen_claims/part-*.parquet, written by the politeness bucket
+    tasks) and/or the legacy single seen_claims.parquet file."""
+    import glob as _glob
+
+    out = []
+    legacy = os.path.join(rdir, "seen_claims.parquet")
+    if os.path.exists(legacy):
+        out.append(legacy)
+    d = os.path.join(rdir, "seen_claims")
+    if os.path.isdir(d):
+        out.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    return out
+
+
 class CuckooFilter:
     """16-bit-fingerprint, 4-slot-bucket cuckoo filter (Fan et al., CoNEXT'14
     semantics; implemented from the public paper description)."""
@@ -141,20 +157,21 @@ class SeenShardActor:
         for rdir in sorted(_glob.glob(os.path.join(job_dir, "round=*"))):
             if not os.path.exists(os.path.join(rdir, "_COMMITTED")):
                 continue
-            p = os.path.join(rdir, "seen_claims.parquet")
-            if not os.path.exists(p):
-                continue
-            t = pq.read_table(p)
-            is_sold = np.array(
-                [m == "sold" for m in t.column("mode").to_pylist()], dtype=bool
-            )
-            cls_mask = is_sold == (mode_class == "sold")
-            for u in t.filter(pa.array(cls_mask)).column("url_norm").to_pylist():
-                if zlib.crc32(u.encode("utf-8")) % num_shards == self.shard_id:
-                    if u not in self.exact:
-                        self.exact.add(u)
-                        self.filter.insert(u.encode("utf-8"))
-                        n += 1
+            for p in seen_claims_paths(rdir):
+                t = pq.read_table(p)
+                is_sold = np.array(
+                    [m == "sold" for m in t.column("mode").to_pylist()],
+                    dtype=bool,
+                )
+                cls_mask = is_sold == (mode_class == "sold")
+                for u in (
+                    t.filter(pa.array(cls_mask)).column("url_norm").to_pylist()
+                ):
+                    if zlib.crc32(u.encode("utf-8")) % num_shards == self.shard_id:
+                        if u not in self.exact:
+                            self.exact.add(u)
+                            self.filter.insert(u.encode("utf-8"))
+                            n += 1
         return n
 
     def check_and_insert(self, urls: list[str]) -> list[bool]:

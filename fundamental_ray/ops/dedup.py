@@ -40,6 +40,17 @@ def _r6(x):
 N_PERM = 64
 BANDS = 16  # 16 bands × 4 rows
 ROWS_PER_BAND = N_PERM // BANDS
+# Stop-band cap (the minhash sibling of text.py's CONTAIN_MAXDOCS stop-hash
+# rule): an LSH bucket holding > CAP docs is a boilerplate/identical-text
+# cluster whose within-band pair fan-out is O(n²) — a real corpus puts 10⁵+
+# docs in one band and the group explodes. Capped bands emit NO candidate
+# pairs; the cap is part of the op contract, mirrored in every mh_bands
+# oracle (registry._mh_band_pairs_sql HAVING), and surfaced per band by
+# lsh_band_audit — no silent truncation. Members of a capped band still
+# pair through their OTHER 15 bands (near-dups agree on many bands), and
+# the exact-dup population a giant band implies is dedup_exact's job.
+# Env override: adversarial tests force it low.
+LSH_BAND_CAP = int(os.environ.get("FR_LSH_BAND_CAP", "256"))
 _MERSENNE = (1 << 61) - 1
 
 
@@ -237,8 +248,87 @@ def _lookup_blobs(index_dir: str, ids: "np.ndarray", num_buckets: int) -> dict:
     return out
 
 
+def _bands_batch(df: pd.DataFrame) -> pa.Table:
+    """docs batch → exploded (band, band_hash, doc_id) rows. Arrow out (not
+    pandas) so the blocks entering the LSH shuffles carry hashable
+    metadata-free schemas — pandas-born blocks attach b'pandas' dict
+    metadata and every reduce stage then logs "Failed to hash the schemas"
+    and loses Ray's schema-dedup path."""
+    rows = {"band": [], "band_hash": [], "doc_id": []}
+    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        sig = minhash_signature(text)
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            rows["band"].append(b)
+            rows["band_hash"].append(zlib.crc32(chunk.tobytes()))
+            rows["doc_id"].append(doc_id)
+    return pa.table(
+        {
+            "band": pa.array(rows["band"], pa.int64()),
+            "band_hash": pa.array(rows["band_hash"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        }
+    )
+
+
+def lsh_band_audit(sf_dir: str, band_cap: int = LSH_BAND_CAP) -> pd.DataFrame:
+    """Per-band LSH bucket audit: (band, n_buckets, max_members,
+    n_overflow) — the published view of the stop-band cap, so capped
+    buckets are a queryable fact rather than silent truncation (the same
+    discipline as text.py's containment stop-hash rule).
+
+    Scale shape: explode → ONE (band, band_hash) int-only exchange with
+    Count → per-batch per-band partials → 16-row final aggregate. Bucket
+    counts never materialize in one place."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    docs = _read_docs(sf_dir)
+    counts = (
+        docs.map_batches(_bands_batch, batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["over"] = (df["n"] > band_cap).astype("int64")
+        g = (
+            df.groupby("band")
+            .agg(
+                n_buckets=("n", "size"),
+                max_members=("n", "max"),
+                n_overflow=("over", "sum"),
+            )
+            .reset_index()
+        )
+        return g.astype(
+            {"band": "int64", "n_buckets": "int64", "max_members": "int64",
+             "n_overflow": "int64"}
+        )
+
+    out = (
+        counts.map_batches(partial, batch_format="pandas")
+        .groupby("band")
+        .aggregate(
+            Sum("n_buckets", alias_name="n_buckets"),
+            Max("max_members", alias_name="max_members"),
+            Sum("n_overflow", alias_name="n_overflow"),
+        )
+        .to_pandas()
+        .astype(
+            {"band": "int64", "n_buckets": "int64", "max_members": "int64",
+             "n_overflow": "int64"}
+        )
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def minhash_lsh_pairs(
-    sf_dir: str, threshold: float = 0.6, num_buckets: int = SHINGLE_INDEX_BUCKETS
+    sf_dir: str, threshold: float = 0.6,
+    num_buckets: int = SHINGLE_INDEX_BUCKETS,
+    band_cap: int = LSH_BAND_CAP,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs: signature per doc → explode to
     (band, band_hash, doc_id) → groupby band bucket → candidate pairs →
@@ -258,34 +348,16 @@ def minhash_lsh_pairs(
     index_dir = _shingle_index(sf_dir, num_buckets)
     docs = _read_docs(sf_dir)
 
-    # both stages emit Arrow tables (not pandas) so the blocks entering the
-    # two shuffles below carry hashable metadata-free schemas — pandas-born
-    # blocks attach b'pandas' dict metadata and every reduce stage then
-    # logs "Failed to hash the schemas" and loses Ray's schema-dedup path
-    def bands(df: pd.DataFrame) -> pa.Table:
-        rows = {"band": [], "band_hash": [], "doc_id": []}
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            sig = minhash_signature(text)
-            for b in range(BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                rows["band"].append(b)
-                rows["band_hash"].append(zlib.crc32(chunk.tobytes()))
-                rows["doc_id"].append(doc_id)
-        return pa.table(
-            {
-                "band": pa.array(rows["band"], pa.int64()),
-                "band_hash": pa.array(rows["band_hash"], pa.int64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-            }
-        )
+    bands = _bands_batch
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         ids = sorted(g["doc_id"].tolist())
         out = {"a": [], "b": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out["a"].append(ids[i])
-                out["b"].append(ids[j])
+        if len(ids) <= band_cap:  # stop-band: giant buckets excluded
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out["a"].append(ids[i])
+                    out["b"].append(ids[j])
         return pa.table(
             {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
         )

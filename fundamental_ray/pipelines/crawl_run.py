@@ -393,8 +393,14 @@ def crawl_host_fairness(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
+    from ..crawl.seen import seen_claims_paths
+
     _, job_dir = run_crawl(scale_tag_of(sf_dir))
-    files = sorted(glob.glob(f"{job_dir}/round=*/seen_claims.parquet"))
+    files = sorted(
+        p
+        for rd in glob.glob(f"{job_dir}/round=*")
+        for p in seen_claims_paths(rd)
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         host = df["url_norm"].str.split("://").str[1].str.split("/").str[0]

@@ -354,6 +354,19 @@ FROM read_parquet('{corpus}/golden_listings.parquet') WHERE chain_id % 2 = 1
         D.embedding_neardup_sql(0.35),
     )
 
+    # LSH candidate-pair source shared by every mh_bands oracle, with the
+    # stop-band cap mirrored (ops/dedup.py LSH_BAND_CAP: bands holding
+    # > CAP docs emit no pairs — the minhash sibling of the containment
+    # stop-hash HAVING)
+    def _mh_band_pairs_sql(art: str) -> str:
+        return f"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM read_parquet('{art}/mh_bands.parquet') x
+  JOIN read_parquet('{art}/mh_bands.parquet') y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+  JOIN (SELECT band, band_hash FROM read_parquet('{art}/mh_bands.parquet')
+        GROUP BY band, band_hash HAVING COUNT(*) <= {D.LSH_BAND_CAP}) ok
+    ON ok.band = x.band AND ok.band_hash = x.band_hash"""
+
     # jaccard verification SQL shared by the minhash and brute-force ops:
     # DuckDB computes the exact shingle jaccard from the locally-derived
     # doc_shingles artifact (oracle/artifacts.py)
@@ -379,12 +392,25 @@ SELECT a, b, ROUND(jac, 6) AS jaccard FROM j WHERE ROUND(jac, 6) >= {threshold}
         "dedup_minhash_lsh",
         lambda corpus, art: _jaccard_select(
             art,
-            f"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM read_parquet('{art}/mh_bands.parquet') x
-  JOIN read_parquet('{art}/mh_bands.parquet') y
-    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id""",
+            _mh_band_pairs_sql(art),
             0.5,
         ),
+    )
+    # per-band LSH bucket audit — the published view of the stop-band cap
+    # (ops/dedup.py LSH_BAND_CAP): capped buckets are a queryable fact,
+    # not silent truncation
+    register("dedup_lsh_band_audit", D.lsh_band_audit)
+    register_lazy_oracle(
+        "dedup_lsh_band_audit",
+        lambda corpus, art: f"""
+WITH c AS (
+  SELECT band, band_hash, COUNT(*)::BIGINT AS n
+  FROM read_parquet('{art}/mh_bands.parquet') GROUP BY band, band_hash
+)
+SELECT band, COUNT(*)::BIGINT AS n_buckets, MAX(n)::BIGINT AS max_members,
+       COUNT(*) FILTER (n > {D.LSH_BAND_CAP})::BIGINT AS n_overflow
+FROM c GROUP BY band ORDER BY band
+""",
     )
     def _cluster_sql(art: str) -> str:
         """Connected components over the minhash near-dup pairs as a
@@ -394,10 +420,7 @@ SELECT a, b, ROUND(jac, 6) AS jaccard FROM j WHERE ROUND(jac, 6) >= {threshold}
         exactly why the Ray side uses star rounds instead."""
         pair_sql = _jaccard_select(
             art,
-            f"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM read_parquet('{art}/mh_bands.parquet') x
-  JOIN read_parquet('{art}/mh_bands.parquet') y
-    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id""",
+            _mh_band_pairs_sql(art),
             0.5,
         )
         return f"""
@@ -468,10 +491,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 WITH exg AS (SELECT COUNT(*)::BIGINT AS dup_count FROM documents GROUP BY md5(text)),
 sh AS (SELECT doc_id, shingles FROM read_parquet('{art}/doc_shingles.parquet')),
 cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM read_parquet('{art}/mh_bands.parquet') x
-  JOIN read_parquet('{art}/mh_bands.parquet') y
-    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+  {_mh_band_pairs_sql(art)}
 ),
 mhp AS (
   SELECT a, b FROM (

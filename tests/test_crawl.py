@@ -425,10 +425,12 @@ def test_multirun_crawl_with_store_preload(crawl_env):
     # that class (here: the blocked interstitials run 1 never stored)
     got_new = set()
     import pyarrow.parquet as _pq
+
+    from fundamental_ray.crawl.seen import seen_claims_paths
+
     for d in sorted(os.listdir("/tmp/fr_test_job_mr2")):
         if d.startswith("round="):
-            p = os.path.join("/tmp/fr_test_job_mr2", d, "seen_claims.parquet")
-            if os.path.exists(p):
+            for p in seen_claims_paths(os.path.join("/tmp/fr_test_job_mr2", d)):
                 got_new |= set(_pq.read_table(p).column("url_norm").to_pylist())
     assert got_new == want_new_urls
     assert all(u not in set(pdf["url"]) for u in got_new)  # only unseen urls

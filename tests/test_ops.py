@@ -629,3 +629,41 @@ def test_incremental_dedup_all_three_statuses(ray_session, tmp_path):
     got2 = D.incremental_dedup(str(d))
     assert got2.set_index("doc_id").loc[15, "status"] == "dup_of_base"
     assert got2.set_index("doc_id").loc[15, "keep_doc_id"] == 31
+
+
+def test_lsh_stop_band_cap_bounds_giant_bands(ray_session, tmp_path):
+    """Adversarial boilerplate corpus: many identical docs put ALL of them
+    in every band's same bucket — uncapped, each of the 16 bands fans out
+    C(n,2) pairs. With the stop-band cap the run completes with ZERO
+    candidate pairs (identical docs are dedup_exact's job) and the band
+    audit reports the overflow instead of truncating silently."""
+    import pandas as pd
+
+    from fundamental_ray.ops import dedup as D
+
+    n = 400
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": ["identical boilerplate nav footer text block here"] * n,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": [48] * n,
+        }
+    )
+    d = tmp_path / "adv"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+
+    got = D.minhash_lsh_pairs(str(d), 0.5, band_cap=32)
+    assert len(got) == 0  # every band capped → no pair fan-out
+
+    audit = D.lsh_band_audit(str(d), band_cap=32)
+    assert len(audit) == D.BANDS
+    assert (audit["max_members"] == n).all()  # one giant bucket per band
+    assert (audit["n_overflow"] == 1).all()
+
+    # sanity: with the cap ABOVE the cluster size the same corpus explodes
+    # into pair candidates again (the cap, not luck, bounded the fan-out)
+    audit_hi = D.lsh_band_audit(str(d), band_cap=n + 1)
+    assert (audit_hi["n_overflow"] == 0).all()
