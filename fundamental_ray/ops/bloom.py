@@ -65,13 +65,17 @@ def _positions(chunk: str) -> np.ndarray:
     return (h1 + np.arange(BLOOM_K, dtype=np.int64) * h2) % BLOOM_M
 
 
-def bloom_delta_dedup(sf_dir: str) -> pd.DataFrame:
+def bloom_delta_dedup(
+    sf_dir: str, split_mod: int = 2, delta_residue: int = 1
+) -> pd.DataFrame:
     """Per-DELTA-doc Bloom membership report against the BASE filter.
 
-    Base = documents with doc_id % 2 == 0, delta = odd (deterministic
-    split standing in for "committed corpus" + "incoming shard", the
-    dedup_incremental convention). Returns one row per delta doc:
-    (doc_id, n_chunks, n_hits, dup_frac, is_dup)."""
+    Base = documents with doc_id % split_mod != delta_residue, delta =
+    the residue class (default 2/1: even base, odd delta — a
+    deterministic split standing in for "committed corpus" + "incoming
+    shard", the dedup_incremental convention; clean_corpus_delta passes
+    5/0 to align with the incremental-dedup split). Returns one row per
+    delta doc: (doc_id, n_chunks, n_hits, dup_frac, is_dup)."""
     import ray
 
     from ..pipelines.analytics import r2
@@ -80,7 +84,7 @@ def bloom_delta_dedup(sf_dir: str) -> pd.DataFrame:
 
     # ---- pass 1: distinct base positions -> packed bitmap -----------------
     def base_positions(df: pd.DataFrame) -> pa.Table:
-        df = df[(df["doc_id"] % 2 == 0) & df["text"].notna()]
+        df = df[(df["doc_id"] % split_mod != delta_residue) & df["text"].notna()]
         pos: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
         for t in df["text"]:
             pos.extend(_positions(c) for c in _chunks(t))
@@ -104,7 +108,7 @@ def bloom_delta_dedup(sf_dir: str) -> pd.DataFrame:
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         # Null-text delta docs are dropped, matching the oracle where
         # string_split(NULL) unnests to zero rows and the doc never appears.
-        df = df[(df["doc_id"] % 2 == 1) & df["text"].notna()]
+        df = df[(df["doc_id"] % split_mod == delta_residue) & df["text"].notna()]
         packed = ray.get(packed_ref)
         out = {"doc_id": [], "n_chunks": [], "n_hits": []}
         for d, t in zip(df["doc_id"], df["text"]):
@@ -130,7 +134,8 @@ def bloom_delta_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
-BLOOM_DELTA_SQL = f"""
+def bloom_delta_sql(split_mod: int = 2, delta_residue: int = 1) -> str:
+    return f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word,
          unnest(range(len(string_split(text, ' ')))) AS wi
@@ -150,14 +155,14 @@ h AS (
 base_pos AS (
   SELECT DISTINCT (h1 + i.i * h2) % {BLOOM_M} AS pos
   FROM h CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) i
-  WHERE doc_id % 2 = 0
+  WHERE doc_id % {split_mod} != {delta_residue}
 ),
 probe AS (
   SELECT h.doc_id, h.ci,
          COUNT(b.pos) = {BLOOM_K} AS hit
   FROM h CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) i
   LEFT JOIN base_pos b ON b.pos = (h.h1 + i.i * h.h2) % {BLOOM_M}
-  WHERE h.doc_id % 2 = 1
+  WHERE h.doc_id % {split_mod} = {delta_residue}
   GROUP BY h.doc_id, h.ci
 )
 SELECT doc_id,
@@ -170,3 +175,7 @@ FROM probe
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# back-compat alias (registry _bloom_subq embeds the default split)
+BLOOM_DELTA_SQL = bloom_delta_sql()

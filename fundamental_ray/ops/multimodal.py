@@ -360,3 +360,191 @@ SELECT media_id, win_no::BIGINT AS win_no,
          - win_no * {AUDIO_STRIDE_S}) * sample_rate)::BIGINT AS n_samples
 FROM w
 """
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image near-dup (dHash; Krawetz's difference hash) — the
+# image sibling of dedup_simhash. The synthetic pixel corpus plants
+# near-duplicate GROUPS (4 variants per group: one base image + three
+# one-pixel perturbations), with every pixel an integer function of doc_id
+# so the DuckDB oracle recomputes hashes standalone — the oracle IS the
+# brute-force hamming join, so oracle-green pins the banding's recall.
+#
+# Scale shape (identical to simhash_pairs): payload decode + hash in an
+# actor-pool map_batches stage (binary column, Arrow end-to-end), band
+# explode in the same stage, ONE groupby((band, band_val)) exchange of
+# int rows, per-bucket pair fan-out, exact-hamming verify. Pigeonhole:
+# 56-bit hash in 8×7-bit bands ⇒ hamming ≤ 7 leaves ≥1 band untouched,
+# so recall is GUARANTEED total at the ≤6 threshold.
+
+PH_ROWS, PH_COLS = 7, 9
+PH_BITS = PH_ROWS * (PH_COLS - 1)  # 56-bit dHash
+PH_BANDS = 8
+_PH_BAND_BITS = PH_BITS // PH_BANDS  # 7
+PH_GROUP = 4  # docs per planted variant group
+PH_MAX_HAMMING = 6  # < PH_BANDS ⇒ full recall by pigeonhole
+
+
+def _pixel_grid(ids: np.ndarray) -> np.ndarray:
+    """(n, 7, 9) uint8 pixel grids — the synthetic image contract,
+    mirrored literally in PHASH_NEARDUP_SQL: Knuth-hash of
+    (group*7919 + i*131 + j*17) for the base image (group = doc_id // 4),
+    one pixel +128 for variant members (doc_id % 4 != 0)."""
+    ids = ids.astype(np.int64)
+    g = ids // PH_GROUP
+    i = np.arange(PH_ROWS, dtype=np.int64).reshape(1, -1, 1)
+    j = np.arange(PH_COLS, dtype=np.int64).reshape(1, 1, -1)
+    x = g.reshape(-1, 1, 1) * 7919 + i * 131 + j * 17
+    px = ((x * 2654435761) >> 8) % 256
+    r = ids % PH_GROUP
+    pos = (ids * 5) % (PH_ROWS * PH_COLS)
+    pi, pj = pos // PH_COLS, pos % PH_COLS
+    rows = np.arange(len(ids))
+    mask = r != 0
+    px[rows[mask], pi[mask], pj[mask]] = (
+        px[rows[mask], pi[mask], pj[mask]] + 128
+    ) % 256
+    return px.astype(np.uint8)
+
+
+def synth_pixel_media(sf_dir: str) -> ray.data.Dataset:
+    """Pixel-payload media table: FIMG header + the 63 raw grayscale bytes
+    (row-major 7×9) — real bytes for the decode stage to parse, unlike the
+    seed-only payloads of synth_media_dataset."""
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        px = _pixel_grid(ids)
+        payloads = [
+            _MAGIC + struct.pack(">HH", PH_COLS, PH_ROWS) + p.tobytes()
+            for p in px
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow")
+
+
+def dhash_of_pixels(px: np.ndarray) -> np.ndarray:
+    """(n, 7, 9) pixels → (n,) int64 56-bit dHash: bit k = i*8+j set iff
+    pixel(i, j) < pixel(i, j+1)."""
+    bits = (px[:, :, :-1] < px[:, :, 1:]).reshape(len(px), -1)
+    weights = np.left_shift(np.int64(1), np.arange(PH_BITS, dtype=np.int64))
+    return (bits.astype(np.int64) * weights).sum(axis=1)
+
+
+class DecodeAndDhash:
+    """Actor-pool stage: FIMG pixel payload → (media_id, phash, band rows).
+    __init__ holds the (here trivial) decoder state; __call__ is numpy-
+    vectorized over the batch. Emits the band explode in-stage so the only
+    exchange is the (band, band_val) groupby of int rows."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy()
+        px = np.stack(
+            [
+                np.frombuffer(_decode(p)[2], dtype=np.uint8).reshape(
+                    PH_ROWS, PH_COLS
+                )
+                for p in t.column("payload").to_pylist()
+            ]
+        )
+        hs = dhash_of_pixels(px)
+        n = len(ids)
+        band = np.tile(np.arange(PH_BANDS, dtype=np.int64), n)
+        rep_h = np.repeat(hs, PH_BANDS)
+        band_val = (rep_h >> (band * _PH_BAND_BITS)) & ((1 << _PH_BAND_BITS) - 1)
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int64()),
+                "band_val": pa.array(band_val, pa.int64()),
+                "media_id": pa.array(
+                    np.repeat(ids, PH_BANDS).astype(np.int64), pa.int64()
+                ),
+                "phash": pa.array(rep_h, pa.int64()),
+            }
+        )
+
+
+def phash_neardup(
+    sf_dir: str, max_hamming: int = PH_MAX_HAMMING, concurrency: int | None = None
+) -> pd.DataFrame:
+    """(a, b, hamming) image near-dup pairs at hamming ≤ max_hamming.
+    Full recall for max_hamming < PH_BANDS (pigeonhole over the band
+    explode); exact precision (pairs verified by exact hamming)."""
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, ncpu - 2)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("media_id")
+        ids = g["media_id"].tolist()
+        hs = g["phash"].tolist()
+        out = {"a": [], "b": [], "hamming": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming:
+                    out["a"].append(ids[i])
+                    out["b"].append(ids[j])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    cand = (
+        synth_pixel_media(sf_dir)
+        .map_batches(
+            DecodeAndDhash, batch_format="pyarrow", batch_size=512,
+            concurrency=concurrency, num_cpus=1,
+        )
+        .groupby(["band", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"}
+        )
+    return (
+        cand.drop_duplicates(subset=["a", "b"])
+        .astype({"a": "int64", "b": "int64", "hamming": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+PHASH_NEARDUP_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, i.i, j.j,
+         CASE WHEN d.doc_id % {PH_GROUP} <> 0
+                   AND (i.i * {PH_COLS} + j.j) = (d.doc_id * 5) % {PH_ROWS * PH_COLS}
+              THEN ((((d.doc_id // {PH_GROUP}) * 7919 + i.i * 131 + j.j * 17)
+                     * 2654435761 >> 8) % 256 + 128) % 256
+              ELSE (((d.doc_id // {PH_GROUP}) * 7919 + i.i * 131 + j.j * 17)
+                    * 2654435761 >> 8) % 256
+         END AS p
+  FROM documents d, range({PH_ROWS}) i(i), range({PH_COLS}) j(j)
+), bits AS (
+  SELECT a.doc_id,
+         SUM(CASE WHEN a.p < b.p
+                  THEN (1::BIGINT << (a.i * {PH_COLS - 1} + a.j))
+                  ELSE 0 END)::BIGINT AS h
+  FROM px a JOIN px b
+    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+  GROUP BY a.doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.h, y.h))::BIGINT AS hamming
+FROM bits x JOIN bits y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.h, y.h)) <= {PH_MAX_HAMMING}
+ORDER BY a, b
+"""

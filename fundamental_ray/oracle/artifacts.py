@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "v1"
+ORACLE_VERSION = "v2"  # v2: + zlib_ratios (text_compression_topk oracle)
 SF_DIR = "/root/testdata/sf0.01"  # the driver runs correctness at sf=0.01
 
 _MERSENNE = (1 << 61) - 1
@@ -247,6 +247,24 @@ def _build_hulls_expected(corpus_dir: str) -> None:
     pq.write_table(pa.Table.from_pylist(rows), artifact_path("hulls_expected"))
 
 
+def _build_zlib_ratios(sf_dir: str) -> None:
+    """Per-doc zlib(level 6) compressed-size ratio in basis points — the
+    primitive DuckDB cannot compute; the registered oracle SQL performs
+    the actual operator semantics (rank + cut) over this table. Local
+    independent loop per this module's convention (zlib is deterministic
+    for a fixed level, so both sides must agree byte-for-byte)."""
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for d, t in zip(df["doc_id"], df["text"]):
+        t = "" if t is None or (isinstance(t, float) and math.isnan(t)) else str(t)
+        raw = t.encode()
+        rb = 10_000 * len(zlib.compress(raw, 6)) // len(raw) if raw else 10_000
+        rows.append(
+            {"doc_id": int(d), "n_chars": len(t), "ratio_bp": int(rb)}
+        )
+    pq.write_table(pa.Table.from_pylist(rows), artifact_path("zlib_ratios"))
+
+
 def ensure_artifacts() -> str:
     """Build every artifact for the driver scale; idempotent. Returns the
     artifact directory."""
@@ -262,6 +280,7 @@ def ensure_artifacts() -> str:
     _build_media_expected(SF_DIR)
     _build_metro_expected(corpus)
     _build_hulls_expected(corpus)
+    _build_zlib_ratios(SF_DIR)
     with open(done, "w") as fh:
         fh.write("ok")
     return out

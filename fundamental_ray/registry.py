@@ -459,6 +459,18 @@ FROM reach GROUP BY n ORDER BY doc_id
         "pipeline_clean_corpus",
         lambda corpus, art: CL.clean_corpus_sql(_cluster_sql(art)),
     )
+    # delta cleaning loop: new shard vs persistent base index + constant
+    # Bloom filter + eval-bounded decontamination (the 100-TB operating
+    # mode; CLEAN_DELTA_LINEAGE pins delta-boundedness in tests)
+    register("pipeline_clean_corpus_delta", CL.clean_corpus_delta)
+    register_lazy_oracle(
+        "pipeline_clean_corpus_delta",
+        lambda corpus, art: CL.clean_corpus_delta_sql(
+            __import__(
+                "fundamental_ray.ops.bloom", fromlist=["bloom_delta_sql"]
+            ).bloom_delta_sql(CL.DELTA_MOD, CL.DELTA_RESIDUE).strip()
+        ),
+    )
     register("dedup_ngram_jaccard", lambda sf: D.ngram_jaccard_pairs(sf, 0.5))
     register_lazy_oracle(
         "dedup_ngram_jaccard",
@@ -573,9 +585,19 @@ SELECT * FROM (
     register("split_train_holdout", W.split_train_holdout, W.SPLIT_TRAIN_HOLDOUT_SQL)
     register("text_pii_scrub", W.pii_scrub, W.PII_SCRUB_SQL)
     register("events_anomaly_mad", W.events_anomaly_mad, W.EVENTS_ANOMALY_MAD_SQL)
-    # zlib compressibility is not expressible in DuckDB — rows-only check;
-    # determinism + ranking invariants pinned in tests/test_webtext.py
+    # zlib compressibility is not expressible in DuckDB — the per-doc
+    # ratios are pinned as a locally-computed artifact table (the
+    # artifacts.py hybrid-oracle pattern) and DuckDB verifies the actual
+    # operator semantics (rank + cut), so the row is fully hash-checked
     register("text_compression_topk", W.compression_ratio_topk)
+    register_lazy_oracle(
+        "text_compression_topk",
+        lambda corpus, art: f"""
+SELECT doc_id, n_chars, ratio_bp
+FROM read_parquet('{art}/zlib_ratios.parquet')
+ORDER BY ratio_bp, doc_id LIMIT {W.COMP_TOPK}
+""",
+    )
     register("text_pmi_bigrams", W.pmi_bigrams, W.PMI_BIGRAMS_SQL)
     register("sample_stratified", W.stratified_sample, W.STRATIFIED_SAMPLE_SQL)
     register("corpus_source_mixture", W.source_mixture, W.SOURCE_MIXTURE_SQL)
@@ -703,6 +725,10 @@ SELECT * FROM (
     register("events_watermark_late", W.events_watermark_late,
              W.EVENTS_WATERMARK_LATE_SQL)
     register("multimodal_frame_plan", M.frame_plan, M.FRAME_PLAN_SQL)
+    # image near-dup over the synthetic pixel payloads: dHash + 8×7-bit
+    # hamming banding (oracle = standalone brute-force hamming join, so a
+    # green row pins the banding's total recall at hamming ≤ 6)
+    register("multimodal_phash_neardup", M.phash_neardup, M.PHASH_NEARDUP_SQL)
     register("multimodal_audio_window_plan", M.audio_window_plan, M.AUDIO_WINDOW_PLAN_SQL)
     register("multimodal_media_features", M.media_features)
     register_lazy_oracle(

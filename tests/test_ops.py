@@ -667,3 +667,73 @@ def test_lsh_stop_band_cap_bounds_giant_bands(ray_session, tmp_path):
     # into pair candidates again (the cap, not luck, bounded the fan-out)
     audit_hi = D.lsh_band_audit(str(d), band_cap=n + 1)
     assert (audit_hi["n_overflow"] == 0).all()
+
+
+def test_phash_neardup_recall_bound_and_groups(ray_session):
+    """dHash banding vs brute force: at hamming ≤ 6 < 8 bands the
+    pigeonhole bound guarantees TOTAL recall — the banded output must
+    EQUAL the all-pairs hamming join. The planted 4-variant groups must
+    each form a clique (base + three one-pixel perturbations)."""
+    import numpy as np
+    import pandas as pd
+
+    from fundamental_ray.ops import multimodal as M
+
+    sf = "/root/testdata/sf0.001"
+    got = M.phash_neardup(sf)
+
+    ids = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    hs = M.dhash_of_pixels(M._pixel_grid(ids))
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(hs[i]) ^ int(hs[j])).count("1") <= M.PH_MAX_HAMMING:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert set(zip(got["a"], got["b"])) == want
+
+    # planted groups are cliques: every doc pairs with its 3 group mates
+    by_group = {}
+    for a, b in zip(got["a"], got["b"]):
+        if a // M.PH_GROUP == b // M.PH_GROUP:
+            by_group.setdefault(a // M.PH_GROUP, set()).add((a, b))
+    full_groups = [g for g, n in
+                   pd.Series(ids // M.PH_GROUP).value_counts().items()
+                   if n == M.PH_GROUP]
+    assert full_groups, "corpus too small to contain a full variant group"
+    for g in full_groups:
+        assert len(by_group.get(g, ())) == 6  # C(4,2)
+
+    # hamming is small inside a group (≤ 4: two single-pixel edits)
+    same = got[(got["a"] // M.PH_GROUP) == (got["b"] // M.PH_GROUP)]
+    assert (same["hamming"] <= 4).all()
+
+
+def test_clean_corpus_delta_lineage_is_delta_bounded(ray_session):
+    """The delta cleaner's exchanges must be bounded by the DELTA shard,
+    the constant filter size, or the eval suite — never the base corpus."""
+    import pandas as pd
+
+    from fundamental_ray.ops.bloom import BLOOM_M
+    from fundamental_ray.pipelines import clean as CL
+
+    sf = "/root/testdata/sf0.001"
+    out = CL.clean_corpus_delta(sf)
+    n_docs = len(pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]))
+    n_delta = len(out)
+    assert 0 < n_delta < n_docs
+
+    lin = CL.CLEAN_DELTA_LINEAGE
+    assert lin["delta_rows"] == n_delta
+    assert lin["exact_exchange_rows"] == n_delta     # delta-sized join keys
+    assert lin["bloom_probe_rows"] == n_delta        # shuffle-free probe
+    assert lin["bloom_filter_bits"] == BLOOM_M       # constant, not corpus
+    assert lin["bench_gram_rows"] < n_docs * 100     # eval-suite-bounded
+
+    # verdict sanity: every delta doc got exactly one row, flags are bool
+    assert out["doc_id"].is_unique
+    assert (out["doc_id"] % CL.DELTA_MOD == CL.DELTA_RESIDUE).all()
+    for c in ("rule_quality", "rule_exact_keep", "rule_neardup_keep",
+              "rule_decontaminated", "kept"):
+        assert out[c].dtype == bool
