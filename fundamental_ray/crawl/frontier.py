@@ -118,6 +118,12 @@ class CrawlConfig:
     # budget-bounded) scheduled slice of each round. Per-host service is
     # independent across hosts, so bucketing changes no schedule.
     backlog_buckets: int = 8
+    # exact-tier spill threshold per seen shard (0 = seen.DEFAULT_SPILL,
+    # 1M keys): past it the shard's authoritative membership pages to a
+    # per-shard on-disk SQLite hash file behind the resident cuckoo
+    # filter (the 10^10 design point; tests force it low to exercise the
+    # disk tier on the small corpora)
+    seen_spill_threshold: int = 0
 
 
 @dataclass
@@ -581,7 +587,8 @@ class CrawlJob:
         # the driver's resume(); the in-flight round is covered by the
         # next round's claim re-push — see claim_from_outputs)
         self.seen = StatusPartitionedSeen(
-            config.num_seen_shards, recovery_base=config.job_dir
+            config.num_seen_shards, recovery_base=config.job_dir,
+            spill_threshold=config.seen_spill_threshold,
         )
         self.robots = RobotsTable.from_rows(config.robots_rows)
         self.round = 0

@@ -9,12 +9,15 @@ membership. The rebuild shards that state across an actor pool keyed by
   path: "definitely new" needs no exact lookup — at crawl workloads the
   overwhelming majority of candidates are novel or duplicates, and the
   filter short-circuits the novel ones;
-- an **exact set** stays authoritative (north_rule requires the final seen
+- an **exact tier** stays authoritative (north_rule requires the final seen
   *membership set* to match the reference exactly, so false positives must
-  be double-checked). In this build it is an in-memory set per shard; at
-  10^10 URLs each of ~512 shards holds ~20 M keys — the exact tier would
-  page to per-shard on-disk hash files, while the ~2 bytes/key filter
-  (2.5 GB/shard-pool total) stays resident.
+  be double-checked). It is a hot in-memory set that PAGES TO DISK past a
+  spill threshold (``ExactTier``: per-shard SQLite hash file — the 10^10
+  design point: ~512 shards × ~20 M keys each can't all stay resident,
+  while the ~2 bytes/key cuckoo filter (2.5 GB/shard-pool total) does).
+  Disk lookups happen only on filter hits / degraded filters — the filter
+  short-circuits the overwhelmingly common definitely-new case, so the
+  disk tier is off the hot path by construction.
 
 Claim semantics: ``check_and_insert`` is atomic per shard (actor serializes
 calls), mirroring the reference's claim-before-request
@@ -127,6 +130,78 @@ class CuckooFilter:
         return False
 
 
+DEFAULT_SPILL = int(os.environ.get("FR_SEEN_SPILL", str(1_000_000)))
+
+
+class ExactTier:
+    """The authoritative membership store of one seen shard: a hot
+    in-memory set that spills to a per-shard on-disk SQLite hash file
+    (stdlib; the reference's own store is SQLite) once it crosses
+    ``spill_threshold`` keys. Membership = hot set ∪ disk B-tree; the
+    callers' filter-first discipline means lookups here are already rare.
+
+    Contract: callers check membership BEFORE add() (check_and_insert,
+    preload, _recover all do), so a key is never in both tiers and
+    ``len`` is the plain sum."""
+
+    def __init__(self, spill_threshold: int = DEFAULT_SPILL):
+        self.threshold = max(1, spill_threshold)
+        self.mem: set[str] = set()
+        self._con = None
+        self.n_disk = 0
+        self._path = None
+
+    def _disk(self):
+        if self._con is None:
+            import sqlite3
+            import tempfile
+
+            fd, self._path = tempfile.mkstemp(
+                prefix="fr_seen_tier_", suffix=".sqlite", dir="/tmp"
+            )
+            os.close(fd)
+            self._con = sqlite3.connect(self._path)
+            self._con.execute(
+                "CREATE TABLE IF NOT EXISTS seen (url TEXT PRIMARY KEY)"
+            )
+        return self._con
+
+    def __contains__(self, u: str) -> bool:
+        if u in self.mem:
+            return True
+        if self.n_disk:
+            cur = self._con.execute("SELECT 1 FROM seen WHERE url = ?", (u,))
+            return cur.fetchone() is not None
+        return False
+
+    def add(self, u: str) -> None:
+        self.mem.add(u)
+        if len(self.mem) >= self.threshold:
+            self._spill()
+
+    def _spill(self) -> None:
+        con = self._disk()
+        con.executemany(
+            "INSERT OR IGNORE INTO seen (url) VALUES (?)",
+            ((u,) for u in self.mem),
+        )
+        con.commit()
+        self.n_disk = con.execute("SELECT COUNT(*) FROM seen").fetchone()[0]
+        self.mem = set()
+
+    def __len__(self) -> int:
+        return len(self.mem) + self.n_disk
+
+    def all_keys(self):
+        """Full membership iteration (snapshot/test path only)."""
+        out = list(self.mem)
+        if self.n_disk:
+            out.extend(
+                u for (u,) in self._con.execute("SELECT url FROM seen")
+            )
+        return out
+
+
 class SeenShardActor:
     """One shard of the URL-seen set. Instantiate via ray.remote(...).
 
@@ -141,11 +216,13 @@ class SeenShardActor:
     driver-level ``CrawlJob.resume`` gives after a driver crash)."""
 
     def __init__(
-        self, shard_id: int, capacity: int = 1 << 20, recovery: dict | None = None
+        self, shard_id: int, capacity: int = 1 << 20, recovery: dict | None = None,
+        spill_threshold: int = 0,
     ):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
-        self.exact: set[str] = set()
+        self.spill_threshold = spill_threshold or DEFAULT_SPILL
+        self.exact = ExactTier(self.spill_threshold)
         self.recovered = 0
         if recovery and os.path.isdir(recovery["job_dir"]):
             self.recovered = self._recover(**recovery)
@@ -280,14 +357,14 @@ class SeenShardActor:
 
     def snapshot(self, path: str) -> int:
         tmp = path + ".tmp"
-        pq.write_table(pa.table({"url": sorted(self.exact)}), tmp)
+        pq.write_table(pa.table({"url": sorted(self.exact.all_keys())}), tmp)
         os.replace(tmp, path)
         return len(self.exact)
 
     def restore(self, path: str) -> int:
         urls = pq.read_table(path, columns=["url"]).column("url").to_pylist()
         self.filter = CuckooFilter(max(1 << 20, int(len(urls) / 0.8) + 1024))
-        self.exact = set()
+        self.exact = ExactTier(self.spill_threshold)
         return self.preload(urls)
 
 
@@ -305,6 +382,7 @@ class SeenSet:
         capacity_per_shard: int = 1 << 20,
         recovery_base: str | None = None,
         mode_class: str = "active",
+        spill_threshold: int = 0,
     ):
         import ray
 
@@ -323,7 +401,8 @@ class SeenSet:
                 "num_shards": num_shards,
             }
         self.shards = [
-            Actor.remote(i, capacity_per_shard, rec) for i in range(num_shards)
+            Actor.remote(i, capacity_per_shard, rec, spill_threshold)
+            for i in range(num_shards)
         ]
 
     def _route(self, urls: list[str]) -> dict[int, list[int]]:
@@ -436,10 +515,12 @@ class StatusPartitionedSeen:
         num_shards: int = 8,
         capacity_per_shard: int = 1 << 20,
         recovery_base: str | None = None,
+        spill_threshold: int = 0,
     ):
         self.num_shards = num_shards
         self.pools = {
-            c: SeenSet(num_shards, capacity_per_shard, recovery_base, c)
+            c: SeenSet(num_shards, capacity_per_shard, recovery_base, c,
+                       spill_threshold)
             for c in self.CLASSES
         }
 

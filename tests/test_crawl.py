@@ -900,3 +900,38 @@ Allow: /
     assert list(mask) == list(cases.values())
     # unruled hosts stay zero-cost allowed
     assert t.allowed_mask(["other.example"], ["https://other.example/private/x"])[0]
+
+
+def test_seen_exact_tier_disk_spill_parity(crawl_env):
+    """Forcing the exact-tier spill threshold tiny (8 keys/shard) pages
+    every shard's membership to its on-disk SQLite hash file mid-crawl;
+    the final membership, visits and listings must be IDENTICAL to the
+    in-memory run, and checkpoint-resume must still work."""
+    corpus, idx = crawl_env
+    job, counters = _run(
+        idx, "/tmp/fr_test_job_spill", budget_per_host=1000,
+        seen_spill_threshold=8,
+    )
+    con, g_seen, g_visits = _golden(corpus)
+    assert job.seen.all_urls() == g_seen
+    assert _got_visits("/tmp/fr_test_job_spill") == g_visits
+    ref = _run(idx, "/tmp/fr_test_job_spill_ref", budget_per_host=1000)[1]
+    assert counters == ref
+
+    # the disk tier actually engaged: shards hold > threshold keys
+    import ray as _ray
+
+    pool = job.seen.pools["active"]
+    sizes = _ray.get([s.size.remote() for s in pool.shards])
+    assert max(sizes) > 8
+
+    # resume against the spilled job dir (fresh shards, recovery replay)
+    from dataclasses import replace as _replace
+
+    cfg = CrawlConfig(
+        index_dir=idx, job_dir="/tmp/fr_test_job_spill", num_seen_shards=4,
+        scraped_at=SCRAPED_AT, budget_per_host=1000, seen_spill_threshold=8,
+    )
+    job2, deferred = CrawlJob.resume(cfg)
+    job2.run(deferred)
+    assert job2.seen.all_urls() == g_seen
