@@ -400,10 +400,27 @@ def run_scaling() -> dict:
                 row["efficiency"] = round(
                     (tput_hi + t2) / 2 / sum(tputs), 3
                 )
+            # PRE-REGISTERED glitch rule (fixed in code BEFORE the round-5
+            # session ran): a trial QUALIFIES iff its in-leg parse-control
+            # ratio hi_ctrl / Σ lo_ctrl — identical non-engine work run
+            # inside each leg — is within ±10% of 1.0, i.e. the two legs
+            # demonstrably saw the same host window. Trials outside the
+            # band are reported but excluded from the qualifying median
+            # (the r4 series showed half-speed-HI windows produce 0.40-
+            # 0.56 readings that are host weather, not engine scaling).
+            ctrl = row["parse_control_pages_per_sec"]
+            ctrl_ratio = ctrl["hi"] / max(1e-9, sum(ctrl["lo_per_job"]))
+            row["ctrl_ratio"] = round(ctrl_ratio, 3)
+            row["qualifies"] = bool(abs(ctrl_ratio - 1.0) <= 0.10)
             per_trial.append(row)
         effs = sorted(t["efficiency"] for t in per_trial)
         med = effs[len(effs) // 2] if len(effs) % 2 else (
             effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+        q = sorted(t["efficiency"] for t in per_trial if t["qualifies"])
+        qmed = None
+        if q:
+            qmed = q[len(q) // 2] if len(q) % 2 else (
+                q[len(q) // 2 - 1] + q[len(q) // 2]) / 2
         return {
             "metric": (
                 f"scaling efficiency (frontier urls/sec, packed: "
@@ -413,6 +430,9 @@ def run_scaling() -> dict:
             "unit": "efficiency",
             "cpus_lo": lo, "cpus_hi": hi, "packed_jobs": hi // lo,
             "trials": trials,
+            "qualifying_median": round(qmed, 3) if qmed is not None else None,
+            "n_qualifying": len(q),
+            "glitch_rule": "qualify iff |hi_ctrl/sum(lo_ctrl) - 1| <= 0.10",
             "per_trial": per_trial,
             "sf": 0.1,
         }

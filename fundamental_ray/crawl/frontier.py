@@ -10,24 +10,31 @@ no-new pages active / first no-new non-empty page sold —
 funda_spider.py:127-145, funda_spider_sold.py:129-141) and commits a
 checkpoint directory; a killed run resumes from the last _COMMITTED round.
 
-Dataflow per round (html bytes never cross an exchange; candidate URLs
-never transit the driver):
+Dataflow per round (html bytes never cross an exchange; NO request row
+ever exists on the driver — resume's one-shot re-bucketing excepted):
 
   list reqs ──fetch-join──> list pages ──extract tasks──> candidate tables
                                                           (object store)
-     seen shards ──pull + claim own hash slice──> novel requests (small)
-     (novel ∪ deferred) ──groupby(host) schedule──> scheduled | deferred
-     scheduled ──robots gate──> fetchable ──fetch-join + extract──> listings Δ
+     seen shards ──pull + claim own hash slice──> novel requests (plasma)
+     BucketScheduler actors (hash(host) % B, persistent, zero-cpu):
+       novel slice ∪ held backlog ∪ retry extras ──budget schedule──>
+       scheduled ──robots gate──> ──retry sim──> fetch-chunk PLAN
+     driver ── folds counters + submits the actors' (ref, chunk) plans ──>
+       fetch-join + extract tasks ──> listings Δ (parquet parts)
 
 The extract tasks pre-route candidates (sorted by (status class, shard)
-with slice offsets), each seen shard actor pulls its ZERO-COPY slice of
-every task output and claims it in ONE call per round, and the driver's
-serial section folds per-page counters plus the politeness-bounded novel
-set — O(pages + novel), independent of the candidate volume.
+with slice offsets); each seen shard actor pulls its ZERO-COPY slice of
+every task output and claims it in ONE call per round; each politeness
+bucket actor then folds its host slice of the claim outputs into its
+HELD backlog, schedules, gates, plans the fetch chunks over its own
+plasma, and writes its seen-claims + deferred checkpoint parts. The
+driver's serial section folds per-page counters and per-bucket count
+summaries — O(pages + B), independent of candidate volume AND of
+backlog size (gauge: ``driver_max_pending_rows``; 0 in the benches).
 
 Politeness budget applies to detail fetches (list fetches are 1/chain/round
-and implicitly within any budget); deferred requests persist as Parquet in
-the round checkpoint, so resume restores them for free.
+and implicitly within any budget); deferred requests persist as per-bucket
+Parquet parts in the round checkpoint, so resume restores them for free.
 """
 
 from __future__ import annotations
@@ -51,9 +58,7 @@ from ..extraction.listing import LISTING_SCHEMA, extract_listing_row
 from ..extraction.listpage import extract_listing_urls, extract_next_page, search_params_of
 from ..extraction.selectolite import Selector
 from .canonicalize import canonicalize_url, host_of
-from .fetchstore import (
-    fetch_map_tasks, plan_map_requests, submit_map_request_chunk,
-)
+from .fetchstore import fetch_map_tasks, submit_map_request_chunk
 from .politeness import schedule_round_local  # noqa: F401 (re-export for tests)
 from .robots import RobotsTable
 from .seen import StatusPartitionedSeen
@@ -112,11 +117,12 @@ class CrawlConfig:
     # 73.5 — ~13% mean), identical listings/counters.
     pipeline_depth: int = 3
     # hash(host) % B partitions of the politeness backlog. The deferred
-    # set, the per-round novel fold and the drain plan all live as
-    # per-bucket object-store blocks / per-bucket checkpoint parquet; the
-    # driver holds only O(B) ObjectRefs + row counts plus the (politeness-
-    # budget-bounded) scheduled slice of each round. Per-host service is
-    # independent across hosts, so bucketing changes no schedule.
+    # set, the per-round novel fold, the robots/retry gates and the drain
+    # plan all live inside B persistent BucketScheduler actors (+ their
+    # per-bucket checkpoint parquet); the driver holds only the handles,
+    # row counts and each round's (ObjectRef, chunk-spec) fetch plans.
+    # Per-host service is independent across hosts, so bucketing changes
+    # no schedule.
     backlog_buckets: int = 8
     # exact-tier spill threshold per seen shard (0 = seen.DEFAULT_SPILL,
     # 1M keys): past it the shard's authoritative membership pages to a
