@@ -540,3 +540,140 @@ WITH toks AS (
 SELECT term, tf AS tf_exact, tf_est, (tf_est - tf)::BIGINT AS overestimate
 FROM est ORDER BY term
 """
+
+
+# ---------------------------------------------------------- pure dense HLL
+# The DENSE HyperLogLog path gets its own externally-checked estimate
+# (distinct_users_daily's sketch is sparse-EXACT at sf scale, so its
+# oracle never exercises register math). Flajolet et al. (2007) with the
+# repo's determinism discipline: the 60-bit md5 hash, the register fold
+# AND the harmonic sum are pure INTEGER arithmetic on both sides — the
+# sum of 2^-M_j is carried as Σ 2^(RANK_MAX - M_j) (an int ≤ 2^61), so
+# the only float ops are one division and (in the small-range regime)
+# one ln, identical IEEE inputs in both engines, rounded at 2 dp.
+#
+# Scale shape: per-batch (day, register) max-rank partials → ONE int-only
+# groupby-max exchange bounded by days × m (m = 1024) regardless of user
+# cardinality; the per-day fold is m-bounded. At 10^9 users/day the
+# exchange is identical — that is the point of the sketch.
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+_HLL_HASH_BITS = 60  # 15 md5 hex chars — fits signed 64-bit in both engines
+_HLL_W_BITS = _HLL_HASH_BITS - HLL_P  # 50
+_HLL_RANK_MAX = _HLL_W_BITS + 1  # 51
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_rank_rows(users: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per user id — md5 of the decimal string,
+    mirrored literally in SQL."""
+    import hashlib as _hl
+
+    idx = np.empty(len(users), dtype=np.int64)
+    rank = np.empty(len(users), dtype=np.int64)
+    mask = (1 << _HLL_W_BITS) - 1
+    for k, u in enumerate(users):
+        h = int(_hl.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+        idx[k] = h >> _HLL_W_BITS
+        w = h & mask
+        rank[k] = _HLL_RANK_MAX - w.bit_length() if w else _HLL_RANK_MAX
+    return idx, rank
+
+
+def hll_users_daily(sf_dir: str) -> pd.DataFrame:
+    """(day, n_hit, zeros, hll_estimate): per-day dense-HLL distinct-user
+    estimate. n_hit/zeros are the register occupancy (integers); the
+    estimate applies the standard small-range linear-counting correction."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from ..pipelines.analytics import r2
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d").to_numpy(
+            zero_copy_only=False
+        )
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        idx, rank = _hll_rank_rows(users)
+        df = pd.DataFrame({"day": day, "idx": idx, "rank": rank})
+        # per-batch combiner: one row per (day, register)
+        return (
+            df.groupby(["day", "idx"], as_index=False)["rank"].max()
+            .astype({"idx": "int64", "rank": "int64"})
+        )
+
+    regs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["day", "idx"])
+        .aggregate(Max("rank", alias_name="mj"))
+        .to_pandas()  # ≤ days × m rows — register-bounded, never user-bounded
+    )
+    out = []
+    for day, g in regs.groupby("day"):
+        mj = g["mj"].to_numpy(np.int64)
+        n_hit = len(mj)
+        zeros = HLL_M - n_hit
+        # harmonic sum as an exact integer: Σ 2^(RANK_MAX - Mj), empty
+        # registers contribute 2^RANK_MAX each
+        ssum = int((1 << (_HLL_RANK_MAX - mj)).sum()) + zeros * (
+            1 << _HLL_RANK_MAX
+        )
+        est = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RANK_MAX) / float(ssum)
+        if est <= 2.5 * HLL_M and zeros > 0:
+            est = HLL_M * math.log(HLL_M / zeros)
+        out.append(
+            {"day": day, "n_hit": n_hit, "zeros": zeros,
+             "hll_estimate": float(r2(est, 2))}
+        )
+    return (
+        pd.DataFrame(out)
+        .astype({"n_hit": "int64", "zeros": "int64"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+
+HLL_USERS_DAILY_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+), h AS (
+  SELECT day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM u
+), r AS (
+  SELECT day, hv >> {_HLL_W_BITS} AS idx,
+         CASE WHEN (hv & ((1::BIGINT << {_HLL_W_BITS}) - 1)) = 0
+              THEN {_HLL_RANK_MAX}
+              ELSE {_HLL_RANK_MAX}
+                   - length(bin(hv & ((1::BIGINT << {_HLL_W_BITS}) - 1)))
+         END AS rank
+  FROM h
+), m AS (
+  SELECT day, idx, MAX(rank)::BIGINT AS mj FROM r GROUP BY day, idx
+), s AS (
+  SELECT day, COUNT(*)::BIGINT AS n_hit,
+         ({HLL_M} - COUNT(*))::BIGINT AS zeros,
+         (SUM(1::HUGEINT << ({_HLL_RANK_MAX} - mj))
+          + ({HLL_M} - COUNT(*))::HUGEINT * (1::HUGEINT << {_HLL_RANK_MAX}))
+           AS ssum
+  FROM m GROUP BY day
+)
+SELECT day, n_hit, zeros,
+       ROUND(CASE WHEN ({_HLL_ALPHA!r}::DOUBLE * {HLL_M} * {HLL_M}
+                        * (1::BIGINT << {_HLL_RANK_MAX})::DOUBLE
+                        / ssum::DOUBLE) <= 2.5 * {HLL_M} AND zeros > 0
+                  THEN {HLL_M} * ln({HLL_M}::DOUBLE / zeros)
+                  ELSE {_HLL_ALPHA!r}::DOUBLE * {HLL_M} * {HLL_M}
+                       * (1::BIGINT << {_HLL_RANK_MAX})::DOUBLE
+                       / ssum::DOUBLE
+             END, 2) AS hll_estimate
+FROM s ORDER BY day
+"""

@@ -2049,3 +2049,92 @@ SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
 FROM g GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-user one-sided CUSUM change detection (Page 1954) — the streaming
+# drift alarm a crawl/ingest pipeline runs on per-host latency or error
+# streams (the autothrottle's statistical sibling). Decision-interval
+# form with reset: s_t = max(0, s_{t-1} + v_t - (TARGET + SLACK)); when
+# s_t > THRESHOLD an alarm fires and s resets to 0. Dyadic constants
+# (50, 1/2, 100) keep every step an IEEE-exact add/compare, so the
+# sequential recurrence is bit-identical across engines (the EWMA/Holt
+# determinism contract); 6-dp presentation round only. Same bucketized
+# per-user ordered fold (ONE exchange); oracle: recursive CTE carrying
+# the (s, n_alarms) pair.
+
+CUSUM_TARGET = 50.0
+CUSUM_SLACK = 0.5
+CUSUM_H = 100.0
+
+
+def events_cusum_alarms(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = (df["user_id"].astype("int64") % EWMA_BUCKETS).astype("int64")
+        return df
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = {"user_id": [], "n_events": [], "n_alarms": [], "final_cusum": []}
+        for uid, per in g.groupby("user_id", sort=False):
+            s, alarms = 0.0, 0
+            for v in per["value"].to_numpy(np.float64):
+                s = max(0.0, s + v - (CUSUM_TARGET + CUSUM_SLACK))
+                if s > CUSUM_H:
+                    alarms += 1
+                    s = 0.0
+            out["user_id"].append(int(uid))
+            out["n_events"].append(len(per))
+            out["n_alarms"].append(alarms)
+            out["final_cusum"].append(float(r2(s, 6)))
+        return pd.DataFrame(out).astype(
+            {"user_id": "int64", "n_events": "int64", "n_alarms": "int64"}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_CUSUM_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS seq,
+         value
+  FROM events
+),
+rec(user_id, seq, s, alarms) AS (
+  SELECT user_id, -1::BIGINT, 0.0::DOUBLE, 0::BIGINT
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT rec.user_id, e.seq,
+         CASE WHEN GREATEST(0.0, rec.s + e.value
+                            - ({CUSUM_TARGET} + {CUSUM_SLACK})) > {CUSUM_H}
+              THEN 0.0
+              ELSE GREATEST(0.0, rec.s + e.value
+                            - ({CUSUM_TARGET} + {CUSUM_SLACK})) END,
+         rec.alarms
+         + CASE WHEN GREATEST(0.0, rec.s + e.value
+                              - ({CUSUM_TARGET} + {CUSUM_SLACK})) > {CUSUM_H}
+                THEN 1 ELSE 0 END
+  FROM rec JOIN ev e ON e.user_id = rec.user_id AND e.seq = rec.seq + 1
+),
+fin AS (
+  SELECT user_id, s, alarms,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM rec
+),
+n AS (SELECT user_id, COUNT(*)::BIGINT AS n_events FROM ev GROUP BY user_id)
+SELECT n.user_id, n.n_events, f.alarms::BIGINT AS n_alarms,
+       ROUND(f.s, 6) AS final_cusum
+FROM n JOIN fin f ON f.user_id = n.user_id AND f.rn = 1
+"""

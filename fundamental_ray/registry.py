@@ -85,13 +85,24 @@ _EXTERNALLY_CHECKED_R1_R4 = frozenset(
 )
 
 
+# Round-5 additions, fronted ahead of the other never-sampled entries so
+# the driver's prefix sample exercises the newest operators first.
+_ROUND5_NEW = (
+    "multimodal_phash_neardup pipeline_clean_corpus_delta "
+    "dedup_lsh_band_audit text_compression_topk sketch_hll_users_daily "
+    "events_cusum_alarms"
+).split()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     _populate()
+    newest = {k: _QUERIES[k] for k in _ROUND5_NEW if k in _QUERIES}
     fresh = {
-        k: v for k, v in _QUERIES.items() if k not in _EXTERNALLY_CHECKED_R1_R4
+        k: v for k, v in _QUERIES.items()
+        if k not in _EXTERNALLY_CHECKED_R1_R4 and k not in newest
     }
     seen = {k: v for k, v in _QUERIES.items() if k in _EXTERNALLY_CHECKED_R1_R4}
-    return {**fresh, **seen}
+    return {**newest, **fresh, **seen}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -184,6 +195,9 @@ def _populate() -> None:
     from .ops import sketch as SK
 
     register("sketch_distinct_users_daily", SK.distinct_users_daily, SK.DISTINCT_USERS_DAILY_SQL)
+    # pure dense-HLL estimate, register math recomputed by the oracle —
+    # the external check the sparse-exact sketch path never exercises
+    register("sketch_hll_users_daily", SK.hll_users_daily, SK.HLL_USERS_DAILY_SQL)
     register("join_bloom_semi_urgent", SK.bloom_semi_join_urgent, SK.BLOOM_SEMI_JOIN_SQL)
     register("sketch_quantiles_price", SK.sketch_quantiles_price, SK.SKETCH_QUANTILES_SQL)
     register("sketch_count_min_terms", SK.sketch_count_min_terms, SK.SKETCH_COUNT_MIN_SQL)
@@ -202,6 +216,8 @@ def _populate() -> None:
     register("events_windowed_topk", R.events_windowed_topk, R.EVENTS_WINDOWED_TOPK_SQL)
     register("agg_benford_deviation", R.agg_benford_deviation, R.AGG_BENFORD_SQL)
     register("events_ewma_value", R.events_ewma_value, R.EVENTS_EWMA_SQL)
+    # one-sided CUSUM drift alarms — the EWMA family's change detector
+    register("events_cusum_alarms", R.events_cusum_alarms, R.EVENTS_CUSUM_SQL)
     register("events_holt_smoothing", R.events_holt_smoothing, R.EVENTS_HOLT_SQL)
     register("agg_rfm_segments", R.agg_rfm_segments, R.AGG_RFM_SQL)
     register(

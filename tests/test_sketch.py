@@ -155,3 +155,50 @@ def test_bloom_semi_join_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hll_users_daily_estimate_quality(ray_session):
+    """Dense-HLL register math vs the exact daily distincts: at p=10 the
+    linear-counting regime should land within a few percent, and the
+    register occupancy must be consistent (n_hit + zeros = m)."""
+    import duckdb
+
+    from fundamental_ray.ops.sketch import HLL_M, hll_users_daily
+
+    sf = "/root/testdata/sf0.001"
+    got = hll_users_daily(sf)
+    assert (got["n_hit"] + got["zeros"] == HLL_M).all()
+    exact = duckdb.sql(
+        f"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id)::BIGINT AS n
+            FROM '{sf}/events.parquet' GROUP BY 1"""
+    ).df().set_index("day")["n"]
+    merged = got.set_index("day").join(exact)
+    rel = (merged["hll_estimate"] - merged["n"]).abs() / merged["n"]
+    assert (rel < 0.12).all(), merged  # p=10 ⇒ ~3.2% σ; 12% is ~4σ
+
+
+def test_cusum_alarms_match_scalar_fold(ray_session):
+    """Bucketized distributed CUSUM vs a plain per-user scalar fold."""
+    import pandas as pd
+
+    from fundamental_ray.pipelines.relational import (
+        CUSUM_H, CUSUM_SLACK, CUSUM_TARGET, events_cusum_alarms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_cusum_alarms(sf)
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    for uid, per in list(ev.groupby("user_id"))[:50]:
+        s, alarms = 0.0, 0
+        for v in per["value"]:
+            s = max(0.0, s + float(v) - (CUSUM_TARGET + CUSUM_SLACK))
+            if s > CUSUM_H:
+                alarms += 1
+                s = 0.0
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["n_alarms"] == alarms
+        assert abs(row["final_cusum"] - round(s, 6)) < 1e-9
+    assert got["n_alarms"].sum() > 0  # the detector actually fires
