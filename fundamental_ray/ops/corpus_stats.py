@@ -54,12 +54,14 @@ def _partial_term_counts(df: pd.DataFrame) -> pd.DataFrame:
     packed int64 keys — no Python token loop (VERDICT r4 #3)."""
     from .text import flat_tokens
 
+    import pyarrow as pa
+
     toks, doc = flat_tokens(df["text"])
     if len(toks) == 0:
-        return pd.DataFrame(
-            {"term": pd.Series([], dtype=object),
-             "df_part": np.array([], dtype=np.int64),
-             "tf_part": np.array([], dtype=np.int64)}
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "df_part": pa.array([], pa.int64()),
+             "tf_part": pa.array([], pa.int64())}
         )
     codes, uniq = pd.factorize(toks)
     v = len(uniq)
@@ -67,11 +69,13 @@ def _partial_term_counts(df: pd.DataFrame) -> pd.DataFrame:
     pair_codes = np.unique(doc * np.int64(v) + codes) % v
     dfreq = np.bincount(pair_codes, minlength=v).astype(np.int64)
     order = np.argsort(uniq)
-    return pd.DataFrame(
+    # Arrow out: pandas-born object-dtype blocks carry unhashable schema
+    # metadata into the aggregate exchange (the repo-wide slow path)
+    return pa.table(
         {
-            "term": uniq[order],
-            "df_part": dfreq[order],
-            "tf_part": tf[order],
+            "term": pa.array(uniq[order], pa.string()),
+            "df_part": pa.array(dfreq[order]),
+            "tf_part": pa.array(tf[order]),
         }
     )
 

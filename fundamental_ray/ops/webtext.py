@@ -285,23 +285,30 @@ def _bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
     loop (VERDICT r4 "What's wrong" #3)."""
     from .text import flat_tokens
 
+    import pyarrow as pa
+
     toks, doc = flat_tokens(df["text"])
     if len(toks) < 2:
-        return pd.DataFrame(
-            {"w1": pd.Series([], dtype=object),
-             "w2": pd.Series([], dtype=object),
-             "c": np.array([], dtype=np.int64)}
+        return pa.table(
+            {"k": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
         )
     codes, uniq = pd.factorize(toks)
     v = np.int64(len(uniq))
     same = doc[1:] == doc[:-1]
     key = codes[:-1][same].astype(np.int64) * v + codes[1:][same]
     ukey, cnt = np.unique(key, return_counts=True)
-    return pd.DataFrame(
+    # ONE packed string key ("w1 w2" — a space can never appear inside a
+    # \S+ token, so the join is unambiguous) instead of a two-string-key
+    # exchange: Ray 2.49's multi-key pandas aggregate costs seconds at
+    # this group count where the single-key path costs one
+    a = (ukey // v).astype(np.int64)
+    b = (ukey % v).astype(np.int64)
+    # Arrow out (see _partial_term_counts)
+    return pa.table(
         {
-            "w1": uniq[(ukey // v).astype(np.int64)],
-            "w2": uniq[(ukey % v).astype(np.int64)],
-            "c": cnt.astype(np.int64),
+            "k": pa.array([f"{uniq[i]} {uniq[j]}" for i, j in zip(a, b)],
+                          pa.string()),
+            "c": pa.array(cnt.astype(np.int64)),
         }
     )
 
@@ -323,15 +330,21 @@ def _bigram_counts_df(sf_dir: str) -> pd.DataFrame:
         source_fingerprint(f"{sf_dir}/documents.parquet"),
     )
     if key not in _BIGRAM_MEMO:
-        _BIGRAM_MEMO[key] = (
+        agg = (
             read_parquet_clean(
                 f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
             )
             .map_batches(_bigram_partials, batch_format="pandas")
-            .groupby(["w1", "w2"])
+            .groupby("k")
             .aggregate(Sum("c", alias_name="cnt"))
             .to_pandas()
-            .astype({"cnt": "int64"})
+        )
+        split = agg["k"].str.split(" ", n=1, expand=True)
+        _BIGRAM_MEMO[key] = (
+            pd.DataFrame(
+                {"w1": split[0], "w2": split[1],
+                 "cnt": agg["cnt"].astype("int64")}
+            )
             .sort_values(["w1", "w2"])
             .reset_index(drop=True)
         )
