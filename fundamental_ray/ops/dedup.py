@@ -325,6 +325,14 @@ def lsh_band_audit(sf_dir: str, band_cap: int = LSH_BAND_CAP) -> pd.DataFrame:
     return out
 
 
+# (abspath, fingerprint, threshold, buckets, cap) -> verified pair frame.
+# Three registered consumers (dedup_minhash_lsh, duplicate_clusters inside
+# pipeline_clean_corpus, dedup_method_report) otherwise re-run the full
+# banding + disk-join verify each (~2.4 s warm at sf0.1); the pair set is
+# candidate-bounded, so holding it is the broadcast-small-side trade.
+_LSH_PAIR_MEMO: dict = {}
+
+
 def minhash_lsh_pairs(
     sf_dir: str, threshold: float = 0.6,
     num_buckets: int = SHINGLE_INDEX_BUCKETS,
@@ -333,6 +341,7 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs: signature per doc → explode to
     (band, band_hash, doc_id) → groupby band bucket → candidate pairs →
     exact-Jaccard verification (precision 1.0 by construction).
+    Fingerprint-memoized per (corpus, params) — see _LSH_PAIR_MEMO.
 
     Verification is a doc_id hash-partitioned DISK JOIN, end to end off
     the driver: candidate pairs (deduped by a combiner-style groupby over
@@ -344,6 +353,14 @@ def minhash_lsh_pairs(
     shingle dict or otherwise — exists on the driver or in any single
     task; per-task state is batch-sized."""
     from ray.data.aggregate import Count
+
+    memo_key = (
+        os.path.abspath(sf_dir),
+        source_fingerprint(f"{sf_dir}/documents.parquet"),
+        threshold, num_buckets, band_cap,
+    )
+    if memo_key in _LSH_PAIR_MEMO:
+        return _LSH_PAIR_MEMO[memo_key]
 
     index_dir = _shingle_index(sf_dir, num_buckets)
     docs = _read_docs(sf_dir)
@@ -397,14 +414,17 @@ def minhash_lsh_pairs(
         verify, batch_format="pandas", batch_size=8192
     ).to_pandas()
     if len(res) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+        out = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
         )
-    return (
-        res.astype({"a": "int64", "b": "int64"})
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    else:
+        out = (
+            res.astype({"a": "int64", "b": "int64"})
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+    _LSH_PAIR_MEMO[memo_key] = out
+    return out
 
 
 def _block_refs_of(ds: ray.data.Dataset) -> list:

@@ -935,3 +935,28 @@ def test_seen_exact_tier_disk_spill_parity(crawl_env):
     job2, deferred = CrawlJob.resume(cfg)
     job2.run(deferred)
     assert job2.seen.all_urls() == g_seen
+
+
+def test_backlog_bucket_count_invariance(crawl_env):
+    """Per-host service is independent across hosts, so the hash(host)
+    bucket count must not change ANY outcome: counters, membership and
+    listings identical at B=2 and B=16 (default 8 is pinned by every
+    other test)."""
+    corpus, idx = crawl_env
+    con, g_seen, _ = _golden(corpus)
+    outs = {}
+    for B in (2, 16):
+        job, counters = _run(
+            idx, f"/tmp/fr_test_job_b{B}buckets", budget_per_host=5,
+            backlog_buckets=B,
+        )
+        assert job.seen.all_urls() == g_seen
+        outs[B] = counters
+    assert outs[2] == outs[16]
+    got2 = sorted(
+        crawl_listings_dataset("/tmp/fr_test_job_b2buckets").to_pandas()["url"]
+    )
+    got16 = sorted(
+        crawl_listings_dataset("/tmp/fr_test_job_b16buckets").to_pandas()["url"]
+    )
+    assert got2 == got16
