@@ -469,9 +469,11 @@ def sketch_count_min_terms(sf_dir: str) -> pd.DataFrame:
     from .corpus_stats import _corpus_term_stats, _partial_term_counts
 
     def cms_partial(df: pd.DataFrame) -> pd.DataFrame:
-        part = _partial_term_counts(df)
+        part = _partial_term_counts(df)  # Arrow table (corpus_stats)
         rows = np.zeros((CMS_D, CMS_W), dtype=np.int64)
-        for t, c in zip(part["term"], part["tf_part"]):
+        for t, c in zip(
+            part.column("term").to_pylist(), part.column("tf_part").to_pylist()
+        ):
             rows[np.arange(CMS_D), _cms_positions(t)] += int(c)
         i, pos = np.nonzero(rows)
         return pd.DataFrame(
