@@ -52,8 +52,11 @@ def run_bench() -> dict:
         )
     ray.init(
         address="local", num_cpus=num_cpus, include_dashboard=False,
-        logging_level="ERROR", **init_kw,
+        logging_level="ERROR", log_to_driver=False, **init_kw,
     )
+    # log_to_driver=False: raylet/worker chatter (e.g. the zero-cpu-actor
+    # "N PYTHON worker processes" warning) otherwise lands on STDOUT and
+    # can race past the single JSON line this script contracts to print
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
 
@@ -496,7 +499,21 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+    # The driver contract is ONE JSON line on stdout. Ray's raylet pushes
+    # warnings (e.g. the zero-cpu-actor "N PYTHON worker processes"
+    # notice) to the inherited fd 1 regardless of log_to_driver, racing
+    # the result line — so park the REAL stdout on a saved fd, point fd 1
+    # at stderr for the whole run (raylet children inherit that), and
+    # write the JSON to the saved fd at the end.
+    _real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(1), "w")
+    try:
+        if "--scaling" in sys.argv:
+            _line = json.dumps(run_scaling())
+        else:
+            _line = json.dumps(run_bench())
+    finally:
+        sys.stdout.flush()
+    os.write(_real_stdout, (_line + "\n").encode())
+    os.close(_real_stdout)
